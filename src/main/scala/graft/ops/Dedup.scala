@@ -1,0 +1,197 @@
+package graft.ops
+
+import graft.{Q, Tables => T}
+import graft.util.Det.{r2, sqlR2}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication surface over `documents` (the training-data-pipeline
+  * mandate): exact, MinHash+LSH banding, n-gram Jaccard, SimHash,
+  * embedding-cosine near-dup.
+  *
+  * The MinHash/Jaccard pipelines use an engine-portable hash — md5 hex
+  * strings with per-seed prefixes, min taken lexicographically — so the
+  * DuckDB oracle can replicate signatures bit-for-bit. At cluster scale the
+  * same plan shape holds: shingle explode is map-side, signatures are one
+  * groupBy(doc), banding turns the quadratic pair search into an equi-join
+  * on (band_no, band) — the standard LSH shuffle-join.
+  */
+object Dedup {
+
+  /** Distinct word 2-gram shingles per document. */
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .withColumn("tk", split(col("text"), " "))
+      .withColumn("sh",
+        array_distinct(expr(
+          "transform(sequence(1, greatest(size(tk) - 1, 1))," +
+          " i -> concat_ws(' ', slice(tk, i, 2)))")))
+
+  private val shingleSqlCte =
+    """toks AS (SELECT doc_id, source, string_split(text, ' ') AS tk
+                FROM documents),
+       sh AS (SELECT DISTINCT doc_id, source, unnest(list_transform(
+                range(1, greatest(len(tk) - 1, 1) + 1),
+                i -> array_to_string(tk[i:i+1], ' '))) AS sh
+              FROM toks)"""
+
+  /** Exact dedup on full text, deterministic survivor (min doc_id),
+    * survivor count per language. */
+  val qDedupExact = Q(
+    "q_dedup_exact",
+    (s, d) => {
+      val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+      T.documents(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, count(*) AS n_docs FROM (
+             SELECT lang, row_number() OVER (PARTITION BY text
+                    ORDER BY doc_id) AS rn
+             FROM documents)
+           WHERE rn = 1 GROUP BY lang ORDER BY lang"""))
+
+  /** MinHash(8 seeds) + LSH banding (2 bands × 4 rows): candidate
+    * near-duplicate pairs. Portable hash: min over shingles of
+    * md5('<seed>:' || shingle), min over hex strings. */
+  val qDedupMinhash = Q(
+    "q_dedup_minhash",
+    (s, d) => {
+      val sh = shingled(s, d).select(col("doc_id"), explode(col("sh")).as("sh"))
+      val mins = (0 until 8).map(i =>
+        min(md5(concat(lit(s"$i:"), col("sh")))).as(s"h$i"))
+      val mh = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      val bands = mh.select(col("doc_id"),
+          posexplode(array(
+            concat(col("h0"), col("h1"), col("h2"), col("h3")),
+            concat(col("h4"), col("h5"), col("h6"), col("h7")))))
+        .toDF("doc_id", "band_no", "band")
+      bands.as("x")
+        .join(bands.as("y"),
+          col("x.band_no") === col("y.band_no") &&
+          col("x.band") === col("y.band") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+        .orderBy("a", "b")
+    },
+    Some(s"""WITH $shingleSqlCte,
+            mh AS (SELECT doc_id,
+                     min(md5('0:' || sh)) AS h0, min(md5('1:' || sh)) AS h1,
+                     min(md5('2:' || sh)) AS h2, min(md5('3:' || sh)) AS h3,
+                     min(md5('4:' || sh)) AS h4, min(md5('5:' || sh)) AS h5,
+                     min(md5('6:' || sh)) AS h6, min(md5('7:' || sh)) AS h7
+                   FROM sh GROUP BY doc_id),
+            bands AS (
+              SELECT doc_id, 0 AS band_no, h0 || h1 || h2 || h3 AS band FROM mh
+              UNION ALL
+              SELECT doc_id, 1 AS band_no, h4 || h5 || h6 || h7 AS band FROM mh)
+            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM bands x JOIN bands y
+              ON x.band_no = y.band_no AND x.band = y.band
+             AND x.doc_id < y.doc_id
+            ORDER BY a, b"""))
+
+  /** Exact n-gram Jaccard similarity, blocked by source (the candidate
+    * blocking a real pipeline would get from LSH): pairs with J >= 0.5. */
+  val qDedupNgramJaccard = Q(
+    "q_dedup_ngram_jaccard",
+    (s, d) => {
+      val sets = shingled(s, d)
+        .select(col("source"), col("doc_id"), explode(col("sh")).as("sh"))
+      val sizes = sets.groupBy(col("doc_id").as("sz_id"))
+        .agg(count(lit(1)).as("n_sh"))
+      val inter = sets.as("x")
+        .join(sets.as("y"),
+          col("x.source") === col("y.source") && col("x.sh") === col("y.sh") &&
+          col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(sizes, col("a") === col("sz_id"))
+        .withColumnRenamed("n_sh", "na").drop("sz_id")
+        .join(sizes, col("b") === col("sz_id"))
+        .withColumnRenamed("n_sh", "nb").drop("sz_id")
+        .withColumn("jacc",
+          r2(col("n_inter").cast("double") /
+            (col("na") + col("nb") - col("n_inter"))))
+        .filter(col("jacc") >= 0.5)
+        .select("a", "b", "jacc")
+        .orderBy("a", "b")
+    },
+    Some(s"""WITH $shingleSqlCte,
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (SELECT x.doc_id AS a, y.doc_id AS b,
+                             count(*) AS n_inter
+                      FROM sh x JOIN sh y
+                        ON x.source = y.source AND x.sh = y.sh
+                       AND x.doc_id < y.doc_id
+                      GROUP BY 1, 2)
+            SELECT a, b, ${sqlR2("CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)")} AS jacc
+            FROM inter
+            JOIN sizes sa ON a = sa.doc_id
+            JOIN sizes sb ON b = sb.doc_id
+            WHERE ${sqlR2("CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter)")} >= 0.5
+            ORDER BY a, b"""))
+
+  /** 32-bit SimHash per document (token-frequency weighted, md5-derived
+    * bit planes). Engine-specific layout -> no SQL oracle; scalatest
+    * asserts the invariants (determinism, identical-text collision). */
+  val qDedupSimhash = Q(
+    "q_dedup_simhash",
+    (s, d) => {
+      val tok = T.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+        // 32-bit plane from the first 8 md5 hex chars of the token
+        .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10)
+          .cast("long"))
+      val bitSums: Seq[Column] = (0 until 32).map { i =>
+        sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("cnt"))
+          .otherwise(-col("cnt"))).as(s"b$i")
+      }
+      val sig = (0 until 32)
+        .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L))
+        .reduce(_ + _)
+      tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"), sig.as("simhash"))
+        .orderBy("doc_id")
+    },
+    None)
+
+  /** Embedding-cosine near-duplicate pairs (same label block, cos >= 0.9).
+    * Blocking on `label` bounds the pair space exactly like an IVF coarse
+    * quantizer would at scale. */
+  val qDedupEmbedding = Q(
+    "q_dedup_embedding",
+    (s, d) => {
+      val e = T.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+                col("embedding").cast("array<double>").as("v"))
+      val cos = Similarity.cosine(col("x.v"), col("y.v"))
+      e.as("x")
+        .join(e.as("y"),
+          col("x.label") === col("y.label") &&
+          col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+                r2(cos).as("cos"))
+        .filter(col("cos") >= 0.9)
+        .orderBy("a", "b")
+    },
+    Some(s"""SELECT a, b, cos FROM (
+             SELECT x.vec_id AS a, y.vec_id AS b,
+                    ${sqlR2("""list_cosine_similarity(
+                      CAST(x.embedding AS DOUBLE[]),
+                      CAST(y.embedding AS DOUBLE[]))""")} AS cos
+             FROM embeddings x JOIN embeddings y
+               ON x.label = y.label AND x.vec_id < y.vec_id)
+           WHERE cos >= 0.9 ORDER BY a, b"""))
+
+  val all: Seq[Q] = Seq(
+    qDedupExact, qDedupMinhash, qDedupNgramJaccard, qDedupSimhash,
+    qDedupEmbedding)
+}

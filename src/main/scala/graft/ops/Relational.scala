@@ -1,0 +1,627 @@
+package graft.ops
+
+import graft.{Q, Tables => T}
+import graft.util.Det._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2b relational surface: scans, filters, joins, aggregations,
+  * windows, top-k, set ops, scalar functions, event-time batch queries.
+  *
+  * Design rules (SURVEY.md §5.2 / FIXTURES.md):
+  *  - every query ends in a total ORDER BY over a unique key set;
+  *  - double outputs go through Det.dsum/davg/r2 (2dp, order-independent);
+  *  - raw nanosecond timestamps never appear in output — epoch millis
+  *    (BIGINT, floor) or DATE instead, so Spark-µs vs DuckDB-ns can't skew;
+  *  - all plans are plain Catalyst-optimizable DataFrame ops: filters and
+  *    projections reach the parquet scan, small dims are broadcast.
+  */
+object Relational {
+
+  private def li(s: SparkSession, d: String) = T.lineitem(s, d)
+
+  // ---------------------------------------------------------------- scans
+
+  /** Projection + per-row arithmetic; column pruning showcase. */
+  val qScanProject = Q(
+    "q_scan_project",
+    (s, d) =>
+      li(s, d)
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          r2(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+        .orderBy("l_orderkey", "l_linenumber"),
+    Some(s"""SELECT l_orderkey, l_linenumber, l_quantity,
+            ${sqlR2("l_extendedprice * (1 - l_discount)")} AS revenue
+            FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+
+  /** TPC-H Q6 shape: conjunctive predicates, pushed to the parquet scan. */
+  val qFilterPred = Q(
+    "q_filter_pred",
+    (s, d) =>
+      li(s, d)
+        .filter(
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(
+          dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_rows")),
+    Some(s"""SELECT ${sqlDsum("l_extendedprice * l_discount")} AS revenue,
+            count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24"""))
+
+  // ---------------------------------------------------------------- joins
+
+  /** Fact-to-dim equi-join + aggregation per market segment. */
+  val qJoinInner = Q(
+    "q_join_inner",
+    (s, d) =>
+      T.orders(s, d)
+        .join(T.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+        .orderBy("c_mktsegment"),
+    Some(s"""SELECT c_mktsegment, count(*) AS n_orders,
+            ${sqlDsum("o_totalprice")} AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  /** Small-dim joins: nation+region are broadcast (no shuffle of customer). */
+  val qJoinBroadcast = Q(
+    "q_join_broadcast",
+    (s, d) =>
+      T.customer(s, d)
+        .join(broadcast(T.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(T.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_cust"), davg(col("c_acctbal")).as("avg_bal"))
+        .orderBy("r_name", "n_name"),
+    Some(s"""SELECT r_name, n_name, count(*) AS n_cust,
+            ${sqlDavg("c_acctbal")} AS avg_bal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name ORDER BY r_name, n_name"""))
+
+  /** Left outer join keeping zero-order customers. */
+  val qJoinLeft = Q(
+    "q_join_left",
+    (s, d) =>
+      T.customer(s, d)
+        .join(T.orders(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(
+          count(col("o_orderkey")).as("n_orders"),
+          r2(coalesce(sum(col("o_totalprice").cast(D)).cast("double"), lit(0.0)))
+            .as("total"))
+        .orderBy("c_custkey"),
+    Some(s"""SELECT c_custkey, count(o_orderkey) AS n_orders,
+            ${sqlR2("coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 0)")} AS total
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey ORDER BY c_custkey"""))
+
+  /** Left-semi: customers with at least one finished ('F') order. */
+  val qJoinSemi = Q(
+    "q_join_semi",
+    (s, d) =>
+      T.customer(s, d)
+        .join(
+          T.orders(s, d).filter(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_name FROM customer
+           WHERE EXISTS (SELECT 1 FROM orders
+                         WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+           ORDER BY c_custkey"""))
+
+  /** Left-anti: customers with no orders at all. */
+  val qJoinAnti = Q(
+    "q_join_anti",
+    (s, d) =>
+      T.customer(s, d)
+        .join(T.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_name FROM customer
+           WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+           ORDER BY c_custkey"""))
+
+  /** Theta/range self-join: same-user event pairs within 5 minutes
+    * (coincidence matching — the TDC trigger-window analogue). Equi part
+    * (user_id) keys the shuffle; the range predicate filters pairs.
+    * Millisecond floors on both sides keep µs-vs-ns engines identical. */
+  val qJoinThetaRange = Q(
+    "q_join_theta_range",
+    (s, d) => {
+      val e = T.events(s, d)
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"))
+      val a = e.select(col("user_id"), col("event_id").as("id1"), col("ms").as("ms1"))
+      val b = e.select(col("user_id").as("u2"), col("event_id").as("id2"), col("ms").as("ms2"))
+      a.join(b,
+          col("user_id") === col("u2") &&
+          col("ms2") > col("ms1") && col("ms2") - col("ms1") <= lit(300000L))
+        .select(col("user_id"), col("id1"), col("id2"),
+                (col("ms2") - col("ms1")).as("delta_ms"))
+        .orderBy("user_id", "id1", "id2")
+    },
+    Some("""SELECT a.user_id, a.event_id AS id1, b.event_id AS id2,
+           epoch_ms(b.ts) - epoch_ms(a.ts) AS delta_ms
+           FROM events a JOIN events b
+             ON a.user_id = b.user_id
+            AND epoch_ms(b.ts) > epoch_ms(a.ts)
+            AND epoch_ms(b.ts) - epoch_ms(a.ts) <= 300000
+           ORDER BY a.user_id, id1, id2"""))
+
+  /** TPC-H Q5 shape: 6-table join; Catalyst reorders, dims broadcast. */
+  val qJoinMultiway = Q(
+    "q_join_multiway",
+    (s, d) =>
+      T.customer(s, d)
+        .join(T.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(li(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(T.supplier(s, d),
+          col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(T.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(T.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .filter(
+          col("r_name") === "ASIA" &&
+          col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") <  lit("1999-01-01").cast("timestamp"))
+        .groupBy("n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+             count(lit(1)).as("n_rows"))
+        .orderBy("n_name"),
+    Some(s"""SELECT n_name,
+            ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS revenue,
+            count(*) AS n_rows
+            FROM customer
+            JOIN orders   ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate <  TIMESTAMP '1999-01-01'
+            GROUP BY n_name ORDER BY n_name"""))
+
+  // --------------------------------------------------------- aggregations
+
+  /** TPC-H Q1: the flagship grouped aggregation. */
+  val qAggGroup = Q(
+    "q_agg_group",
+    (s, d) =>
+      li(s, d)
+        .filter(col("l_shipdate") <= lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+    Some(s"""SELECT l_returnflag, l_linestatus,
+            ${sqlDsum("l_quantity")} AS sum_qty,
+            ${sqlDsum("l_extendedprice")} AS sum_base_price,
+            ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+            ${sqlDsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+            ${sqlDavg("l_quantity")} AS avg_qty,
+            ${sqlDavg("l_extendedprice")} AS avg_price,
+            ${sqlDavg("l_discount")} AS avg_disc,
+            count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus"""))
+
+  /** Exact count-distinct per day (expand + two-phase agg). */
+  val qAggDistinct = Q(
+    "q_agg_distinct",
+    (s, d) =>
+      T.events(s, d)
+        .groupBy(to_date(col("ts")).as("event_date"))
+        .agg(
+          countDistinct(col("user_id")).as("n_users"),
+          countDistinct(col("event_type")).as("n_types"),
+          count(lit(1)).as("n_events"))
+        .orderBy("event_date"),
+    Some("""SELECT CAST(ts AS DATE) AS event_date,
+           count(DISTINCT user_id) AS n_users,
+           count(DISTINCT event_type) AS n_types,
+           count(*) AS n_events
+           FROM events GROUP BY 1 ORDER BY event_date"""))
+
+  private def gidAgg(s: SparkSession, d: String, mode: String): DataFrame = {
+    val o = T.orders(s, d)
+    val grouped = mode match {
+      case "rollup" => o.rollup(col("o_orderstatus"), col("o_orderpriority"))
+      case "cube"   => o.cube(col("o_orderstatus"), col("o_orderpriority"))
+    }
+    grouped
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("total"))
+      .select(
+        col("gid"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("total"))
+      .orderBy("gid", "status", "priority")
+  }
+
+  private def gidSql(clause: String): String =
+    s"""SELECT grouping_id(o_orderstatus, o_orderpriority) AS gid,
+       coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders, ${sqlDsum("o_totalprice")} AS total
+       FROM orders GROUP BY $clause ORDER BY gid, status, priority"""
+
+  /** ROLLUP totals; NULL group keys are coalesced so NULL-ordering
+    * differences between engines can't affect the hash. */
+  val qAggRollup = Q("q_agg_rollup", (s, d) => gidAgg(s, d, "rollup"),
+    Some(gidSql("ROLLUP(o_orderstatus, o_orderpriority)")))
+
+  /** CUBE totals. */
+  val qAggCube = Q("q_agg_cube", (s, d) => gidAgg(s, d, "cube"),
+    Some(gidSql("CUBE(o_orderstatus, o_orderpriority)")))
+
+  /** Explicit GROUPING SETS. */
+  val qAggGroupingSets = Q(
+    "q_agg_grouping_sets",
+    (s, d) => {
+      T.orders(s, d).createOrReplaceTempView("graft_orders_gs")
+      s.sql(s"""SELECT grouping_id(o_orderstatus, o_orderpriority) AS gid,
+               coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(1) AS n_orders,
+               floor(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) * 100 + 0.5) / 100 AS total
+               FROM graft_orders_gs
+               GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+               ORDER BY gid, status, priority""")
+    },
+    Some(gidSql("GROUPING SETS ((o_orderstatus), (o_orderpriority), ())")))
+
+  /** Occupancy-style histogram: events per (type, fixed-width value bucket)
+    * — the FPGA×TDC_CHANNEL occupancy analogue. Bucket = floor(value/10);
+    * exact-integer boundaries make floor identical across engines. */
+  val qAggHistogram = Q(
+    "q_agg_histogram",
+    (s, d) =>
+      T.events(s, d)
+        .groupBy(
+          col("event_type"),
+          floor(col("value") / 10.0).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "bucket"),
+    Some("""SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+           count(*) AS n
+           FROM events GROUP BY 1, 2 ORDER BY event_type, bucket"""))
+
+  /** HLL sketch — engine-specific values, so no SQL oracle; the scalatest
+    * suite bounds it against the exact distinct count instead. */
+  val qAggApproxDistinct = Q(
+    "q_agg_approx_distinct",
+    (s, d) =>
+      T.events(s, d)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy("event_type"),
+    None)
+
+  // -------------------------------------------------------------- windows
+
+  private val wCust = Window.partitionBy(col("o_custkey"))
+    .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+
+  /** Top-3 orders per customer by totalprice (rank over partition). */
+  val qWindowRank = Q(
+    "q_window_rank",
+    (s, d) =>
+      T.orders(s, d)
+        .withColumn("rnk", rank().over(wCust))
+        .filter(col("rnk") <= 3)
+        .select("o_custkey", "rnk", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rnk", "o_orderkey"),
+    Some("""SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM (
+             SELECT o_custkey, o_orderkey, o_totalprice,
+                    rank() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+             FROM orders)
+           WHERE rnk <= 3 ORDER BY o_custkey, rnk, o_orderkey"""))
+
+  /** Running revenue per customer over order date (cumulative frame). */
+  val qWindowRunning = Q(
+    "q_window_running",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T.orders(s, d)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          dsumOver(col("o_totalprice"), w).as("running"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some(s"""SELECT o_custkey, o_orderkey,
+            ${sqlR2("""CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE)""")} AS running
+            FROM orders ORDER BY o_custkey, o_orderkey"""))
+
+  /** Inter-event time per user (lag) — the inter-hit-time analogue. */
+  val qWindowLag = Q(
+    "q_window_lag",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms"), col("event_id"))
+      T.events(s, d)
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"))
+        .withColumn("delta_ms", col("ms") - lag(col("ms"), 1).over(w))
+        .select("user_id", "event_id", "delta_ms")
+        .orderBy("user_id", "event_id")
+    },
+    Some("""SELECT user_id, event_id,
+           epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+               ORDER BY epoch_ms(ts), event_id) AS delta_ms
+           FROM events ORDER BY user_id, event_id"""))
+
+  /** Moving average over a trailing 4-row frame per user. */
+  val qWindowFrameRange = Q(
+    "q_window_frame_range",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms"), col("event_id"))
+        .rowsBetween(-3, Window.currentRow)
+      T.events(s, d)
+        .select(col("user_id"), col("event_id"),
+                unix_millis(col("ts")).as("ms"), col("value"))
+        .withColumn("moving_avg", davgOver(col("value"), w))
+        .select("user_id", "event_id", "moving_avg")
+        .orderBy("user_id", "event_id")
+    },
+    Some(s"""SELECT user_id, event_id,
+            ${sqlR2("""CAST(sum(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+                 / count(*) OVER w""")} AS moving_avg
+            FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+           ORDER BY user_id, event_id"""))
+
+  // ---------------------------------------------------------- sort / topk
+
+  /** Global top-20 by price — TakeOrderedAndProject, no full sort. */
+  val qTopk = Q(
+    "q_topk",
+    (s, d) =>
+      li(s, d)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(20),
+    Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+           ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20"""))
+
+  // -------------------------------------------------------------- set ops
+
+  /** Union-all of two status slices, tagged and re-sorted. */
+  val qUnion = Q(
+    "q_union",
+    (s, d) => {
+      val o = T.orders(s, d)
+      val open = o.filter(col("o_orderstatus") === "O")
+        .select(col("o_orderkey"), col("o_totalprice"), lit("open").as("bucket"))
+      val done = o.filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_totalprice"), lit("done").as("bucket"))
+      open.unionAll(done).orderBy("o_orderkey", "bucket")
+    },
+    Some("""SELECT o_orderkey, o_totalprice, 'open' AS bucket FROM orders
+           WHERE o_orderstatus = 'O'
+           UNION ALL
+           SELECT o_orderkey, o_totalprice, 'done' AS bucket FROM orders
+           WHERE o_orderstatus = 'F'
+           ORDER BY o_orderkey, bucket"""))
+
+  /** INTERSECT (distinct): BUILDING-segment customers who have F orders. */
+  val qIntersect = Q(
+    "q_intersect",
+    (s, d) =>
+      T.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+        .intersect(
+          T.orders(s, d).filter(col("o_orderstatus") === "F")
+            .select(col("o_custkey").as("custkey")))
+        .orderBy("custkey"),
+    Some("""SELECT * FROM (
+             SELECT c_custkey AS custkey FROM customer
+             WHERE c_mktsegment = 'BUILDING'
+             INTERSECT
+             SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F')
+           ORDER BY custkey"""))
+
+  /** EXCEPT (distinct): customers with orders but none in state F. */
+  val qExcept = Q(
+    "q_except",
+    (s, d) => {
+      val o = T.orders(s, d)
+      o.select(col("o_custkey").as("custkey"))
+        .except(o.filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("custkey")))
+        .orderBy("custkey")
+    },
+    Some("""SELECT * FROM (
+             SELECT o_custkey AS custkey FROM orders
+             EXCEPT
+             SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F')
+           ORDER BY custkey"""))
+
+  // ------------------------------------------------------ scalar functions
+
+  /** String expressions over part names. */
+  val qScalarString = Q(
+    "q_scalar_string",
+    (s, d) =>
+      T.part(s, d)
+        .filter(col("p_name").like("%a%"))
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("uname"),
+          substring(col("p_name"), 1, 5).as("pfx"),
+          length(col("p_name")).as("name_len"),
+          concat_ws("#", col("p_brand"), col("p_type")).as("tag"))
+        .orderBy("p_partkey"),
+    Some("""SELECT p_partkey, upper(p_name) AS uname,
+           substring(p_name, 1, 5) AS pfx,
+           CAST(length(p_name) AS INT) AS name_len,
+           concat(p_brand, '#', p_type) AS tag
+           FROM part WHERE p_name LIKE '%a%' ORDER BY p_partkey"""))
+
+  /** Datetime expressions over orders. */
+  val qScalarDate = Q(
+    "q_scalar_date",
+    (s, d) =>
+      T.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          to_date(date_trunc("month", col("o_orderdate"))).as("order_month"),
+          (((dayofweek(col("o_orderdate")) + 5) % 7) + 1).as("isodow"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+            .as("days_since_95"))
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           CAST(isodow(o_orderdate) AS INT) AS isodow,
+           CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS INT)
+             AS days_since_95
+           FROM orders ORDER BY o_orderkey"""))
+
+  /** Math expressions over part prices. */
+  val qScalarMath = Q(
+    "q_scalar_math",
+    (s, d) =>
+      T.part(s, d)
+        .select(
+          col("p_partkey"),
+          r2(col("p_retailprice")).as("price_r"),
+          floor(col("p_retailprice")).cast("long").as("price_floor"),
+          abs(col("p_retailprice") - lit(1000.0)).as("dist_1k"),
+          r2(sqrt(col("p_retailprice"))).as("price_sqrt"),
+          r2(log(col("p_retailprice"))).as("price_ln"))
+        .orderBy("p_partkey"),
+    Some(s"""SELECT p_partkey, ${sqlR2("p_retailprice")} AS price_r,
+            CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+            abs(p_retailprice - 1000.0) AS dist_1k,
+            ${sqlR2("sqrt(p_retailprice)")} AS price_sqrt,
+            ${sqlR2("ln(p_retailprice)")} AS price_ln
+            FROM part ORDER BY p_partkey"""))
+
+  /** CASE WHEN banding of account balances. */
+  val qScalarCase = Q(
+    "q_scalar_case",
+    (s, d) =>
+      T.customer(s, d)
+        .select(
+          when(col("c_acctbal") < 0, "overdrawn")
+            .when(col("c_acctbal") < 5000, "standard")
+            .otherwise("premium").as("band"),
+          col("c_acctbal"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("total_bal"))
+        .orderBy("band"),
+    Some(s"""SELECT CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+                        WHEN c_acctbal < 5000 THEN 'standard'
+                        ELSE 'premium' END AS band,
+            count(*) AS n_cust, ${sqlDsum("c_acctbal")} AS total_bal
+            FROM customer GROUP BY 1 ORDER BY band"""))
+
+  /** JSON field extraction from event props + aggregation. */
+  val qMapJson = Q(
+    "q_map_json",
+    (s, d) =>
+      T.events(s, d)
+        .select(
+          col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+             min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type, count(*) AS n,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+           FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  // ------------------------------------------- event-time (batch-checkable)
+
+  /** Tumbling 1-hour windows × type; window start as epoch millis. */
+  val qEventsTumbling = Q(
+    "q_events_tumbling",
+    (s, d) =>
+      T.events(s, d)
+        .groupBy(
+          unix_millis(date_trunc("hour", col("ts"))).as("hour_ms"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total_value"))
+        .orderBy("hour_ms", "event_type"),
+    Some(s"""SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+            count(*) AS n, ${sqlDsum("value")} AS total_value
+            FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type"""))
+
+  /** Sessionization with a 30-minute inactivity gap, expressed relationally
+    * (lag -> new-session flag -> per-user session count) so DuckDB can
+    * oracle it; the streaming twin uses session_window (stream package). */
+  val qEventsSession = Q(
+    "q_events_session",
+    (s, d) => {
+      val wOrd = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms"), col("event_id"))
+      T.events(s, d)
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"))
+        .withColumn("prev_ms", lag(col("ms"), 1).over(wOrd))
+        .withColumn("new_session",
+          when(col("prev_ms").isNull || col("ms") - col("prev_ms") > 1800000L, 1L)
+            .otherwise(0L))
+        .groupBy("user_id")
+        .agg(sum(col("new_session")).as("n_sessions"),
+             count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id, sum(new_session) AS n_sessions,
+           count(*) AS n_events FROM (
+             SELECT user_id,
+                    CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000
+                         THEN 1 ELSE 0 END AS new_session
+             FROM (SELECT user_id, event_id, epoch_ms(ts) AS ms,
+                          lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+                              ORDER BY epoch_ms(ts), event_id) AS prev_ms
+                   FROM events))
+           GROUP BY user_id ORDER BY user_id"""))
+
+  val all: Seq[Q] = Seq(
+    qScanProject, qFilterPred,
+    qJoinInner, qJoinBroadcast, qJoinLeft, qJoinSemi, qJoinAnti,
+    qJoinThetaRange, qJoinMultiway,
+    qAggGroup, qAggDistinct, qAggRollup, qAggCube, qAggGroupingSets,
+    qAggHistogram, qAggApproxDistinct,
+    qWindowRank, qWindowRunning, qWindowLag, qWindowFrameRange,
+    qTopk, qUnion, qIntersect, qExcept,
+    qScalarString, qScalarDate, qScalarMath, qScalarCase, qMapJson,
+    qEventsTumbling, qEventsSession)
+}

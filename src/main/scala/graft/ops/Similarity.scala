@@ -1,0 +1,89 @@
+package graft.ops
+
+import graft.{Q, Tables => T}
+import graft.util.Det.{r2, sqlR2}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table: brute-force cosine top-k
+  * (correctness base) and an LSH-bucketed approximate variant (scale path).
+  * All vector math is built-in higher-order functions (`zip_with` +
+  * `aggregate`) over `array<double>` — codegen'd, no UDFs.
+  */
+object Similarity {
+
+  /** Cosine similarity between two array<double> columns. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Brute-force cosine top-3 neighbours for query vectors vec_id < 10.
+    * The query side is tiny -> broadcast; the corpus side streams. This is
+    * the exact-search baseline every ANN variant is scored against. */
+  val qSimCosineTopk = Q(
+    "q_sim_cosine_topk",
+    (s, d) => {
+      val e = T.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("sim", cosine(col("qv"), col("v")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("vec_id"), r2(col("sim")).as("sim"))
+        .orderBy("qid", "vec_id")
+    },
+    Some(s"""SELECT qid, vec_id, ${sqlR2("sim")} AS sim FROM (
+             SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+                    list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                           CAST(e.embedding AS DOUBLE[])) AS sim,
+                    row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY list_cosine_similarity(
+                        CAST(q.embedding AS DOUBLE[]),
+                        CAST(e.embedding AS DOUBLE[])) DESC,
+                        e.vec_id) AS rn
+             FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+             WHERE q.vec_id < 10)
+           WHERE rn <= 3 ORDER BY qid, vec_id"""))
+
+  /** Sign-random-projection LSH buckets (8 md5-derived hyperplanes): the
+    * scale path. Neighbour search joins on bucket equality instead of the
+    * full cross product; scalatest measures recall vs the brute-force
+    * baseline. Deterministic projections -> stable buckets, but the bucket
+    * layout is engine-specific, so no SQL oracle (rows-only check). */
+  def srpBuckets(s: SparkSession, d: String, nPlanes: Int = 8): DataFrame = {
+    val e = T.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+              col("embedding").cast("array<double>").as("v"))
+    // plane p, dim i weight = (md5 nibble parity) ? +1 : -1 — deterministic
+    // pseudo-random hyperplanes without any RNG or driver-side state.
+    val bit: Seq[Column] = (0 until nPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(col("v"),
+          expr(s"transform(sequence(0, size(v) - 1), i -> " +
+            s"CASE WHEN conv(substring(md5(concat('$p:', i)), 1, 4), 16, 10) % 2 = 0" +
+            s" THEN 1.0 ELSE -1.0 END)"),
+          (x, w) => x * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << p)).otherwise(0L)
+    }
+    e.withColumn("bucket", bit.reduce(_ + _))
+  }
+
+  val qSimLshBuckets = Q(
+    "q_sim_lsh_buckets",
+    (s, d) =>
+      srpBuckets(s, d)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_vecs"))
+        .orderBy("bucket"),
+    None)
+
+  val all: Seq[Q] = Seq(qSimCosineTopk, qSimLshBuckets)
+}

@@ -1,0 +1,119 @@
+package graft.ops
+
+import graft.{Q, Tables => T}
+import graft.util.Det._
+import org.apache.spark.sql.functions._
+
+/** Text-analysis surface over the `documents` table: tokenization, token
+  * statistics, quality scoring, language heuristic, fingerprinting.
+  * All pure built-in expressions (codegen'd), no UDFs.
+  */
+object TextOps {
+
+  /** Tokenize -> explode (Generator) -> token frequencies. */
+  val qArrayExplode = Q(
+    "q_array_explode",
+    (s, d) =>
+      T.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("token"),
+    Some("""SELECT token, count(*) AS n FROM (
+             SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+           WHERE token <> '' GROUP BY token ORDER BY token"""))
+
+  /** Per-document token counting + quality ratios (length, mean token
+    * length, stopword ratio) — the quality-scoring building block. */
+  val qTextStats = Q(
+    "q_text_stats",
+    (s, d) =>
+      T.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          col("lang"),
+          size(col("toks")).as("n_tokens"),
+          length(col("text")).as("len"),
+          r2(length(col("text")).cast("double") / size(col("toks")))
+            .as("avg_tok_len"),
+          r2(size(expr(
+              "filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'in'))"))
+            .cast("double") / size(col("toks"))).as("stop_ratio"))
+        .orderBy("doc_id"),
+    Some(s"""SELECT doc_id, lang,
+            CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+            CAST(length(text) AS INT) AS len,
+            ${sqlR2("""CAST(length(text) AS DOUBLE)
+                 / len(string_split(text, ' '))""")} AS avg_tok_len,
+            ${sqlR2("""CAST(len(list_filter(string_split(text, ' '),
+                     t -> t IN ('the', 'a', 'of', 'and', 'in'))) AS DOUBLE)
+                 / len(string_split(text, ' '))""")} AS stop_ratio
+            FROM documents ORDER BY doc_id"""))
+
+  /** Corpus token statistics per source: docs, tokens, vocabulary. */
+  val qTextTokens = Q(
+    "q_text_tokens",
+    (s, d) =>
+      T.documents(s, d)
+        .select(col("source"), col("doc_id"),
+                explode(split(col("text"), " ")).as("tok"))
+        .groupBy("source")
+        .agg(
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_tokens"),
+          countDistinct(col("tok")).as("n_vocab"))
+        .orderBy("source"),
+    Some("""SELECT source, count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_tokens, count(DISTINCT tok) AS n_vocab FROM (
+             SELECT source, doc_id,
+                    unnest(string_split(text, ' ')) AS tok FROM documents)
+           GROUP BY source ORDER BY source"""))
+
+  /** Content fingerprint: md5 over the sorted distinct token set — robust
+    * to word order, the cheap document-identity hash for dedup pipelines. */
+  val qTextFingerprint = Q(
+    "q_text_fingerprint",
+    (s, d) => {
+      val fp = md5(concat_ws(" ",
+        array_sort(array_distinct(split(col("text"), " ")))))
+      val base = T.documents(s, d).select(col("doc_id"), fp.as("fp"))
+      base
+        .join(base.groupBy(col("fp").as("fp2")).agg(count(lit(1)).as("n_same")),
+              col("fp") === col("fp2"))
+        .select("doc_id", "fp", "n_same")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, fp, n_same FROM (
+             SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS n_same
+             FROM (SELECT doc_id,
+                     md5(array_to_string(list_sort(list_distinct(
+                       string_split(text, ' '))), ' ')) AS fp
+                   FROM documents))
+           ORDER BY doc_id"""))
+
+  /** Deterministic language-ID heuristic (stopword-profile scoring). The
+    * synthetic corpus is uniform word soup, so the discriminating power is
+    * nil by construction — what is under test is the scoring plumbing. */
+  val qTextLanguage = Q(
+    "q_text_language",
+    (s, d) =>
+      T.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          when(expr("size(filter(toks, t -> t IN ('the', 'a', 'of')))")
+                 .cast("double") / size(col("toks")) >= 0.03, "en")
+            .otherwise("other").as("pred_lang"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+           CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+                       t -> t IN ('the', 'a', 'of'))) AS DOUBLE)
+                     / len(string_split(text, ' ')) >= 0.03
+                THEN 'en' ELSE 'other' END AS pred_lang
+           FROM documents ORDER BY doc_id"""))
+
+  val all: Seq[Q] =
+    Seq(qArrayExplode, qTextStats, qTextTokens, qTextFingerprint, qTextLanguage)
+}

@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's correctness gate (t2): run after
+`sbt "runMain graft.Verify <sfDir> <outDir>"`. For each query parquet dump,
+run the declared DuckDB oracle SQL against the same tables, sort columns by
+name, and compare cell-for-cell. Usage: local_check.py <sfDir> <outDir>.
+"""
+import json
+import sys
+import glob
+import os
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for name in sorted(os.listdir(out_dir)):
+        qdir = os.path.join(out_dir, name)
+        if not os.path.isdir(qdir):
+            continue
+        files = glob.glob(os.path.join(qdir, "*.parquet"))
+        got = con.sql(f"SELECT * FROM read_parquet({files!r})").df()
+        got = got[sorted(got.columns)]
+        if name not in oracle:
+            print(f"  ~ {name}: no oracle (rows-only), rows={len(got)}")
+            continue
+        want = con.sql(oracle[name]).df()
+        want = want[sorted(want.columns)]
+        ok = True
+        msgs = []
+        if list(got.columns) != list(want.columns):
+            ok = False
+            msgs.append(f"cols {list(got.columns)} != {list(want.columns)}")
+        elif len(got) != len(want):
+            ok = False
+            msgs.append(f"rows {len(got)} != {len(want)}")
+        else:
+            for c in got.columns:
+                a, b = got[c], want[c]
+                try:
+                    import pandas as pd
+                    eq = a.reset_index(drop=True).astype(object).where(
+                        pd.notna(a.reset_index(drop=True)), None) \
+                        .combine(b.reset_index(drop=True).astype(object).where(
+                            pd.notna(b.reset_index(drop=True)), None),
+                        lambda x, y: norm(x) == norm(y))
+                except Exception as e:
+                    ok = False
+                    msgs.append(f"col {c}: compare error {e}")
+                    continue
+                bad = [i for i, v in eq.items() if not v]
+                if bad:
+                    ok = False
+                    i = bad[0]
+                    msgs.append(
+                        f"col {c}: {len(bad)} diffs, first row {i}: "
+                        f"{got[c].iloc[i]!r} != {want[c].iloc[i]!r}")
+        if ok:
+            n_pass += 1
+            print(f"  + {name}: OK ({len(got)} rows)")
+        else:
+            n_fail += 1
+            print(f"  - {name}: FAIL  " + "; ".join(msgs))
+    missing = set(oracle) - {d for d in os.listdir(out_dir)
+                             if os.path.isdir(os.path.join(out_dir, d))}
+    if missing:
+        print(f"  ! oracle declared but no dump: {sorted(missing)}")
+    print(f"pass={n_pass} fail={n_fail}")
+    return 1 if n_fail or missing else 0
+
+
+def norm(v):
+    """Normalize a cell for comparison across engines."""
+    import datetime
+    import numpy as np
+    if v is None:
+        return None
+    if isinstance(v, float) and np.isnan(v):
+        return None
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    if isinstance(v, (np.floating,)):
+        return float(v)
+    if hasattr(v, "to_pydatetime"):
+        v = v.to_pydatetime()
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    return v
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
