@@ -1,0 +1,117 @@
+package graft.stream
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time streaming pipelines (SURVEY.md §2b streaming row + §7.2
+  * step 5). Each takes an unbounded DataFrame (from MemoryStream, rate,
+  * file, or Kafka source) and returns the transformed unbounded frame;
+  * the caller picks sink + trigger. State lives in the state store, never
+  * on the driver (100 TB posture, SURVEY.md §4.3).
+  */
+object Pipelines {
+
+  /** Tumbling event-time window counts with late-data drop.
+    * Expects columns (ts: timestamp, event_type: string). */
+  def tumblingCounts(
+      events: DataFrame,
+      windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col("window.start").as("win_start"),
+        col("event_type"), col("n"))
+
+  /** Built-in session windows: events within `gap` of each other merge
+    * into one session per user. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("user_id"), col("n_events"))
+
+  /** Streaming exact dedup on a key within the watermark horizon — the
+    * streaming twin of q_dedup_exact. State size is bounded by the
+    * watermark, so this holds at unbounded input. */
+  def dedupKeyed(events: DataFrame, keyCols: Seq[String],
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
+  // ------------------------------------------------------- custom state
+
+  final case class SessionInput(user_id: Long, ts: Timestamp)
+  final case class SessionState(start: Long, end: Long, n: Long)
+  final case class SessionOut(
+      user_id: Long, sess_start: Long, sess_end: Long, n_events: Long)
+
+  /** Custom-state sessionization via flatMapGroupsWithState — the shape to
+    * reach for when session semantics outgrow `session_window` (e.g.
+    * per-session running features). Emits a session when the event-time
+    * watermark passes its close. Demonstrates the state-store API the
+    * SURVEY mandates; `sessionCounts` is the built-in route. */
+  def sessionsWithState(events: Dataset[SessionInput],
+      gapMs: Long = 30L * 60 * 1000): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(user, s.start, s.end, s.n))
+          } else {
+            // Fold sorted event times into the open session; close and
+            // emit whenever a gap exceeds gapMs.
+            val times = rows.map(_.ts.getTime).toArray.sorted
+            var out = List.empty[SessionOut]
+            var cur = state.getOption
+            times.foreach { t =>
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(s.copy(end = t, n = s.n + 1))
+                case Some(s) =>
+                  out = SessionOut(user, s.start, s.end, s.n) :: out
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            out.reverseIterator
+          }
+      }
+  }
+
+  /** Streaming occupancy histogram over decoded TDC hits: counts per
+    * (FPGA, TDC_CHANNEL) per orbit-time window — the per-chamber monitor
+    * the reference's notebook user would build by hand. Expects the
+    * decoded hit columns plus an `ts` event-time column (see
+    * [[graft.time.OrbitTime.orbitTimestamp]]). */
+  def occupancy(hits: DataFrame, windowLen: String = "1 second",
+      watermark: String = "5 seconds"): DataFrame =
+    hits
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("FPGA"), col("TDC_CHANNEL"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("window.start").as("win_start"),
+        col("FPGA"), col("TDC_CHANNEL"), col("n_hits"))
+}

@@ -1,0 +1,82 @@
+package graft
+
+import graft.ops.{Dedup, Similarity}
+
+import org.apache.spark.sql.functions._
+
+/** Semantics of the dedup family on hand-built corpora (no-oracle ops get
+  * their correctness argument here — SURVEY.md §5.2.2). */
+class DedupSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*): Unit = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("unit"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+  }
+
+  private val tmp = java.nio.file.Files.createTempDirectory("dedup").toString
+
+  test("exact dedup keeps one survivor per identical text") {
+    docs(
+      1L -> "the cat sat on the mat",
+      2L -> "the cat sat on the mat",
+      3L -> "a completely different document text")
+    val out = Dedup.qDedupExact.fn(spark, tmp).collect()
+    assert(out.map(r => r.getString(0) -> r.getLong(1)).toMap === Map("en" -> 2L))
+  }
+
+  test("minhash LSH: identical texts collide, disjoint texts do not") {
+    docs(
+      1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "alpha beta gamma delta epsilon zeta",
+      3L -> "one two three four five six seven")
+    val pairs = Dedup.qDedupMinhash.fn(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngram jaccard: identical = 1.0, near-dup above threshold") {
+    docs(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy dog",
+      3L -> "the quick brown fox jumps over the lazy cat",
+      4L -> "entirely unrelated words here nothing shared")
+    val got = Dedup.qDedupNgramJaccard.fn(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got((1L, 2L)) === 1.0)
+    assert(got.contains((1L, 3L)) && got((1L, 3L)) >= 0.5 && got((1L, 3L)) < 1.0)
+    assert(!got.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: deterministic, identical texts collide, near-dups are close") {
+    docs(
+      1L -> "shared tokens make similar fingerprints here truly",
+      2L -> "shared tokens make similar fingerprints here truly",
+      3L -> "shared tokens make similar fingerprints here really",
+      4L -> "absolutely nothing in common with others whatsoever")
+    def run() = Dedup.qDedupSimhash.fn(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val h1 = run()
+    assert(h1 === run(), "simhash must be deterministic")
+    assert(h1(1L) === h1(2L), "identical text => identical simhash")
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(h1(1L), h1(3L)) < hamming(h1(1L), h1(4L)),
+      "near-dup must be closer than unrelated")
+  }
+
+  test("cosine expression: self-similarity 1, orthogonal 0") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (Array(1.0, 0.0, 2.0), Array(1.0, 0.0, 2.0)),
+      (Array(1.0, 0.0, 0.0), Array(0.0, 5.0, 0.0))).toDF("a", "b")
+    val got = df.select(Similarity.cosine(col("a"), col("b"))).as[Double].collect()
+    assert(math.abs(got(0) - 1.0) < 1e-12)
+    assert(got(1) === 0.0)
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import graft.ops.Relational
+
+import org.apache.spark.sql.functions._
+
+/** Cross-query invariants on sf0.001 (SURVEY.md §5.2.3) — the oracle
+  * hash-check is the primary gate; these assert the algebraic relations
+  * between queries that a hash can't see.
+  */
+class RelationalSpec extends SparkSpec {
+
+  test("semi ⊎ anti partitions the customer keys") {
+    val nCust = Tables.customer(spark, sf).count()
+    val semi = Relational.qJoinSemi.fn(spark, sf).count()
+    val anti = Relational.qJoinAnti.fn(spark, sf).count()
+    // semi is vs 'F' orders; anti is vs any order — recompute semi vs any
+    val semiAny = Tables.customer(spark, sf)
+      .join(Tables.orders(spark, sf),
+        col("c_custkey") === col("o_custkey"), "left_semi").count()
+    assert(semiAny + anti === nCust)
+    assert(semi <= semiAny)
+  }
+
+  test("topk is the sorted prefix of the full sort") {
+    val full = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(20).collect()
+    val topk = Relational.qTopk.fn(spark, sf).collect()
+    assert(topk.toSeq === full.toSeq)
+  }
+
+  test("union cardinality is the sum of its branches") {
+    val o = Tables.orders(spark, sf)
+    val expected = o.filter(col("o_orderstatus") === "O").count() +
+      o.filter(col("o_orderstatus") === "F").count()
+    assert(Relational.qUnion.fn(spark, sf).count() === expected)
+  }
+
+  test("rollup has one more grouping level than plain group-by") {
+    val plain = Tables.orders(spark, sf)
+      .groupBy("o_orderstatus", "o_orderpriority").count().count()
+    val statuses = Tables.orders(spark, sf).select("o_orderstatus").distinct().count()
+    val rollup = Relational.qAggRollup.fn(spark, sf).count()
+    assert(rollup === plain + statuses + 1)
+  }
+
+  test("cube adds the priority-only slices on top of rollup") {
+    val priorities = Tables.orders(spark, sf)
+      .select("o_orderpriority").distinct().count()
+    val rollup = Relational.qAggRollup.fn(spark, sf).count()
+    val cube = Relational.qAggCube.fn(spark, sf).count()
+    assert(cube === rollup + priorities)
+  }
+
+  test("approx_count_distinct is within 10% of exact per event_type") {
+    val approx = Relational.qAggApproxDistinct.fn(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n) <= math.max(1L, (n * 0.10).toLong),
+        s"type $k: approx ${approx(k)} vs exact $n")
+    }
+  }
+
+  test("intersect ∪ except covers all ordering customers exactly once") {
+    val inter = Relational.qIntersect.fn(spark, sf)
+    val except = Relational.qExcept.fn(spark, sf)
+    // q_intersect restricts to BUILDING segment; recompute both halves on
+    // the same universe: customers with orders, split by has-F-order.
+    val withOrders = Tables.orders(spark, sf)
+      .select(col("o_custkey").as("custkey")).distinct()
+    val withF = Tables.orders(spark, sf).filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("custkey")).distinct()
+    assert(except.count() === withOrders.count() - withF.count())
+    assert(inter.join(withF, Seq("custkey"), "left_anti").count() === 0)
+  }
+
+  test("session counts: each user's sessions <= events and >= 1") {
+    val rows = Relational.qEventsSession.fn(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (sessions, events) = (r.getLong(1), r.getLong(2))
+      assert(sessions >= 1L && sessions <= events)
+    }
+  }
+}

@@ -1,0 +1,114 @@
+package graft
+
+import graft.stream.Pipelines
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Structured Streaming semantics via MemoryStream (SURVEY.md §5.2.4):
+  * watermark late-drop, session windows, custom state, streaming dedup.
+  * No broker in CI — the Kafka wiring in stream.Sources is option-level
+  * and exercised on a cluster, not here.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def runToCompletion(q: StreamingQuery): Unit = {
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  test("tumbling windows drop events later than the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val events = in.toDF().toDF("ts", "event_type")
+    val q = Pipelines.tumblingCounts(events, "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("tumbling").outputMode("append")
+      .start()
+    // batch 1: two on-time events at 12:xx -> watermark then 12:30-10min
+    in.addData((ts("2026-01-01 12:10:00"), "a"), (ts("2026-01-01 12:30:00"), "a"))
+    q.processAllAvailable()
+    // batch 2: a very late event (10:05, far behind wm) and a future one
+    in.addData((ts("2026-01-01 10:05:00"), "late"), (ts("2026-01-01 15:00:00"), "b"))
+    q.processAllAvailable()
+    // batch 3: advance watermark past every open window so they finalize
+    in.addData((ts("2026-01-01 20:00:00"), "flush"))
+    runToCompletion(q)
+    val rows = s.sql("SELECT win_start, event_type, n FROM tumbling").collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2))).toSet
+    assert(rows.contains(("2026-01-01 12:00:00.0", "a", 2L)))
+    assert(rows.contains(("2026-01-01 15:00:00.0", "b", 1L)))
+    assert(!rows.exists(_._2 == "late"), s"late row must be dropped, got $rows")
+  }
+
+  test("session windows merge events within the gap, split beyond it") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val events = in.toDF().toDF("ts", "user_id")
+    val q = Pipelines.sessionCounts(events, "30 minutes", "1 minute")
+      .writeStream.format("memory").queryName("sessions").outputMode("append")
+      .start()
+    in.addData(
+      (ts("2026-01-01 09:00:00"), 1L), (ts("2026-01-01 09:10:00"), 1L),
+      (ts("2026-01-01 09:20:00"), 1L),
+      (ts("2026-01-01 11:00:00"), 1L), // > 30 min gap: second session
+      (ts("2026-01-01 09:05:00"), 2L))
+    q.processAllAvailable()
+    in.addData((ts("2026-01-01 23:00:00"), 99L)) // flush watermark
+    runToCompletion(q)
+    val rows = s.sql("SELECT user_id, n_events FROM sessions").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.count(_._1 == 1L) === 2)
+    assert(rows.filter(_._1 == 1L).map(_._2).sorted.toSeq === Seq(1L, 3L))
+    assert(rows.filter(_._1 == 2L).map(_._2).toSeq === Seq(1L))
+  }
+
+  test("flatMapGroupsWithState sessionization matches session_window") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val in = MemoryStream[Pipelines.SessionInput]
+    val q = Pipelines.sessionsWithState(in.toDS(), gapMs = 30L * 60 * 1000)
+      .writeStream.format("memory").queryName("fmgws").outputMode("append")
+      .start()
+    in.addData(
+      Pipelines.SessionInput(1L, ts("2026-01-01 09:00:00")),
+      Pipelines.SessionInput(1L, ts("2026-01-01 09:10:00")),
+      Pipelines.SessionInput(1L, ts("2026-01-01 11:00:00")))
+    q.processAllAvailable()
+    in.addData(Pipelines.SessionInput(9L, ts("2026-01-01 23:00:00")))
+    q.processAllAvailable()
+    in.addData(Pipelines.SessionInput(9L, ts("2026-01-02 10:00:00")))
+    runToCompletion(q)
+    val rows = s.sql("SELECT user_id, n_events FROM fmgws WHERE user_id = 1")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows === Set((1L, 2L), (1L, 1L)),
+      s"expected sessions {2 events, 1 event}, got $rows")
+  }
+
+  test("dropDuplicatesWithinWatermark emits each key once") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val events = in.toDF().toDF("ts", "event_id")
+    val q = Pipelines.dedupKeyed(events, Seq("event_id"), "10 minutes")
+      .writeStream.format("memory").queryName("dedup").outputMode("append")
+      .start()
+    in.addData(
+      (ts("2026-01-01 12:00:00"), 1L), (ts("2026-01-01 12:01:00"), 1L),
+      (ts("2026-01-01 12:02:00"), 2L))
+    q.processAllAvailable()
+    in.addData((ts("2026-01-01 12:03:00"), 1L)) // dup within watermark
+    runToCompletion(q)
+    val ids = s.sql("SELECT event_id FROM dedup").collect().map(_.getLong(0))
+    assert(ids.sorted.toSeq === Seq(1L, 2L))
+  }
+}

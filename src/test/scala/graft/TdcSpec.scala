@@ -1,0 +1,109 @@
+package graft
+
+import graft.model.TdcHit
+import graft.stream.{Replay, Sources}
+import graft.time.OrbitTime
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => ScTest}
+
+/** Golden-fixture tests for the TDC domain layer (SURVEY.md §5.2.5): a
+  * deterministic 61-hit synthetic sample with the reference CSV's schema
+  * and value domains (FIXTURES.md §A) — same shape, synthesized values.
+  */
+class TdcSpec extends SparkSpec {
+  import OrbitTime._
+
+  /** 61 deterministic hits: orbit ramps over 451 orbits, channels cycle
+    * 1..125, FPGA alternates — mirrors the golden sample's domains. */
+  private val fixture: Seq[TdcHit] = (0 until 61).map { i =>
+    TdcHit(
+      HEAD = 2,
+      FPGA = i % 2,
+      TDC_CHANNEL = 1 + (i * 7) % 125,
+      ORBIT_CNT = 2252311494L + (i * 451L) / 61,
+      BX_COUNTER = (i * 57) % 3564,
+      TDC_MEAS = 1 + i % 30)
+  }
+
+  private lazy val hits = {
+    val s = spark
+    import s.implicits._
+    fixture.toDF()
+  }
+
+  test("CSV scan with explicit schema round-trips all 61 hits") {
+    val dir = Files.createTempDirectory("tdc_csv").toString
+    hits.coalesce(1).write.mode("overwrite").option("header", "true").csv(dir)
+    val back = Sources.hitsFromCsv(spark, dir)
+    assert(back.schema === TdcHit.schema)
+    assert(back.count() === 61)
+    assert(back.agg(sum("ORBIT_CNT")).head.getLong(0) ===
+      fixture.map(_.ORBIT_CNT).sum)
+  }
+
+  test("JSON transport round-trip (producer encode -> schema-checked decode)") {
+    val back = Replay.roundTrip(hits)
+    assert(back.count() === 61)
+    // exact row-set equality through the JSON hop
+    assert(back.exceptAll(hits).count() === 0)
+    assert(hits.exceptAll(back).count() === 0)
+  }
+
+  test("malformed records are dropped by the decoder, not propagated") {
+    val s = spark
+    import s.implicits._
+    val mixed = Seq(
+      """{"HEAD":2,"FPGA":0,"TDC_CHANNEL":5,"ORBIT_CNT":7,"BX_COUNTER":1,"TDC_MEAS":3}""",
+      """not json at all""").toDF("value")
+    assert(Sources.decodeHits(mixed).count() === 1)
+    assert(Sources.decodeHits(mixed, dropMalformed = false).count() === 2)
+  }
+
+  test("occupancy counts: every (FPGA, channel) count sums back to 61") {
+    val occ = hits.groupBy("FPGA", "TDC_CHANNEL").agg(count(lit(1)).as("n"))
+    assert(occ.agg(sum("n")).head.getLong(0) === 61)
+    assert(occ.filter(col("FPGA") === 0).count() === 31) // even i of 0..60
+  }
+
+  test("orbit-time decomposition round-trips (property)") {
+    val gen = for {
+      orbit <- Gen.choose(0L, 3000000000L)
+      bx <- Gen.choose(0, 3563)
+      tdc <- Gen.choose(0, 29)
+    } yield (orbit, bx, tdc)
+    val prop = Prop.forAll(gen) { case (orbit, bx, tdc) =>
+      val counts = (orbit * BxPerOrbit + bx) * TdcPerBx + tdc
+      counts / TdcPerBx / BxPerOrbit == orbit &&
+        counts / TdcPerBx % BxPerOrbit == bx &&
+        counts % TdcPerBx == tdc
+    }
+    assert(ScTest.check(ScTest.Parameters.default, prop).passed)
+  }
+
+  test("tdcCounts column expression matches the scalar formula") {
+    val s = spark
+    import s.implicits._
+    val got = hits
+      .select(tdcCounts(col("ORBIT_CNT"), col("BX_COUNTER"), col("TDC_MEAS"))
+        .as("t"))
+      .as[Long].collect().sorted
+    val want = fixture
+      .map(h => (h.ORBIT_CNT * BxPerOrbit + h.BX_COUNTER) * TdcPerBx + h.TDC_MEAS)
+      .sorted
+    assert(got.toSeq === want)
+  }
+
+  test("orbitTimestamp is monotone in orbit and ~88.9 us per orbit") {
+    val s = spark
+    import s.implicits._
+    val ts = Seq(0L, 1L, 1000L).toDF("orbit")
+      .select(unix_micros(orbitTimestamp(col("orbit"))).as("us"))
+      .as[Long].collect()
+    assert(ts(0) === 0L)
+    assert(ts(1) === 89L)   // floor(3564*25/1000)
+    assert(ts(2) === 89100L)
+  }
+}
