@@ -55,15 +55,22 @@ object Dedup {
              FROM documents)
            WHERE rn = 1 GROUP BY lang ORDER BY lang"""))
 
-  /** MinHash(8 seeds) + LSH banding (2 bands × 4 rows): candidate
-    * near-duplicate pairs. Portable hash: min over shingles of
-    * md5('<seed>:' || shingle), min over hex strings. */
+  /** MinHash(8 planes) + LSH banding (2 bands × 4 rows): candidate
+    * near-duplicate pairs. Portable hash, cheap: TWO md5s per shingle
+    * ('0:'/'1:' seed prefixes), each split into four 8-hex-char (32-bit)
+    * chunks = 8 independent planes; min over fixed-width lowercase hex =
+    * min over the 32-bit value. The banding equi-join on (band_no, band)
+    * is what keeps this linear at corpus scale — never pair-compare. */
   val qDedupMinhash = Q(
     "q_dedup_minhash",
     (s, d) => {
       val sh = shingled(s, d).select(col("doc_id"), explode(col("sh")).as("sh"))
-      val mins = (0 until 8).map(i =>
-        min(md5(concat(lit(s"$i:"), col("sh")))).as(s"h$i"))
+        .withColumn("m0", md5(concat(lit("0:"), col("sh"))))
+        .withColumn("m1", md5(concat(lit("1:"), col("sh"))))
+      val mins = (0 until 8).map { i =>
+        val src = if (i < 4) col("m0") else col("m1")
+        min(substring(src, (i % 4) * 8 + 1, 8)).as(s"h$i")
+      }
       val mh = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
       val bands = mh.select(col("doc_id"),
           posexplode(array(
@@ -80,12 +87,14 @@ object Dedup {
         .orderBy("a", "b")
     },
     Some(s"""WITH $shingleSqlCte,
+            hx AS (SELECT doc_id, md5('0:' || sh) AS m0, md5('1:' || sh) AS m1
+                   FROM sh),
             mh AS (SELECT doc_id,
-                     min(md5('0:' || sh)) AS h0, min(md5('1:' || sh)) AS h1,
-                     min(md5('2:' || sh)) AS h2, min(md5('3:' || sh)) AS h3,
-                     min(md5('4:' || sh)) AS h4, min(md5('5:' || sh)) AS h5,
-                     min(md5('6:' || sh)) AS h6, min(md5('7:' || sh)) AS h7
-                   FROM sh GROUP BY doc_id),
+                     min(substring(m0, 1, 8))  AS h0, min(substring(m0, 9, 8))  AS h1,
+                     min(substring(m0, 17, 8)) AS h2, min(substring(m0, 25, 8)) AS h3,
+                     min(substring(m1, 1, 8))  AS h4, min(substring(m1, 9, 8))  AS h5,
+                     min(substring(m1, 17, 8)) AS h6, min(substring(m1, 25, 8)) AS h7
+                   FROM hx GROUP BY doc_id),
             bands AS (
               SELECT doc_id, 0 AS band_no, h0 || h1 || h2 || h3 AS band FROM mh
               UNION ALL

@@ -13,12 +13,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity between two array<double> columns. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  /** Cosine similarity between two array<double> columns — fused codegen
+    * expression ([[graft.functions.CosineSim]]). Same FP op order as the
+    * built-in HOF spelling `aggregate(zip_with(a,b,_*_), 0d, _+_) / ...`,
+    * which it replaced for speed: the HOF route is interpreted per element
+    * and blocks whole-stage codegen. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosineSim(a, b)
 
   /** Brute-force cosine top-3 neighbours for query vectors vec_id < 10.
     * The query side is tiny -> broadcast; the corpus side streams. This is
