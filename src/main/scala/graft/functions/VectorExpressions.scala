@@ -115,5 +115,13 @@ object VectorFunctions {
   def dot(a: Column, b: Column): Column =
     Bridge.column(DotProduct(expr(a), expr(b)))
 
+  /** Expose the expressions to SQL: `SELECT graft_cosine(a, b)`. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    Bridge.registerFunction(spark, "graft_cosine",
+      es => CosineSim(es.head, es(1)))
+    Bridge.registerFunction(spark, "graft_dot",
+      es => DotProduct(es.head, es(1)))
+  }
+
   private def expr(c: Column): Expression = Bridge.expression(c)
 }

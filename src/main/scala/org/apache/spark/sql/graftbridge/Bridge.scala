@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{classic, Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.{ColumnNodeToExpressionConverter, ExpressionColumnNode}
 
@@ -18,4 +18,12 @@ object Bridge {
 
   def expression(c: Column): Expression =
     ColumnNodeToExpressionConverter(c.node)
+
+  /** Register a Catalyst expression builder as a temp SQL function on an
+    * existing session (the post-hoc alternative to SparkSessionExtensions
+    * .injectFunction, which only applies at session construction). */
+  def registerFunction(spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
 }
