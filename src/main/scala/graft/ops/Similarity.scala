@@ -86,5 +86,40 @@ object Similarity {
         .orderBy("bucket"),
     None)
 
-  val all: Seq[Q] = Seq(qSimCosineTopk, qSimLshBuckets)
+  /** Multi-probe LSH ANN top-k — the scale path. Probes the query's own
+    * bucket plus every bucket within hamming distance 2 (37 probes over
+    * 2^8 buckets ≈ 14% of the space), joins candidates on bucket equality,
+    * exact-rescoring only within them. The cross product never forms:
+    * candidate volume ≈ (probes/2^planes)·n per query, and the probe join
+    * is a plain equi-join Spark shuffles by bucket. Probe count vs recall
+    * is the standard multi-probe dial — more planes + more probes at
+    * larger corpus. Engine-specific buckets -> no SQL oracle;
+    * SimilaritySpec measures recall against the brute-force baseline. */
+  def srpTopk(s: SparkSession, d: String, k: Int = 3, nPlanes: Int = 8): DataFrame = {
+    val b = srpBuckets(s, d)
+    val q = b.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket").as("qb"))
+    val flipVals: Seq[Long] = 0L +:
+      (0 until nPlanes).map(i => 1L << i) ++:
+      (for { i <- 0 until nPlanes; j <- (i + 1) until nPlanes }
+        yield (1L << i) | (1L << j))
+    val flips = array(flipVals.map(lit): _*)
+    val probes = q
+      .withColumn("flip", explode(flips))
+      .withColumn("probe", expr("int(qb) ^ int(flip)").cast("long"))
+      .select("qid", "qv", "probe")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    broadcast(probes)
+      .join(b, col("probe") === col("bucket") && col("vec_id") =!= col("qid"))
+      .withColumn("sim", cosine(col("qv"), col("v")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), r2(col("sim")).as("sim"))
+      .orderBy("qid", "vec_id")
+  }
+
+  val qSimLshTopk = Q("q_sim_lsh_topk", (s, d) => srpTopk(s, d), None)
+
+  val all: Seq[Q] = Seq(qSimCosineTopk, qSimLshBuckets, qSimLshTopk)
 }
