@@ -114,6 +114,50 @@ object TextOps {
                 THEN 'en' ELSE 'other' END AS pred_lang
            FROM documents ORDER BY doc_id"""))
 
+  /** BPE-ish regex tokenization: letter runs, digit runs, single
+    * punctuation — the pre-merge alphabet a byte-pair tokenizer starts
+    * from. Pattern uses only constructs Java regex and RE2 (DuckDB) read
+    * identically. */
+  val qTextTokensRegex = Q(
+    "q_text_tokens_regex",
+    (s, d) => {
+      val toks = regexp_extract_all(
+        lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))
+      T.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(toks).as("n_bpe_tokens"),
+          size(array_distinct(toks)).as("n_bpe_vocab"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT)
+             AS n_bpe_tokens,
+           CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS INT)
+             AS n_bpe_vocab
+           FROM documents ORDER BY doc_id"""))
+
+  /** Winnowed rolling-hash near-dup candidates: explode each document's
+    * fingerprint set ([[graft.functions.Winnow]]), equi-join on the
+    * fingerprint, keep pairs sharing >= 10 — same linear join shape as
+    * minhash banding, but edit-position-robust. Engine-specific hashes ->
+    * no SQL oracle; TextSpec pins the semantics. */
+  val qTextWinnowPairs = Q(
+    "q_text_winnow_pairs",
+    (s, d) => {
+      val fp = T.documents(s, d)
+        .select(col("doc_id"),
+          explode(graft.functions.Winnow.fingerprints(col("text"))).as("fp"))
+      fp.as("x").join(fp.as("y"),
+          col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 10)
+        .orderBy("a", "b")
+    },
+    None)
+
   val all: Seq[Q] =
-    Seq(qArrayExplode, qTextStats, qTextTokens, qTextFingerprint, qTextLanguage)
+    Seq(qArrayExplode, qTextStats, qTextTokens, qTextFingerprint,
+      qTextLanguage, qTextTokensRegex, qTextWinnowPairs)
 }
