@@ -314,6 +314,23 @@ object Relational {
            count(*) AS n
            FROM events GROUP BY 1, 2 ORDER BY event_type, bucket"""))
 
+  /** Same histogram via the custom one-pass sketch aggregate
+    * ([[graft.functions.HistogramAgg]]): one shuffled row per group
+    * carrying the whole map, exploded back to rows — result and oracle
+    * SQL identical to q_agg_histogram, plan shuffles |groups| rows
+    * instead of |groups|x|buckets|. */
+  val qAggHistogramSketch = Q(
+    "q_agg_histogram_sketch",
+    (s, d) =>
+      T.events(s, d)
+        .groupBy("event_type")
+        .agg(graft.functions.HistogramAgg.histogram(col("value"), 10.0).as("h"))
+        .select(col("event_type"), explode(col("h")).as(Seq("bucket", "n")))
+        .orderBy("event_type", "bucket"),
+    Some("""SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+           count(*) AS n
+           FROM events GROUP BY 1, 2 ORDER BY event_type, bucket"""))
+
   /** HLL sketch — engine-specific values, so no SQL oracle; the scalatest
     * suite bounds it against the exact distinct count instead. */
   val qAggApproxDistinct = Q(
@@ -619,7 +636,7 @@ object Relational {
     qJoinInner, qJoinBroadcast, qJoinLeft, qJoinSemi, qJoinAnti,
     qJoinThetaRange, qJoinMultiway,
     qAggGroup, qAggDistinct, qAggRollup, qAggCube, qAggGroupingSets,
-    qAggHistogram, qAggApproxDistinct,
+    qAggHistogram, qAggHistogramSketch, qAggApproxDistinct,
     qWindowRank, qWindowRunning, qWindowLag, qWindowFrameRange,
     qTopk, qUnion, qIntersect, qExcept,
     qScalarString, qScalarDate, qScalarMath, qScalarCase, qMapJson,

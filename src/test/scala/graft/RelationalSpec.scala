@@ -80,6 +80,12 @@ class RelationalSpec extends SparkSpec {
     assert(inter.join(withF, Seq("custkey"), "left_anti").count() === 0)
   }
 
+  test("histogram sketch aggregate equals the groupBy histogram") {
+    val builtin = Relational.qAggHistogram.fn(spark, sf).collect().toSeq
+    val sketch = Relational.qAggHistogramSketch.fn(spark, sf).collect().toSeq
+    assert(sketch === builtin)
+  }
+
   test("session counts: each user's sessions <= events and >= 1") {
     val rows = Relational.qEventsSession.fn(spark, sf).collect()
     assert(rows.nonEmpty)
