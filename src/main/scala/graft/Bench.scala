@@ -17,6 +17,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warm-up: exercises the parquet reader, whole-stage codegen,
+    // shuffle, and the noop sink once so JVM/class-loading cost doesn't
+    // land on whichever query happens to run first.
+    try spark.read.parquet(s"$sfDir/nation.parquet")
+      .groupBy("n_regionkey").count()
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

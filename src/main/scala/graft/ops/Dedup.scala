@@ -106,19 +106,29 @@ object Dedup {
             ORDER BY a, b"""))
 
   /** Exact n-gram Jaccard similarity, blocked by source (the candidate
-    * blocking a real pipeline would get from LSH): pairs with J >= 0.5. */
+    * blocking a real pipeline would get from LSH): pairs with J >= 0.5.
+    *
+    * Pair generation is inverted-index style: group by (source, shingle),
+    * collect the sorted posting list, expand its pairs map-side with an
+    * array lambda. Versus the naive shingle self-join this shuffles the
+    * exploded table once instead of sort-merging it against itself, and
+    * the pair counts partial-aggregate before the second shuffle. Per-doc
+    * set sizes come straight from `size(sh)` — no second explode. */
   val qDedupNgramJaccard = Q(
     "q_dedup_ngram_jaccard",
     (s, d) => {
       val sets = shingled(s, d)
         .select(col("source"), col("doc_id"), explode(col("sh")).as("sh"))
-      val sizes = sets.groupBy(col("doc_id").as("sz_id"))
-        .agg(count(lit(1)).as("n_sh"))
-      val inter = sets.as("x")
-        .join(sets.as("y"),
-          col("x.source") === col("y.source") && col("x.sh") === col("y.sh") &&
-          col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      val sizes = shingled(s, d)
+        .select(col("doc_id").as("sz_id"), size(col("sh")).cast("long").as("n_sh"))
+      val inter = sets.groupBy("source", "sh")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+        .select(explode(expr(
+          """flatten(transform(ids,
+             (x, i) -> transform(slice(ids, i + 2, size(ids)),
+                                 y -> named_struct('a', x, 'b', y))))""")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(count(lit(1)).as("n_inter"))
       inter
         .join(sizes, col("a") === col("sz_id"))
