@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Physical-plan regression tests: pin the plan shapes that SCALE.md's
+  * 100 TB arguments rest on (pushdown, pruning, broadcast dim joins,
+  * two-phase aggregation, top-k without a global sort). If a refactor
+  * silently degrades one of these — a filter stops reaching the scan, a
+  * dim join starts shuffling the fact side — these fail before the bench
+  * does.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution
+      .explainString(FormattedMode)
+
+  private def count(hay: String, needle: String): Int =
+    needle.r.findAllMatchIn(hay).size
+
+  test("q_filter_pred: predicates reach the parquet scan, columns pruned") {
+    val p = plan("q_filter_pred")
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.contains("IsNotNull(l_shipdate)"), p)
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.05)"), p)
+    assert(p.contains("LessThan(l_quantity,24.0)"), p)
+    // only the 4 referenced columns are read — never the rest of lineitem
+    assert(!p.contains("l_orderkey"), "scan reads unreferenced column:\n" + p)
+    assert(!p.contains("l_tax"), "scan reads unreferenced column:\n" + p)
+  }
+
+  test("q_scan_project: ReadSchema carries only the projected columns") {
+    val p = plan("q_scan_project")
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(read.contains("l_extendedprice") && read.contains("l_discount"), read)
+    assert(!read.contains("l_shipdate") && !read.contains("l_partkey"), read)
+  }
+
+  test("q_join_broadcast: both dim joins broadcast, fact side never shuffles pre-join") {
+    val p = plan("q_join_broadcast")
+    assert(count(p, "BroadcastHashJoin") >= 2, p)
+    assert(count(p, "SortMergeJoin") == 0 && count(p, "ShuffledHashJoin") == 0, p)
+    // the only hash-partitioned exchange is the groupBy's, not a join input
+    assert(count(p, "hashpartitioning") == 1, p)
+  }
+
+  test("q_agg_group: two-phase hash aggregation around a single exchange") {
+    val p = plan("q_agg_group")
+    assert(count(p, "HashAggregate") >= 2, p)
+    assert(count(p, "hashpartitioning") == 1, p)
+  }
+
+  test("q_agg_histogram_sketch: map-side partial sketch (ObjectHashAggregate x2)") {
+    val p = plan("q_agg_histogram_sketch")
+    assert(count(p, "ObjectHashAggregate") >= 2, p)
+    assert(p.contains("graft_histogram"), p)
+  }
+
+  test("q_topk: TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(count(p, "rangepartitioning") == 0, p)
+  }
+
+  test("multimodal metadata queries never read the blob column") {
+    val p = plan("q_mm_meta_stats")
+    assert(!p.contains("bytes"), "metadata query deserializes blobs:\n" + p)
+  }
+}

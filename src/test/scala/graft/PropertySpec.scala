@@ -1,0 +1,111 @@
+package graft
+
+import graft.functions.HistogramAgg
+import graft.ops.Similarity
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => ScTest}
+
+/** Property-based operator invariants (SURVEY.md §5.2.3). Each property
+  * runs the real Spark operator on generated data — a handful of cases
+  * with small row counts, since every case is a full Spark job.
+  */
+class PropertySpec extends SparkSpec {
+
+  private val params =
+    ScTest.Parameters.default.withMinSuccessfulTests(8).withMaxSize(40)
+
+  private def check(prop: Prop): Unit = {
+    val res = ScTest.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private def docs(texts: List[String]) = {
+    val s = spark
+    import s.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+  }
+
+  private val textGen: Gen[List[String]] =
+    Gen.listOfN(30, Gen.oneOf("a b c", "a b", "x y z", "p q", "a b c d"))
+
+  test("exact dedup is idempotent and never grows") {
+    check(Prop.forAllNoShrink(textGen) { texts =>
+      val d = docs(texts)
+      val once = d.dropDuplicates("text")
+      val twice = once.dropDuplicates("text")
+      val (n0, n1, n2) = (d.count(), once.count(), twice.count())
+      n1 == n2 && n1 <= n0 &&
+        n1 == texts.distinct.length
+    })
+  }
+
+  test("union cardinality is the sum of its branches") {
+    check(Prop.forAllNoShrink(textGen, textGen) { (a, b) =>
+      docs(a).unionAll(docs(b)).count() == a.length + b.length
+    })
+  }
+
+  test("semi and anti joins partition the left keys") {
+    val keyGen = Gen.listOfN(25, Gen.choose(0L, 12L))
+    check(Prop.forAllNoShrink(keyGen, keyGen) { (l, r) =>
+      val s = spark
+      import s.implicits._
+      val left = l.distinct.toDF("k")
+      val right = r.toDF("k")
+      val semi = left.join(right, Seq("k"), "left_semi").count()
+      val anti = left.join(right, Seq("k"), "left_anti").count()
+      semi + anti == l.distinct.length &&
+        semi == l.distinct.count(r.contains)
+    })
+  }
+
+  test("top-k is exactly the k-prefix of the total sort") {
+    val rowGen = Gen.listOfN(30, Gen.zip(Gen.choose(0, 1000), Gen.choose(0L, 1e6.toLong)))
+    check(Prop.forAllNoShrink(rowGen) { rows =>
+      val s = spark
+      import s.implicits._
+      val df = rows.toDF("k", "v")
+      val k = 5
+      val got = df.orderBy(desc("v"), col("k")).limit(k)
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+      val want = rows.sortBy { case (key, v) => (-v, key) }.take(k)
+      got == want
+    })
+  }
+
+  test("histogram sketch matches groupBy-floor for any width and sign") {
+    val gen = Gen.zip(
+      Gen.choose(0.1, 50.0),
+      Gen.listOfN(40, Gen.choose(-1000.0, 1000.0)))
+    check(Prop.forAllNoShrink(gen) { case (width, vals) =>
+      val s = spark
+      import s.implicits._
+      val df = vals.toDF("v")
+      val builtin = df.groupBy(floor(col("v") / width).cast("long").as("b"))
+        .count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val sketch = df.agg(HistogramAgg.histogram(col("v"), width).as("h"))
+        .select(explode(col("h"))).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      sketch == builtin
+    })
+  }
+
+  test("cosine similarity: self = 1, symmetric, in [-1, 1]") {
+    val vecGen = Gen.listOfN(8, Gen.choose(-10.0, 10.0))
+      .suchThat(v => v.exists(x => math.abs(x) > 1e-3))
+    check(Prop.forAllNoShrink(vecGen, vecGen) { (a, b) =>
+      val s = spark
+      import s.implicits._
+      val df = Seq((a.toArray, b.toArray)).toDF("a", "b")
+      val Array(row) = df.select(
+        Similarity.cosine(col("a"), col("a")).as("self"),
+        Similarity.cosine(col("a"), col("b")).as("ab"),
+        Similarity.cosine(col("b"), col("a")).as("ba")).collect()
+      val (self, ab, ba) = (row.getDouble(0), row.getDouble(1), row.getDouble(2))
+      math.abs(self - 1.0) < 1e-9 &&
+        math.abs(ab - ba) < 1e-12 &&
+        ab >= -1.0 - 1e-9 && ab <= 1.0 + 1e-9
+    })
+  }
+}
