@@ -16,6 +16,19 @@ final case class Q(
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String])
 
+/** Session defaults shared by every entry point. */
+object GraftConf {
+  /** `InferFiltersFromGenerate` clones the generator's whole child
+    * expression into a `size(...) > 0` filter and pushes it below
+    * exchanges. Every generator input here is a computed, provably
+    * non-empty array (token lists, shingles, LSH bands), so the inferred
+    * filter never prunes a row — it only re-runs the expensive lambda
+    * chain a second time, on the narrow pre-shuffle side of the plan.
+    * Excluding the rule removes that double evaluation. */
+  val ExcludedRules =
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+}
+
 /** Parquet table loaders. One file per table under sfDir (TESTDATA.md). */
 object Tables {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
@@ -43,6 +56,20 @@ object Tables {
   def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
   def events(s: SparkSession, d: String): DataFrame    = eventsRaw(s, d)
-  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+  def documents(s: SparkSession, d: String): DataFrame =
+    spread(s, t(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    spread(s, t(s, d, "embeddings"))
+
+  /** The corpora feeding compute-heavy per-row work (shingling, hashing,
+    * vector math) must be spread across the cluster even when the file
+    * layout can't: a single-row-group parquet file scans as ONE split, so
+    * everything before the first shuffle would serialize on one core.
+    * Repartition only when the scan's split count can't feed the cluster —
+    * a no-op on a production corpus with thousands of splits, one narrow
+    * shuffle of a small table locally. */
+  private def spread(s: SparkSession, df: DataFrame): DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
+  }
 }

@@ -36,6 +36,23 @@ object Dedup {
                 i -> array_to_string(tk[i:i+1], ' '))) AS sh
               FROM toks)"""
 
+  /** Inverted-index pair generation: group rows by `keys`, collect the
+    * sorted doc_id posting list, expand each list's unordered pairs
+    * map-side with an array lambda. One shuffle (the groupBy), pairs
+    * never re-join the input — the shape both LSH banding and blocked
+    * Jaccard share. At 100 TB the posting-list size is bounded by the
+    * blocking key (band / source); a pathological hot bucket would be
+    * capped or salted upstream. */
+  private def pairsFromGroups(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ids,
+           (x, i) -> transform(slice(ids, i + 2, size(ids)),
+                               y -> named_struct('a', x, 'b', y))))""")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+
   /** Exact dedup on full text, deterministic survivor (min doc_id),
     * survivor count per language. */
   val qDedupExact = Q(
@@ -64,25 +81,24 @@ object Dedup {
   val qDedupMinhash = Q(
     "q_dedup_minhash",
     (s, d) => {
-      val sh = shingled(s, d).select(col("doc_id"), explode(col("sh")).as("sh"))
-        .withColumn("m0", md5(concat(lit("0:"), col("sh"))))
-        .withColumn("m1", md5(concat(lit("1:"), col("sh"))))
-      val mins = (0 until 8).map { i =>
-        val src = if (i < 4) col("m0") else col("m1")
-        min(substring(src, (i % 4) * 8 + 1, 8)).as(s"h$i")
-      }
-      val mh = sh.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      // Signatures are computed entirely map-side with array lambdas over
+      // the per-doc shingle array — no explode, no groupBy(doc_id)
+      // shuffle. Only the (band_no, band) join below ever shuffles.
+      val mh = shingled(s, d)
+        .select(col("doc_id"),
+          transform(col("sh"), x => md5(concat(lit("0:"), x))).as("m0"),
+          transform(col("sh"), x => md5(concat(lit("1:"), x))).as("m1"))
+        .select(col("doc_id") +: (0 until 8).map { i =>
+          val src = if (i < 4) col("m0") else col("m1")
+          array_min(transform(src, m => substring(m, (i % 4) * 8 + 1, 8)))
+            .as(s"h$i")
+        }: _*)
       val bands = mh.select(col("doc_id"),
           posexplode(array(
             concat(col("h0"), col("h1"), col("h2"), col("h3")),
             concat(col("h4"), col("h5"), col("h6"), col("h7")))))
         .toDF("doc_id", "band_no", "band")
-      bands.as("x")
-        .join(bands.as("y"),
-          col("x.band_no") === col("y.band_no") &&
-          col("x.band") === col("y.band") &&
-          col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      pairsFromGroups(bands, Seq("band_no", "band"))
         .distinct()
         .orderBy("a", "b")
     },
@@ -121,14 +137,8 @@ object Dedup {
         .select(col("source"), col("doc_id"), explode(col("sh")).as("sh"))
       val sizes = shingled(s, d)
         .select(col("doc_id").as("sz_id"), size(col("sh")).cast("long").as("n_sh"))
-      val inter = sets.groupBy("source", "sh")
-        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")) > 1)
-        .select(explode(expr(
-          """flatten(transform(ids,
-             (x, i) -> transform(slice(ids, i + 2, size(ids)),
-                                 y -> named_struct('a', x, 'b', y))))""")).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      val inter = pairsFromGroups(sets, Seq("source", "sh"))
+        .groupBy("a", "b")
         .agg(count(lit(1)).as("n_inter"))
       inter
         .join(sizes, col("a") === col("sz_id"))
