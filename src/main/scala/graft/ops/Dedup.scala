@@ -19,14 +19,13 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct word 2-gram shingles per document. */
+  /** Distinct word 2-gram shingles per document, via the one-pass
+    * [[graft.functions.WordShingles]] expression (bit-identical to the
+    * five-HOF built-in spelling the oracle uses, minus its interpreted
+    * per-lambda overhead). */
   private def shingled(s: SparkSession, d: String): DataFrame =
     T.documents(s, d)
-      .withColumn("tk", split(col("text"), " "))
-      .withColumn("sh",
-        array_distinct(expr(
-          "transform(sequence(1, greatest(size(tk) - 1, 1))," +
-          " i -> concat_ws(' ', slice(tk, i, 2)))")))
+      .withColumn("sh", graft.functions.WordShingles.shingles(col("text")))
 
   private val shingleSqlCte =
     """toks AS (SELECT doc_id, source, string_split(text, ' ') AS tk
@@ -81,22 +80,16 @@ object Dedup {
   val qDedupMinhash = Q(
     "q_dedup_minhash",
     (s, d) => {
-      // Signatures are computed entirely map-side with array lambdas over
-      // the per-doc shingle array — no explode, no groupBy(doc_id)
-      // shuffle. Only the (band_no, band) join below ever shuffles.
+      // Signatures are computed entirely map-side, fused into one pass by
+      // the MinHashSig expression — no explode, no groupBy(doc_id)
+      // shuffle. Only the band groupBy below ever shuffles.
       val mh = shingled(s, d)
         .select(col("doc_id"),
-          transform(col("sh"), x => md5(concat(lit("0:"), x))).as("m0"),
-          transform(col("sh"), x => md5(concat(lit("1:"), x))).as("m1"))
-        .select(col("doc_id") +: (0 until 8).map { i =>
-          val src = if (i < 4) col("m0") else col("m1")
-          array_min(transform(src, m => substring(m, (i % 4) * 8 + 1, 8)))
-            .as(s"h$i")
-        }: _*)
+          graft.functions.MinHashSig.minhash(col("sh")).as("sig"))
       val bands = mh.select(col("doc_id"),
           posexplode(array(
-            concat(col("h0"), col("h1"), col("h2"), col("h3")),
-            concat(col("h4"), col("h5"), col("h6"), col("h7")))))
+            concat_ws("", slice(col("sig"), 1, 4)),
+            concat_ws("", slice(col("sig"), 5, 4)))))
         .toDF("doc_id", "band_no", "band")
       pairsFromGroups(bands, Seq("band_no", "band"))
         .distinct()

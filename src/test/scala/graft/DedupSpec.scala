@@ -20,6 +20,48 @@ class DedupSpec extends SparkSpec {
 
   private val tmp = java.nio.file.Files.createTempDirectory("dedup").toString
 
+  test("WordShingles expression matches the five-HOF built-in spelling") {
+    val hof = Tables.documents(spark, sf)
+      .withColumn("tk", split(col("text"), " "))
+      .select(col("doc_id"),
+        array_distinct(expr(
+          "transform(sequence(1, greatest(size(tk) - 1, 1))," +
+          " i -> concat_ws(' ', slice(tk, i, 2)))")).as("sh"))
+    val fast = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.functions.WordShingles.shingles(col("text")).as("sh"))
+    assert(fast.exceptAll(hof).count() === 0)
+    assert(hof.exceptAll(fast).count() === 0)
+    // degenerate inputs: single token, consecutive spaces, empty string
+    val s2 = spark
+    import s2.implicits._
+    val edge = Seq("one", "a  b", "", " ", "x y z").toDF("text")
+    val a = edge.select(graft.functions.WordShingles.shingles(col("text")).as("sh"))
+      .collect().map(_.getSeq[String](0))
+    assert(a(0) === Seq("one"))
+    assert(a(1) === Seq("a ", " b"))
+    assert(a(2) === Seq(""))
+    assert(a(3) === Seq(" "))
+    assert(a(4) === Seq("x y", "y z"))
+  }
+
+  test("MinHashSig expression matches the built-in md5/substring spelling") {
+    val sh = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.functions.WordShingles.shingles(col("text")).as("sh"))
+    val hof = sh.select(col("doc_id"),
+        transform(col("sh"), x => md5(concat(lit("0:"), x))).as("m0"),
+        transform(col("sh"), x => md5(concat(lit("1:"), x))).as("m1"))
+      .select(col("doc_id"), array((0 until 8).map { i =>
+        val src = if (i < 4) col("m0") else col("m1")
+        array_min(transform(src, m => substring(m, (i % 4) * 8 + 1, 8)))
+      }: _*).as("sig"))
+    val fast = sh.select(col("doc_id"),
+      graft.functions.MinHashSig.minhash(col("sh")).as("sig"))
+    assert(fast.exceptAll(hof).count() === 0)
+    assert(hof.exceptAll(fast).count() === 0)
+  }
+
   test("exact dedup keeps one survivor per identical text") {
     docs(
       1L -> "the cat sat on the mat",
