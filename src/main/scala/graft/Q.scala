@@ -68,8 +68,16 @@ object Tables {
     * Repartition only when the scan's split count can't feed the cluster —
     * a no-op on a production corpus with thousands of splits, one narrow
     * shuffle of a small table locally. */
+  private val splitCounts =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
+
   private def spread(s: SparkSession, df: DataFrame): DataFrame = {
     val target = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
+    // Planning the scan to count splits costs ~100 ms; queries load the
+    // same table several times, so memoize per path.
+    val parts = splitCounts.getOrElseUpdate(
+      df.queryExecution.logical.toString,
+      df.rdd.getNumPartitions)
+    if (parts * 2 < target) df.repartition(target) else df
   }
 }

@@ -165,24 +165,12 @@ object Dedup {
     * asserts the invariants (determinism, identical-text collision). */
   val qDedupSimhash = Q(
     "q_dedup_simhash",
-    (s, d) => {
-      val tok = T.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
-        // 32-bit plane from the first 8 md5 hex chars of the token
-        .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10)
-          .cast("long"))
-      val bitSums: Seq[Column] = (0 until 32).map { i =>
-        sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("cnt"))
-          .otherwise(-col("cnt"))).as(s"b$i")
-      }
-      val sig = (0 until 32)
-        .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L))
-        .reduce(_ + _)
-      tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-        .select(col("doc_id"), sig.as("simhash"))
-        .orderBy("doc_id")
-    },
+    (s, d) =>
+      T.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.SimHashSig.simhash(split(col("text"), " "))
+            .as("simhash"))
+        .orderBy("doc_id"),
     None)
 
   /** Embedding-cosine near-duplicate pairs (same label block, cos >= 0.9).

@@ -62,6 +62,29 @@ class DedupSpec extends SparkSpec {
     assert(hof.exceptAll(fast).count() === 0)
   }
 
+  test("SimHashSig expression matches the relational groupBy spelling") {
+    val tok = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10)
+        .cast("long"))
+    val bitSums = (0 until 32).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"b$i")
+    }
+    val sig = (0 until 32)
+      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L))
+      .reduce(_ + _)
+    val relational = tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+    val fused = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.functions.SimHashSig.simhash(split(col("text"), " "))
+          .as("simhash"))
+    assert(fused.exceptAll(relational).count() === 0)
+    assert(relational.exceptAll(fused).count() === 0)
+  }
+
   test("exact dedup keeps one survivor per identical text") {
     docs(
       1L -> "the cat sat on the mat",
