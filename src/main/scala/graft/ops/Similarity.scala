@@ -58,20 +58,31 @@ object Similarity {
     * full cross product; scalatest measures recall vs the brute-force
     * baseline. Deterministic projections -> stable buckets, but the bucket
     * layout is engine-specific, so no SQL oracle (rows-only check). */
+  /** Plane p, dim i weight = (md5("p:i") first-16-bit parity) ? +1 : -1 —
+    * deterministic pseudo-random hyperplanes without any RNG. The weights
+    * depend only on (plane, dim), so they are computed ONCE on the driver
+    * and shipped as literal arrays; each row then pays one fused codegen
+    * dot product per plane instead of re-deriving the hyperplane through
+    * per-element interpreted md5 (dim × planes digests per row). */
+  private[ops] def srpWeights(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(nPlanes, dim) { (p, i) =>
+      md.reset()
+      val h = md.digest(s"$p:$i".getBytes("UTF-8"))
+      val v16 = ((h(0) & 0xff) << 8) | (h(1) & 0xff)
+      if (v16 % 2 == 0) 1.0 else -1.0
+    }
+  }
+
   def srpBuckets(s: SparkSession, d: String, nPlanes: Int = 8): DataFrame = {
     val e = T.embeddings(s, d)
       .select(col("vec_id"), col("label"),
               col("embedding").cast("array<double>").as("v"))
-    // plane p, dim i weight = (md5 nibble parity) ? +1 : -1 — deterministic
-    // pseudo-random hyperplanes without any RNG or driver-side state.
+    // One stats probe for the dimensionality (an index build's stats pass).
+    val dim = e.select(size(col("v"))).head.getInt(0)
+    val w = srpWeights(nPlanes, dim)
     val bit: Seq[Column] = (0 until nPlanes).map { p =>
-      val proj = aggregate(
-        zip_with(col("v"),
-          expr(s"transform(sequence(0, size(v) - 1), i -> " +
-            s"CASE WHEN conv(substring(md5(concat('$p:', i)), 1, 4), 16, 10) % 2 = 0" +
-            s" THEN 1.0 ELSE -1.0 END)"),
-          (x, w) => x * w),
-        lit(0.0), (acc, v) => acc + v)
+      val proj = graft.functions.VectorFunctions.dot(col("v"), typedLit(w(p)))
       when(proj >= 0, lit(1L << p)).otherwise(0L)
     }
     e.withColumn("bucket", bit.reduce(_ + _))

@@ -16,6 +16,27 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.forall { r => val s = r.getDouble(2); s >= -1.0 && s <= 1.0 })
   }
 
+  test("precomputed SRP weights match the per-row md5 HOF spelling") {
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val hofBits = (0 until 8).map { pl =>
+      val proj = aggregate(
+        zip_with(col("v"),
+          expr(s"transform(sequence(0, size(v) - 1), i -> " +
+            s"CASE WHEN conv(substring(md5(concat('$pl:', i)), 1, 4), 16, 10) % 2 = 0" +
+            s" THEN 1.0 ELSE -1.0 END)"),
+          (x, w) => x * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << pl)).otherwise(0L)
+    }
+    val hof = e.select(col("vec_id"), hofBits.reduce(_ + _).as("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = Similarity.srpBuckets(spark, sf)
+      .select("vec_id", "bucket").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast === hof)
+  }
+
   test("SRP-LSH buckets: deterministic and similarity-preserving on average") {
     val b1 = Similarity.srpBuckets(spark, sf)
       .select("vec_id", "bucket").collect()
