@@ -76,4 +76,20 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.10, s"ANN recall $recall vs brute-force baseline")
     assert(ann.nonEmpty && ann.forall(_._1 < 10))
   }
+
+  test("IVF topk: cells partition the corpus, recall beats random") {
+    val cells = Similarity.ivfCells(spark, sf)
+    val n = cells.count()
+    assert(n === Tables.embeddings(spark, sf).count())
+    assert(cells.groupBy("cell").count().count() > 1, "coarse quantizer collapsed")
+    val truth = Similarity.qSimCosineTopk.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.ivfTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth intersect ann).size.toDouble / truth.size
+    // nprobe=4 of k=16 cells covers ~25% of the corpus; random top-3
+    // picks recall ~0.6%. A data-adaptive quantizer must do far better.
+    assert(recall >= 0.25, s"IVF recall $recall vs brute-force baseline")
+    assert(ann.forall(_._1 < 10))
+  }
 }
