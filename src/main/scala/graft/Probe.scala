@@ -20,24 +20,31 @@ object Probe {
     }
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    val li = Tables.lineitem(spark, d)
-    noop(li.select(count(lit(1)).as("n"))) // warm
-    def q1(src: org.apache.spark.sql.DataFrame) = src
-      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
-      .groupBy("l_returnflag", "l_linestatus")
-      .agg(sum("l_quantity").as("sum_qty"),
-           sum("l_extendedprice").as("sum_base"),
-           avg("l_discount").as("avg_disc"), count(lit(1)).as("n"))
-    time("q1 shape, raw (1 split)")(noop(q1(li)))
-    time("q1 shape, raw again")(noop(q1(li)))
-    time("q1 shape, spread")(noop(q1(li.repartition(32))))
-    time("q1 shape, spread again")(noop(q1(li.repartition(32))))
-    val ev = Tables.events(spark, d)
-    def tumb(src: org.apache.spark.sql.DataFrame) = src
-      .groupBy(date_trunc("hour", col("ts")).as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
-    time("tumbling, raw (1 split)")(noop(tumb(ev)))
-    time("tumbling, spread")(noop(tumb(ev.repartition(32))))
+    noop(Tables.lineitem(spark, d).select(count(lit(1)))) // warm
+    def run() = ops.Relational.qAggGroup.fn(spark, d)
+    time("q_agg_group as declared")(noop(run()))
+    time("q_agg_group as declared x2")(noop(run()))
+    // same query over a pre-spread lineitem
+    val orig = Tables.lineitem(spark, d)
+    val spread = orig.repartition(32)
+    spread.createOrReplaceTempView("ignore")
+    def q1(src: org.apache.spark.sql.DataFrame) = {
+      import graft.util.Det._
+      src.filter(col("l_shipdate") <= lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }
+    time("q1 over spread lineitem")(noop(q1(spread)))
+    time("q1 over spread lineitem x2")(noop(q1(spread)))
     spark.stop()
   }
 }

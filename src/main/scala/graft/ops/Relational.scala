@@ -5,6 +5,7 @@ import graft.util.Det._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** SURVEY.md §2b relational surface: scans, filters, joins, aggregations,
   * windows, top-k, set ops, scalar functions, event-time batch queries.
@@ -100,11 +101,13 @@ object Relational {
         .groupBy("c_custkey")
         .agg(
           count(col("o_orderkey")).as("n_orders"),
-          r2(coalesce(sum(col("o_totalprice").cast(D)).cast("double"), lit(0.0)))
-            .as("total"))
+          r2(coalesce(
+            sum(floor(col("o_totalprice") * lit(1e6) + lit(0.5)).cast("long")
+              .cast(DecimalType(18, 0))).cast("double") / lit(1e6),
+            lit(0.0))).as("total"))
         .orderBy("c_custkey"),
     Some(s"""SELECT c_custkey, count(o_orderkey) AS n_orders,
-            ${sqlR2("coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 0)")} AS total
+            ${sqlR2(s"coalesce(CAST(${sqlScaledSum("o_totalprice")} AS DOUBLE) / 1e6, 0)")} AS total
             FROM customer LEFT JOIN orders ON c_custkey = o_custkey
             GROUP BY c_custkey ORDER BY c_custkey"""))
 
@@ -291,7 +294,7 @@ object Relational {
                coalesce(o_orderstatus, 'ALL') AS status,
                coalesce(o_orderpriority, 'ALL') AS priority,
                count(1) AS n_orders,
-               floor(CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) * 100 + 0.5) / 100 AS total
+               floor(CAST(sum(CAST(CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 1e6 * 100 + 0.5) / 100 AS total
                FROM graft_orders_gs
                GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
                ORDER BY gid, status, priority""")
@@ -377,10 +380,11 @@ object Relational {
         .orderBy("o_custkey", "o_orderkey")
     },
     Some(s"""SELECT o_custkey, o_orderkey,
-            ${sqlR2("""CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+            ${sqlR2("""CAST(sum(CAST(CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT)
+                          AS DECIMAL(18,0)))
                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 AS DOUBLE)""")} AS running
+                 AS DOUBLE) / 1e6""")} AS running
             FROM orders ORDER BY o_custkey, o_orderkey"""))
 
   /** Inter-event time per user (lag) — the inter-hit-time analogue. */
@@ -415,7 +419,8 @@ object Relational {
         .orderBy("user_id", "event_id")
     },
     Some(s"""SELECT user_id, event_id,
-            ${sqlR2("""CAST(sum(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+            ${sqlR2("""CAST(sum(CAST(CAST(floor(value * 1e6 + 0.5) AS BIGINT)
+                          AS DECIMAL(18,0))) OVER w AS DOUBLE) / 1e6
                  / count(*) OVER w""")} AS moving_avg
             FROM events
            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
