@@ -42,7 +42,7 @@ object Dedup {
     * Jaccard share. At 100 TB the posting-list size is bounded by the
     * blocking key (band / source); a pathological hot bucket would be
     * capped or salted upstream. */
-  private def pairsFromGroups(df: DataFrame, keys: Seq[String]): DataFrame =
+  private[ops] def pairsFromGroups(df: DataFrame, keys: Seq[String]): DataFrame =
     df.groupBy(keys.map(col): _*)
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)

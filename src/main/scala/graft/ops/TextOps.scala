@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{Q, Tables => T}
 import graft.util.Det._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis surface over the `documents` table: tokenization, token
@@ -78,10 +79,9 @@ object TextOps {
     (s, d) => {
       val fp = md5(concat_ws(" ",
         array_sort(array_distinct(split(col("text"), " ")))))
-      val base = T.documents(s, d).select(col("doc_id"), fp.as("fp"))
-      base
-        .join(base.groupBy(col("fp").as("fp2")).agg(count(lit(1)).as("n_same")),
-              col("fp") === col("fp2"))
+      T.documents(s, d).select(col("doc_id"), fp.as("fp"))
+        .withColumn("n_same",
+          count(lit(1)).over(Window.partitionBy(col("fp"))))
         .select("doc_id", "fp", "n_same")
         .orderBy("doc_id")
     },
@@ -148,6 +148,10 @@ object TextOps {
       val fp = T.documents(s, d)
         .select(col("doc_id"),
           explode(graft.functions.Winnow.fingerprints(col("text"))).as("fp"))
+      // NOTE: deliberately a self-join, not pairsFromGroups — winnow
+      // fingerprints have no blocking key, so a hot fingerprint's whole
+      // pair expansion would materialize inside one row's array; the join
+      // spreads that work across tasks instead.
       fp.as("x").join(fp.as("y"),
           col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
         .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
