@@ -111,4 +111,28 @@ class StreamingSpec extends SparkSpec {
     val ids = s.sql("SELECT event_id FROM dedup").collect().map(_.getLong(0))
     assert(ids.sorted.toSeq === Seq(1L, 2L))
   }
+
+  test("streaming occupancy: per-(FPGA, channel) counts within orbit windows") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val in = MemoryStream[(Timestamp, Int, Int)]
+    val hits = in.toDF().toDF("ts", "FPGA", "TDC_CHANNEL")
+    val q = Pipelines.occupancy(hits, "1 second", "5 seconds")
+      .writeStream.format("memory").queryName("occ").outputMode("append")
+      .start()
+    in.addData(
+      (ts("2026-01-01 00:00:00"), 0, 7), (ts("2026-01-01 00:00:00"), 0, 7),
+      (ts("2026-01-01 00:00:00"), 1, 7), (ts("2026-01-01 00:00:01"), 0, 7))
+    q.processAllAvailable()
+    in.addData((ts("2026-01-01 00:01:00"), 0, 1)) // advance watermark, flush
+    runToCompletion(q)
+    val rows = s.sql("SELECT win_start, FPGA, TDC_CHANNEL, n_hits FROM occ")
+      .collect()
+      .map(r => (r.getTimestamp(0).toString, r.getInt(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    assert(rows.contains(("2026-01-01 00:00:00.0", 0, 7, 2L)))
+    assert(rows.contains(("2026-01-01 00:00:00.0", 1, 7, 1L)))
+    assert(rows.contains(("2026-01-01 00:00:01.0", 0, 7, 1L)))
+  }
 }
