@@ -6,10 +6,15 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Similarity search over the `embeddings` table: brute-force cosine top-k
-  * (correctness base) and an LSH-bucketed approximate variant (scale path).
-  * All vector math is built-in higher-order functions (`zip_with` +
-  * `aggregate`) over `array<double>` — codegen'd, no UDFs.
+/** Similarity search over the `embeddings` table: brute-force cosine
+  * top-k (correctness base) plus two ANN scale paths — multi-probe
+  * SRP-LSH and IVF with Lloyd-refined cells. All vector math runs
+  * through the fused codegen expressions in
+  * [[graft.functions.VectorFunctions]] (`CosineSim`/`DotProduct`) — no
+  * UDFs, no interpreted higher-order functions in the hot loops. The
+  * deliberate `BroadcastNestedLoopJoin`s here are bounded broadcasts
+  * (10 query vectors / k centroids against a streaming corpus), not
+  * accidental cross products.
   */
 object Similarity {
 
