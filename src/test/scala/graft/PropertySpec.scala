@@ -108,4 +108,21 @@ class PropertySpec extends SparkSpec {
         ab >= -1.0 - 1e-9 && ab <= 1.0 + 1e-9
     })
   }
+
+  test("Det.dsum is independent of partitioning and row order") {
+    val gen = Gen.listOfN(60, Gen.choose(-99999.99, 99999.99))
+    check(Prop.forAllNoShrink(gen) { xs =>
+      val s = spark
+      import s.implicits._
+      val rounded = xs.map(x => math.floor(x * 100 + 0.5) / 100) // 2dp inputs
+      def total(parts: Int, data: List[Double]): Double =
+        data.toDF("x").repartition(parts)
+          .agg(graft.util.Det.dsum(col("x")).as("t"))
+          .head.getDouble(0)
+      val a = total(1, rounded)
+      val b = total(7, rounded)
+      val c = total(13, rounded.reverse)
+      a == b && b == c
+    })
+  }
 }
