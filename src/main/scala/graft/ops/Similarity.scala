@@ -141,12 +141,14 @@ object Similarity {
 
   /** IVF coarse quantizer, pure DataFrame ops: deterministic seed
     * centroids (every n/k-th vector by vec_id), refined by `iters` Lloyd
-    * steps — assign via broadcast-join argmin, re-center via
-    * groupBy(cell) per-dimension average (`posexplode` + pivot-free
-    * re-assembly). Everything is one broadcast of k·dim doubles per
-    * iteration plus one narrow shuffle keyed by cell; the corpus never
-    * shuffles. Returns (vec_id, label, v, cell). */
-  def ivfCells(s: SparkSession, d: String, k: Int = 16, iters: Int = 1): DataFrame = {
+    * steps — assign via broadcast-join + sort-free `min_by` argmin,
+    * re-center via the elementwise [[graft.functions.VectorAvgAgg]]
+    * mean (one shuffled row per cell). Each iteration costs one
+    * broadcast of k·dim doubles plus one shuffle keyed by vec_id; the
+    * corpus never shuffles. Returns (cells, centroids): the per-vector
+    * assignment and the refined centroid set it was assigned against. */
+  def ivfIndex(s: SparkSession, d: String, k: Int = 16,
+      iters: Int = 1): (DataFrame, DataFrame) = {
     val e = T.embeddings(s, d)
       .select(col("vec_id"), col("label"),
               col("embedding").cast("array<double>").as("v"))
@@ -165,19 +167,20 @@ object Similarity {
     (0 until iters).foreach { _ =>
       centroids = recenter(assign(centroids))
     }
-    assign(centroids)
+    (assign(centroids), centroids)
   }
 
-  /** Per-cell mean vector of an assigned (cell, v) frame: explode to
-    * (cell, dim, x), average, re-assemble the array in dim order. One
-    * narrow shuffle keyed by (cell, dim). */
+  def ivfCells(s: SparkSession, d: String, k: Int = 16, iters: Int = 1): DataFrame =
+    ivfIndex(s, d, k, iters)._1
+
+  /** Per-cell mean vector of an assigned (cell, v) frame via the
+    * [[graft.functions.VectorAvgAgg]] elementwise-mean aggregate: one
+    * (count, sums[dim]) buffer per cell, merged map-side — one shuffled
+    * row per cell instead of exploding every vector into dim rows
+    * through two groupBys. */
   private def recenter(assigned: DataFrame): DataFrame =
-    assigned
-      .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
-      .groupBy("cell", "dim").agg(avg("x").as("x"))
-      .groupBy("cell").agg(
-        array_sort(collect_list(struct(col("dim"), col("x")))).as("dx"))
-      .select(col("cell"), expr("transform(dx, e -> e.x)").as("cv"))
+    assigned.groupBy("cell")
+      .agg(graft.functions.VectorAvgAgg.vecAvg(col("v")).as("cv"))
 
   /** IVF ANN top-k: probe the `nprobe` nearest cells per query, exact
     * cosine rescoring only within them. The candidate set per query is
@@ -191,9 +194,10 @@ object Similarity {
     // (persisted table / vector-index file at deployment scale). Caching
     // it here keeps the Lloyd pipeline from re-running for each of its
     // three consumers (probe centroids, query side, candidate join).
-    val cells = ivfCells(s, d, k)
+    val (cellsRaw, cents) = ivfIndex(s, d, k)
+    val cells = cellsRaw
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val centroids = recenter(cells).withColumnRenamed("cell", "pcell")
+    val centroids = cents.withColumnRenamed("cell", "pcell")
     val q = cells.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
     val wp = Window.partitionBy(col("qid")).orderBy(col("pdist"), col("pcell"))
