@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for hot join keys (SCALE.md "Joins" hazards).
+  *
+  * AQE's skew-join splitting handles most skew at runtime; explicit
+  * salting is the tool for the pathological case it can't touch — a
+  * single key so hot that even a split partition's build side won't fit.
+  * The classic recipe: explode the SMALL side `factor` times (one copy
+  * per salt value), salt the big side's key with a deterministic
+  * per-row value in [0, factor), and equi-join on (key, salt). Each hot
+  * key's rows then spread over `factor` shuffle partitions instead
+  * of one.
+  */
+object Skew {
+
+  /** Inner equi-join of `big` and `small` on `key`, salted `factor`
+    * ways. Row-for-row identical to `big.join(small, key)` — including
+    * duplicate keys on either side — because each big-side row meets
+    * exactly the one small-side copy carrying its salt. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      factor: Int): DataFrame = {
+    require(factor > 0, "salt factor must be positive")
+    val salted = big.withColumn(
+      "graft_salt",
+      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(factor.toLong)))
+    val replicated = small.withColumn(
+      "graft_salt", explode(array((0 until factor).map(i => lit(i.toLong)): _*)))
+    salted
+      .join(replicated, Seq(key, "graft_salt"))
+      .drop("graft_salt")
+  }
+
+  /** Top-`n` hottest values of `key` with their counts — the stats pass
+    * that decides whether salting is worth a factor > 1. */
+  def hotKeys(df: DataFrame, key: String, n: Int = 10): DataFrame =
+    df.groupBy(key).agg(count(lit(1)).as("n_rows"))
+      .orderBy(col("n_rows").desc, col(key)).limit(n)
+
+  /** Convenience: salt only when the hottest key exceeds `threshold`
+    * rows (stats-driven, mirrors what a planner rule would do). */
+  def saltedJoinIfSkewed(big: DataFrame, small: DataFrame, key: String,
+      factor: Int, threshold: Long): DataFrame = {
+    val hottest = hotKeys(big, key, 1).collect()
+    if (hottest.nonEmpty && hottest(0).getLong(1) > threshold)
+      saltedJoin(big, small, key, factor)
+    else big.join(small, Seq(key))
+  }
+}

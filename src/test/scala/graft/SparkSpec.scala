@@ -14,6 +14,8 @@ object SparkSpec {
       .config("spark.sql.optimizer.excludedRules", GraftConf.ExcludedRules)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
