@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
 
 /** Scratch profiling main (dev only, not part of the driver contract). */
 object Probe {
@@ -14,37 +13,16 @@ object Probe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    def time(name: String)(f: => Unit): Unit = {
-      val t0 = System.nanoTime(); f
-      println(f"[probe] $name%-34s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    def noop(name: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, d)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
     }
-    def noop(df: org.apache.spark.sql.DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
-    noop(Tables.lineitem(spark, d).select(count(lit(1)))) // warm
-    def run() = ops.Relational.qAggGroup.fn(spark, d)
-    time("q_agg_group as declared")(noop(run()))
-    time("q_agg_group as declared x2")(noop(run()))
-    // same query over a pre-spread lineitem
-    val orig = Tables.lineitem(spark, d)
-    val spread = orig.repartition(32)
-    spread.createOrReplaceTempView("ignore")
-    def q1(src: org.apache.spark.sql.DataFrame) = {
-      import graft.util.Det._
-      src.filter(col("l_shipdate") <= lit("2001-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-          dsum(col("l_quantity")).as("sum_qty"),
-          dsum(col("l_extendedprice")).as("sum_base_price"),
-          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
-          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
-          davg(col("l_quantity")).as("avg_qty"),
-          davg(col("l_extendedprice")).as("avg_price"),
-          davg(col("l_discount")).as("avg_disc"),
-          count(lit(1)).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus")
+    for (n <- Seq("q_dedup_ngram_jaccard", "q_dedup_minhash", "q_text_winnow_pairs")) {
+      noop(n)
+      println(f"[probe] $n%-28s warm=${(1 to 3).map(_ => noop(n)).min}%.2f")
     }
-    time("q1 over spread lineitem")(noop(q1(spread)))
-    time("q1 over spread lineitem x2")(noop(q1(spread)))
     spark.stop()
   }
 }

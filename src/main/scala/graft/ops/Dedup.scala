@@ -36,21 +36,19 @@ object Dedup {
               FROM toks)"""
 
   /** Inverted-index pair generation: group rows by `keys`, collect the
-    * sorted doc_id posting list, expand each list's unordered pairs
-    * map-side with an array lambda. One shuffle (the groupBy), pairs
-    * never re-join the input — the shape both LSH banding and blocked
-    * Jaccard share. At 100 TB the posting-list size is bounded by the
-    * blocking key (band / source); a pathological hot bucket would be
-    * capped or salted upstream. */
+    * sorted doc_id posting list, stream each list's unordered pairs
+    * through the lazy [[graft.functions.PairCombinations]] generator —
+    * constant memory per posting list, no interpreted lambdas. One
+    * shuffle (the groupBy), pairs never re-join the input — the shape
+    * both LSH banding and blocked Jaccard share. At 100 TB the
+    * posting-list size is bounded by the blocking key (band / source); a
+    * pathological hot bucket would be capped or salted upstream. */
   private[ops] def pairsFromGroups(df: DataFrame, keys: Seq[String]): DataFrame =
     df.groupBy(keys.map(col): _*)
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(expr(
-        """flatten(transform(ids,
-           (x, i) -> transform(slice(ids, i + 2, size(ids)),
-                               y -> named_struct('a', x, 'b', y))))""")).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .select(graft.functions.PairCombinations.pairs(col("ids")))
+      .select("a", "b")
 
   /** Exact dedup on full text, deterministic survivor (min doc_id),
     * survivor count per language. */

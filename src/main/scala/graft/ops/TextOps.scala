@@ -149,9 +149,9 @@ object TextOps {
         .select(col("doc_id"),
           explode(graft.functions.Winnow.fingerprints(col("text"))).as("fp"))
       // NOTE: deliberately a self-join, not pairsFromGroups — winnow
-      // fingerprints have no blocking key, so a hot fingerprint's whole
-      // pair expansion would materialize inside one row's array; the join
-      // spreads that work across tasks instead.
+      // fingerprints have no blocking key, so one hot fingerprint's whole
+      // pair expansion would run inside a single task; the join spreads
+      // that work across tasks instead.
       fp.as("x").join(fp.as("y"),
           col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
         .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
