@@ -111,6 +111,32 @@ object Relational {
             FROM customer LEFT JOIN orders ON c_custkey = o_custkey
             GROUP BY c_custkey ORDER BY c_custkey"""))
 
+  /** Full outer join: every customer and every high-value order survive,
+    * matched where possible — both null sides exercised (customers with
+    * no qualifying order, qualifying orders dangling off the sampled
+    * customer range never occur, so the oracle pins the null semantics
+    * on the customer side and the coalesce on both). */
+  val qJoinFull = Q(
+    "q_join_full",
+    (s, d) =>
+      T.customer(s, d).filter(col("c_custkey") % 10 === 0)
+        .join(
+          T.orders(s, d).filter(col("o_totalprice") > 400000.0),
+          col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), lit(-1L)).as("custkey"),
+          coalesce(col("o_orderkey"), lit(-1L)).as("orderkey"),
+          coalesce(col("c_name"), lit("NONE")).as("name"))
+        .orderBy("custkey", "orderkey"),
+    Some("""SELECT coalesce(c_custkey, -1) AS custkey,
+                   coalesce(o_orderkey, -1) AS orderkey,
+                   coalesce(c_name, 'NONE') AS name
+           FROM (SELECT * FROM customer WHERE c_custkey % 10 = 0) c
+           FULL OUTER JOIN
+                (SELECT * FROM orders WHERE o_totalprice > 400000) o
+             ON c_custkey = o_custkey
+           ORDER BY custkey, orderkey"""))
+
   /** Left-semi: customers with at least one finished ('F') order. */
   val qJoinSemi = Q(
     "q_join_semi",
@@ -638,7 +664,7 @@ object Relational {
 
   val all: Seq[Q] = Seq(
     qScanProject, qFilterPred,
-    qJoinInner, qJoinBroadcast, qJoinLeft, qJoinSemi, qJoinAnti,
+    qJoinInner, qJoinBroadcast, qJoinLeft, qJoinFull, qJoinSemi, qJoinAnti,
     qJoinThetaRange, qJoinMultiway,
     qAggGroup, qAggDistinct, qAggRollup, qAggCube, qAggGroupingSets,
     qAggHistogram, qAggHistogramSketch, qAggApproxDistinct,

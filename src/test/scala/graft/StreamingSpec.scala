@@ -135,4 +135,37 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("2026-01-01 00:00:00.0", 1, 7, 1L)))
     assert(rows.contains(("2026-01-01 00:00:01.0", 0, 7, 1L)))
   }
+
+  test("checkpoint recovery: restart resumes from committed offsets, exactly once") {
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val (in, out, cp) = (s"$root/in", s"$root/out", s"$root/cp")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    def runOnce(): Unit = {
+      val q = s.readStream
+        .schema("event_id LONG, v LONG")
+        .json(in)
+        .writeStream
+        .format("parquet")
+        .option("checkpointLocation", cp)
+        .option("path", out)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def addFile(name: String, ids: Range): Unit = {
+      val body = ids.map(i => s"""{"event_id":$i,"v":${i * 10}}""").mkString("\n")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$in/$name"), body.getBytes("UTF-8"))
+    }
+    addFile("a.json", 1 to 3)
+    runOnce()
+    // the first batch's files stay in place; a restart must NOT reprocess
+    // them (offset log) and must pick up only the new file
+    addFile("b.json", 4 to 6)
+    runOnce()
+    val got = s.read.parquet(out).select("event_id").as[Long].collect().sorted
+    assert(got.toSeq === (1L to 6L), s"expected exactly-once 1..6, got ${got.toSeq}")
+  }
 }
