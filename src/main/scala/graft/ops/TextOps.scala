@@ -11,6 +11,11 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Most frequent English character trigrams (public knowledge). */
+  val EnTrigrams: Seq[String] = Seq(
+    "the", "he ", " th", "ing", "and", "nd ", " an", "ed ", " of",
+    "of ", " in", "ng ", "er ", "as ", " a ", "at ", " to", "to ")
+
   /** Tokenize -> explode (Generator) -> token frequencies. */
   val qArrayExplode = Q(
     "q_array_explode",
@@ -114,6 +119,38 @@ object TextOps {
                 THEN 'en' ELSE 'other' END AS pred_lang
            FROM documents ORDER BY doc_id"""))
 
+  /** Character-trigram language heuristic — the n-gram route: score a
+    * doc by the share of its char trigrams found in a tiny English
+    * profile (the most frequent English trigrams, a public-knowledge
+    * list). Same trigram extraction spelled in both dialects. */
+  val qTextLanguageNgram = Q(
+    "q_text_language_ngram",
+    (s, d) => {
+      val profile = TextOps.EnTrigrams.map(t => s"'$t'").mkString(", ")
+      T.documents(s, d)
+        .withColumn("grams", expr(
+          "transform(sequence(1, greatest(length(text) - 2, 1))," +
+          " i -> substring(text, i, 3))"))
+        .select(
+          col("doc_id"),
+          when(expr(s"size(filter(grams, g -> g IN ($profile)))")
+                 .cast("double") / size(col("grams")) >= 0.04, "en")
+            .otherwise("other").as("pred_lang"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val profile = TextOps.EnTrigrams.map(t => s"'$t'").mkString(", ")
+      s"""SELECT doc_id,
+         CASE WHEN CAST(len(list_filter(
+                     list_transform(range(1, greatest(length(text) - 2, 1) + 1),
+                                    i -> substring(text, i, 3)),
+                     g -> g IN ($profile))) AS DOUBLE)
+                   / len(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
+                                        i -> substring(text, i, 3))) >= 0.04
+              THEN 'en' ELSE 'other' END AS pred_lang
+         FROM documents ORDER BY doc_id"""
+    })
+
   /** BPE-ish regex tokenization: letter runs, digit runs, single
     * punctuation — the pre-merge alphabet a byte-pair tokenizer starts
     * from. Pattern uses only constructs Java regex and RE2 (DuckDB) read
@@ -163,5 +200,5 @@ object TextOps {
 
   val all: Seq[Q] =
     Seq(qArrayExplode, qTextStats, qTextTokens, qTextFingerprint,
-      qTextLanguage, qTextTokensRegex, qTextWinnowPairs)
+      qTextLanguage, qTextLanguageNgram, qTextTokensRegex, qTextWinnowPairs)
 }
