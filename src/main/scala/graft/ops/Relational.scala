@@ -453,6 +453,69 @@ object Relational {
                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
            ORDER BY user_id, event_id"""))
 
+  /** Rank-function family beyond rank(): dense_rank, percent_rank and
+    * ntile quartiles of each customer's orders by price. */
+  val qWindowRankFamily = Q(
+    "q_window_rank_family",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      T.orders(s, d)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          dense_rank().over(w).as("drank"),
+          r2(percent_rank().over(w)).as("prank"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some(s"""SELECT o_custkey, o_orderkey,
+            dense_rank() OVER w AS drank,
+            ${sqlR2("percent_rank() OVER w")} AS prank,
+            ntile(4) OVER w AS quartile
+            FROM orders
+           WINDOW w AS (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey)
+           ORDER BY o_custkey, o_orderkey"""))
+
+  /** Exact interpolated percentiles (median / p90) — SortAggregate-backed;
+    * DuckDB's quantile_cont uses the same interpolation. */
+  val qAggPercentile = Q(
+    "q_agg_percentile",
+    (s, d) =>
+      li(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          r2(expr("percentile(l_quantity, 0.5)")).as("p50_qty"),
+          r2(expr("percentile(l_extendedprice, 0.9)")).as("p90_price"))
+        .orderBy("l_returnflag"),
+    Some(s"""SELECT l_returnflag,
+            ${sqlR2("quantile_cont(l_quantity, 0.5)")} AS p50_qty,
+            ${sqlR2("quantile_cont(l_extendedprice, 0.9)")} AS p90_price
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Correlated scalar subquery: customers above their nation's average
+    * balance (decorrelates to an aggregate + join under Catalyst). */
+  val qSubqueryScalar = Q(
+    "q_subquery_scalar",
+    (s, d) => {
+      T.customer(s, d).createOrReplaceTempView("graft_cust_sq")
+      // exact scaled-sum average on both sides: an FP avg could flip
+      // boundary rows between engines
+      s.sql(s"""SELECT c_custkey, c_nationkey,
+               ${sqlR2("c_acctbal")} AS bal
+               FROM graft_cust_sq o
+               WHERE c_acctbal > (SELECT CAST(sum(CAST(CAST(floor((c_acctbal) * 1e6 + 0.5) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 1e6 / count(*)
+                                  FROM graft_cust_sq i
+                                  WHERE i.c_nationkey = o.c_nationkey)
+               ORDER BY c_custkey""")
+    },
+    Some(s"""SELECT c_custkey, c_nationkey, ${sqlR2("c_acctbal")} AS bal
+            FROM customer o
+            WHERE c_acctbal > (SELECT CAST(sum(CAST(CAST(floor((c_acctbal) * 1e6 + 0.5) AS BIGINT) AS DECIMAL(18,0))) AS DOUBLE) / 1e6 / count(*)
+                               FROM customer i
+                               WHERE i.c_nationkey = o.c_nationkey)
+            ORDER BY c_custkey"""))
+
   // ---------------------------------------------------------- sort / topk
 
   /** Global top-20 by price — TakeOrderedAndProject, no full sort. */
@@ -518,6 +581,37 @@ object Relational {
              EXCEPT
              SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F')
            ORDER BY custkey"""))
+
+  /** Bounded cross join: region x nation grid (the one join type with no
+    * key at all — legitimate only when one side is tiny and broadcast). */
+  val qJoinCross = Q(
+    "q_join_cross",
+    (s, d) =>
+      T.region(s, d).select(col("r_name"))
+        .crossJoin(broadcast(T.nation(s, d).select(col("n_name"))))
+        .orderBy("r_name", "n_name"),
+    Some("""SELECT r_name, n_name FROM region CROSS JOIN nation
+           ORDER BY r_name, n_name"""))
+
+  /** EXCEPT ALL — multiplicity-preserving difference: order keys of 'O'
+    * orders minus one occurrence per urgent order. */
+  val qExceptAll = Q(
+    "q_except_all",
+    (s, d) => {
+      val o = T.orders(s, d)
+      o.filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey").as("custkey"))
+        .exceptAll(o.filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey").as("custkey")))
+        .groupBy("custkey").agg(count(lit(1)).as("n"))
+        .orderBy("custkey")
+    },
+    Some("""SELECT custkey, count(*) AS n FROM (
+             SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+             EXCEPT ALL
+             SELECT o_custkey AS custkey FROM orders
+             WHERE o_orderpriority = '1-URGENT')
+           GROUP BY custkey ORDER BY custkey"""))
 
   // ------------------------------------------------------ scalar functions
 
@@ -668,7 +762,9 @@ object Relational {
     qJoinThetaRange, qJoinMultiway,
     qAggGroup, qAggDistinct, qAggRollup, qAggCube, qAggGroupingSets,
     qAggHistogram, qAggHistogramSketch, qAggApproxDistinct,
-    qWindowRank, qWindowRunning, qWindowLag, qWindowFrameRange,
+    qWindowRank, qWindowRankFamily, qWindowRunning, qWindowLag,
+    qWindowFrameRange, qAggPercentile, qSubqueryScalar, qJoinCross,
+    qExceptAll,
     qTopk, qUnion, qIntersect, qExcept,
     qScalarString, qScalarDate, qScalarMath, qScalarCase, qMapJson,
     qEventsTumbling, qEventsSession)
