@@ -477,6 +477,23 @@ object Relational {
                         ORDER BY o_totalprice DESC, o_orderkey)
            ORDER BY o_custkey, o_orderkey"""))
 
+  /** PIVOT: order counts per priority, one column per status value
+    * (explicit value list so both dialects emit identical columns). */
+  val qAggPivot = Q(
+    "q_agg_pivot",
+    (s, d) =>
+      T.orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .count()
+        .na.fill(0L)
+        .orderBy("o_orderpriority"),
+    Some("""SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+           FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
   /** Exact interpolated percentiles (median / p90) — SortAggregate-backed;
     * DuckDB's quantile_cont uses the same interpolation. */
   val qAggPercentile = Q(
@@ -763,7 +780,7 @@ object Relational {
     qAggGroup, qAggDistinct, qAggRollup, qAggCube, qAggGroupingSets,
     qAggHistogram, qAggHistogramSketch, qAggApproxDistinct,
     qWindowRank, qWindowRankFamily, qWindowRunning, qWindowLag,
-    qWindowFrameRange, qAggPercentile, qSubqueryScalar, qJoinCross,
+    qWindowFrameRange, qAggPercentile, qAggPivot, qSubqueryScalar, qJoinCross,
     qExceptAll,
     qTopk, qUnion, qIntersect, qExcept,
     qScalarString, qScalarDate, qScalarMath, qScalarCase, qMapJson,

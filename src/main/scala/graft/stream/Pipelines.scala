@@ -101,6 +101,25 @@ object Pipelines {
       }
   }
 
+  /** Stream-stream coincidence join — the streaming twin of the batch
+    * theta/range query (and the TDC trigger-matching shape): hits join
+    * triggers of the same key within ±`toleranceSec` of event time. Both
+    * sides carry watermarks and the join condition bounds event-time
+    * distance, so Spark can evict state on both sides — nothing
+    * accumulates unboundedly. Expects (key, ts) on both inputs; hit
+    * columns prefixed h_, trigger columns t_. */
+  def coincidence(hits: DataFrame, triggers: DataFrame,
+      toleranceSec: Int = 5, watermark: String = "30 seconds"): DataFrame = {
+    val h = hits.withWatermark("ts", watermark)
+      .select(col("key").as("h_key"), col("ts").as("h_ts"))
+    val t = triggers.withWatermark("ts", watermark)
+      .select(col("key").as("t_key"), col("ts").as("t_ts"))
+    h.join(t,
+      expr(s"""h_key = t_key AND
+               h_ts BETWEEN t_ts - INTERVAL $toleranceSec SECONDS
+                        AND t_ts + INTERVAL $toleranceSec SECONDS"""))
+  }
+
   /** Streaming occupancy histogram over decoded TDC hits: counts per
     * (FPGA, TDC_CHANNEL) per orbit-time window — the per-chamber monitor
     * the reference's notebook user would build by hand. Expects the

@@ -168,4 +168,31 @@ class StreamingSpec extends SparkSpec {
     val got = s.read.parquet(out).select("event_id").as[Long].collect().sorted
     assert(got.toSeq === (1L to 6L), s"expected exactly-once 1..6, got ${got.toSeq}")
   }
+
+  test("stream-stream coincidence join matches within tolerance only") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val hitsIn = MemoryStream[(Long, Timestamp)]
+    val trigIn = MemoryStream[(Long, Timestamp)]
+    val q = Pipelines.coincidence(
+        hitsIn.toDF().toDF("key", "ts"),
+        trigIn.toDF().toDF("key", "ts"),
+        toleranceSec = 5)
+      .writeStream.format("memory").queryName("coinc").outputMode("append")
+      .start()
+    trigIn.addData((1L, ts("2026-01-01 00:00:10")))
+    hitsIn.addData(
+      (1L, ts("2026-01-01 00:00:08")), // within ±5s -> match
+      (1L, ts("2026-01-01 00:00:14")), // within ±5s -> match
+      (1L, ts("2026-01-01 00:00:20")), // 10s away -> no match
+      (2L, ts("2026-01-01 00:00:10"))) // different key -> no match
+    q.processAllAvailable()
+    runToCompletion(q)
+    val got = s.sql("SELECT h_key, h_ts FROM coinc").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString)).toSet
+    assert(got === Set(
+      (1L, "2026-01-01 00:00:08.0"),
+      (1L, "2026-01-01 00:00:14.0")))
+  }
 }
