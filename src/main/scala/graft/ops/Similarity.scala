@@ -58,11 +58,6 @@ object Similarity {
              WHERE q.vec_id < 10)
            WHERE rn <= 3 ORDER BY qid, vec_id"""))
 
-  /** Sign-random-projection LSH buckets (8 md5-derived hyperplanes): the
-    * scale path. Neighbour search joins on bucket equality instead of the
-    * full cross product; scalatest measures recall vs the brute-force
-    * baseline. Deterministic projections -> stable buckets, but the bucket
-    * layout is engine-specific, so no SQL oracle (rows-only check). */
   /** Plane p, dim i weight = (md5("p:i") first-16-bit parity) ? +1 : -1 —
     * deterministic pseudo-random hyperplanes without any RNG. The weights
     * depend only on (plane, dim), so they are computed ONCE on the driver
@@ -79,6 +74,11 @@ object Similarity {
     }
   }
 
+  /** Sign-random-projection LSH buckets: neighbour search joins on
+    * bucket equality instead of the full cross product; recall is
+    * measured against brute force in SimilaritySpec. Deterministic
+    * projections -> stable buckets, but the layout is engine-specific,
+    * so no SQL oracle (rows-only check). */
   def srpBuckets(s: SparkSession, d: String, nPlanes: Int = 8): DataFrame = {
     val e = T.embeddings(s, d)
       .select(col("vec_id"), col("label"),

@@ -195,4 +195,24 @@ class StreamingSpec extends SparkSpec {
       (1L, "2026-01-01 00:00:08.0"),
       (1L, "2026-01-01 00:00:14.0")))
   }
+
+  test("foreachBatch sink sees every micro-batch exactly once") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val in = MemoryStream[Long]
+    val seen = scala.collection.concurrent.TrieMap.empty[Long, Long]
+    val q = in.toDS().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Long], id: Long) =>
+        seen.put(id, batch.count())
+        () // the sink owns idempotence by (batchId, epoch) at a real store
+      }
+      .start()
+    in.addData(1L, 2L, 3L)
+    q.processAllAvailable()
+    in.addData(4L)
+    runToCompletion(q)
+    assert(seen.values.sum === 4L)
+    assert(seen.keySet === Set(0L, 1L))
+  }
 }
