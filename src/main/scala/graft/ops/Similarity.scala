@@ -84,7 +84,7 @@ object Similarity {
       .select(col("vec_id"), col("label"),
               col("embedding").cast("array<double>").as("v"))
     // One stats probe for the dimensionality (an index build's stats pass).
-    val dim = e.select(size(col("v"))).head.getInt(0)
+    val dim = e.select(size(col("v"))).head().getInt(0)
     val w = srpWeights(nPlanes, dim)
     val bit: Seq[Column] = (0 until nPlanes).map { p =>
       val proj = graft.functions.VectorFunctions.dot(col("v"), typedLit(w(p)))

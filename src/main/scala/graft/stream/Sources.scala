@@ -84,7 +84,7 @@ object Sources {
     * Pass `explicitPartitions=Some(n)` to pin the round-robin in the data
     * itself (adds the `partition` column the sink honors). */
   def toKafkaJson(hits: DataFrame, explicitPartitions: Option[Int] = None): DataFrame = {
-    val base = hits.select(to_json(struct(hits.columns.map(col): _*)).as("value"))
+    val base = hits.select(to_json(struct(hits.columns.toIndexedSeq.map(col): _*)).as("value"))
     explicitPartitions match {
       case Some(n) =>
         base.withColumn(
