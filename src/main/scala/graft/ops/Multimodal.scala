@@ -58,6 +58,7 @@ object Multimodal {
     /** "Resize": nearest-neighbour downsample of the fake gray buffer —
       * the buffer arithmetic is real, the pixels are fake. */
     def resize(px: Array[Byte], w: Int, h: Int, w2: Int, h2: Int): Array[Byte] = {
+      require(w > 0 && h > 0, s"resize needs a positive source raster, got ${w}x$h")
       val out = new Array[Byte](math.max(1, w2 * h2))
       var y = 0
       while (y < h2) {
@@ -87,6 +88,18 @@ object Multimodal {
     /** Frame count a "video" carries: 1 frame / 100 ms of fake duration. */
     def frameCount(meta: MediaMeta): Int =
       math.max(1, (meta.durationMs / 100L).toInt)
+
+    /** "Decode" audio to PCM-ish samples: 4 fake samples per input byte.
+      * Real impl: libsndfile/ffmpeg decode to float PCM. */
+    def decodeAudio(bytes: Array[Byte], meta: MediaMeta): Array[Float] = {
+      val out = new Array[Float](bytes.length * 4)
+      var i = 0
+      while (i < out.length) {
+        out(i) = ((bytes(i / 4) & 0xff) - 128) / 128f
+        i += 1
+      }
+      out
+    }
   }
 
   // --------------------------------------------------------- operators
@@ -106,14 +119,25 @@ object Multimodal {
           bytes(i) = java.lang.Float.floatToIntBits(emb(i % emb.length)).toByte
           i += 1
         }
-        val kind = if (id % 3 == 0) "video" else "image"
+        val kind = (id % 3) match {
+          case 0 => "video"
+          case 1 => "audio"
+          case _ => "image"
+        }
         Media(id, kind,
           bytes,
           MediaMeta(
-            mime = if (kind == "video") "video/mp4" else "image/jpeg",
-            width = 16 + (label % 4) * 16,
-            height = 16 + (label % 3) * 16,
-            durationMs = if (kind == "video") 300L + (id % 10) * 100L else 0L))
+            mime = kind match {
+              case "video" => "video/mp4"
+              case "audio" => "audio/wav"
+              case _       => "image/jpeg"
+            },
+            width = if (kind == "audio") 0 else 16 + (label % 4) * 16,
+            height = if (kind == "audio") 0 else 16 + (label % 3) * 16,
+            durationMs =
+              if (kind == "video") 300L + (id % 10) * 100L
+              else if (kind == "audio") 1000L + (id % 5) * 500L
+              else 0L))
       }
   }
 
@@ -147,10 +171,11 @@ object Multimodal {
     }
   }
 
-  /** Decode + resize to thumbnails. */
+  /** Decode + resize to thumbnails — visual kinds only (audio has no
+    * raster to resize). */
   def thumbnails(media: Dataset[Media], w2: Int = 8, h2: Int = 8): Dataset[Frame] = {
     import media.sparkSession.implicits._
-    media.mapPartitions { it =>
+    media.filter(m => m.kind == "image" || m.kind == "video").mapPartitions { it =>
       it.map { m =>
         val px = StubCodecs.decodeImage(m.bytes, m.meta)
         Frame(m.media_id, 0, w2, h2,
@@ -210,12 +235,35 @@ object Multimodal {
     "q_mm_meta_stats",
     (s, d) =>
       metaStats(mediaTable(s, d)).orderBy("kind", "width", "height"),
-    Some("""SELECT CASE WHEN vec_id % 3 = 0 THEN 'video' ELSE 'image' END AS kind,
-           16 + (label % 4) * 16 AS width,
-           16 + (label % 3) * 16 AS height,
+    Some("""SELECT CASE vec_id % 3 WHEN 0 THEN 'video' WHEN 1 THEN 'audio'
+                ELSE 'image' END AS kind,
+           CASE WHEN vec_id % 3 = 1 THEN 0
+                ELSE 16 + (label % 4) * 16 END AS width,
+           CASE WHEN vec_id % 3 = 1 THEN 0
+                ELSE 16 + (label % 3) * 16 END AS height,
            count(*) AS n
            FROM embeddings
            GROUP BY 1, 2, 3 ORDER BY kind, width, height"""))
 
-  val all: Seq[Q] = Seq(qMmFeatures, qMmFrameSample, qMmMetaStats)
+  /** Audio decode accounting: stub PCM sample counts per audio blob.
+    * Sample count is metadata arithmetic (4 x blob length, blob length =
+    * 64 + id%64), so DuckDB oracles it without decoding. */
+  val qMmAudioStats = Q(
+    "q_mm_audio_stats",
+    (s, d) => {
+      import s.implicits._
+      mediaTable(s, d).filter(_.kind == "audio")
+        .map(m => (m.media_id,
+          StubCodecs.decodeAudio(m.bytes, m.meta).length.toLong,
+          m.meta.durationMs))
+        .toDF("media_id", "n_samples", "duration_ms")
+        .orderBy("media_id")
+    },
+    Some("""SELECT vec_id AS media_id,
+           (64 + vec_id % 64) * 4 AS n_samples,
+           1000 + (vec_id % 5) * 500 AS duration_ms
+           FROM embeddings WHERE vec_id % 3 = 1 ORDER BY media_id"""))
+
+  val all: Seq[Q] =
+    Seq(qMmFeatures, qMmFrameSample, qMmMetaStats, qMmAudioStats)
 }
