@@ -125,4 +125,43 @@ class PropertySpec extends SparkSpec {
       a == b && b == c
     })
   }
+
+  test("rank over a partition equals the sorted-position of each row") {
+    val gen = Gen.listOfN(30, Gen.zip(Gen.choose(0, 3), Gen.choose(0L, 20L)))
+    check(Prop.forAllNoShrink(gen) { rows =>
+      val s = spark
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("k")).orderBy(col("v"))
+      val got = rows.toDF("k", "v")
+        .withColumn("r", rank().over(w))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2)))
+      got.forall { case (k, v, r) =>
+        // rank = 1 + number of strictly smaller values in the partition
+        r == 1 + rows.count(p => p._1 == k && p._2 < v)
+      }
+    })
+  }
+
+  test("lag returns the previous element of the partition-sorted sequence") {
+    val gen = Gen.listOfN(25, Gen.zip(Gen.choose(0, 2), Gen.choose(0L, 1000L)))
+    check(Prop.forAllNoShrink(gen) { raw =>
+      // unique (k, v) pairs so the ordering is total
+      val rows = raw.distinct
+      val s = spark
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("k")).orderBy(col("v"))
+      val got = rows.toDF("k", "v")
+        .withColumn("prev", lag(col("v"), 1).over(w))
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      got.forall { case (k, v, prev) =>
+        val sorted = rows.filter(_._1 == k).map(_._2).sorted
+        val idx = sorted.indexOf(v)
+        prev == (if (idx == 0) None else Some(sorted(idx - 1)))
+      }
+    })
+  }
 }
