@@ -360,6 +360,23 @@ object Relational {
            count(*) AS n
            FROM events GROUP BY 1, 2 ORDER BY event_type, bucket"""))
 
+  /** Approximate percentiles — the sketch-backed scale path beside
+    * q_agg_percentile, as approx_count_distinct is to count distinct.
+    * Engine-specific values -> no SQL oracle; scalatest bounds it
+    * against the exact percentile. */
+  val qAggApproxPercentile = Q(
+    "q_agg_approx_percentile",
+    (s, d) =>
+      li(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          r2(expr("approx_percentile(l_extendedprice, 0.5, 1000)"))
+            .as("p50_approx"),
+          r2(expr("approx_percentile(l_extendedprice, 0.9, 1000)"))
+            .as("p90_approx"))
+        .orderBy("l_returnflag"),
+    None)
+
   /** HLL sketch — engine-specific values, so no SQL oracle; the scalatest
     * suite bounds it against the exact distinct count instead. */
   val qAggApproxDistinct = Q(
@@ -779,6 +796,7 @@ object Relational {
     qJoinThetaRange, qJoinMultiway,
     qAggGroup, qAggDistinct, qAggRollup, qAggCube, qAggGroupingSets,
     qAggHistogram, qAggHistogramSketch, qAggApproxDistinct,
+    qAggApproxPercentile,
     qWindowRank, qWindowRankFamily, qWindowRunning, qWindowLag,
     qWindowFrameRange, qAggPercentile, qAggPivot, qSubqueryScalar, qJoinCross,
     qExceptAll,

@@ -33,14 +33,19 @@ object Sources {
       bootstrap: String,
       topic: String,
       batchSize: Long = 10000L,
-      startingOffsets: String = "earliest"): DataFrame =
-    spark.readStream
+      startingOffsets: String = "earliest",
+      minPartitions: Option[Int] = None): DataFrame = {
+    val base = spark.readStream
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrap)
       .option("subscribe", topic)
       .option("startingOffsets", startingOffsets)
       .option("maxOffsetsPerTrigger", batchSize)
-      .load()
+    // minPartitions oversplits topic-partitions into more input splits
+    // than the 1:1 default — the lever when executor count exceeds the
+    // topic's partition count (the reference is pinned to its 4).
+    minPartitions.fold(base)(n => base.option("minPartitions", n)).load()
+  }
 
   /** Bounded Kafka read over an explicit offset range — the batch analogue
     * of one `read_batch()` call (`core.py:27-73`), with Spark doing the

@@ -80,6 +80,19 @@ class RelationalSpec extends SparkSpec {
     assert(inter.join(withF, Seq("custkey"), "left_anti").count() === 0)
   }
 
+  test("approx_percentile brackets the exact percentile within 5%") {
+    val approx = Relational.qAggApproxPercentile.fn(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = Relational.qAggPercentile.fn(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (k, p90) =>
+      val (_, a90) = approx(k)
+      assert(math.abs(a90 - p90) <= p90 * 0.05,
+        s"flag $k: approx p90 $a90 vs exact $p90")
+    }
+  }
+
   test("histogram sketch aggregate equals the groupBy histogram") {
     val builtin = Relational.qAggHistogram.fn(spark, sf).collect().toSeq
     val sketch = Relational.qAggHistogramSketch.fn(spark, sf).collect().toSeq
