@@ -46,7 +46,7 @@ class ExtensionsSpec extends SparkSpec {
                 graft_minhash(graft_shingles(text)) AS mh,
                 graft_simhash(split(text, ' ')) AS sim,
                 winnow_fingerprints(text, 3, 4) AS wf
-         FROM ext_t WHERE text = 'a b c a b'""").head
+         FROM ext_t WHERE text = 'a b c a b'""").head()
     assert(row.getSeq[String](0) === Seq("a b", "b c", "c a"))
     assert(row.getSeq[String](1).length === 8)
     assert(row.getSeq[String](1).forall(_.matches("[0-9a-f]{8}")))
@@ -61,10 +61,10 @@ class ExtensionsSpec extends SparkSpec {
   test("aggregate functions work from SQL") {
     ready
     val h = spark.sql(
-      "SELECT graft_histogram(va[0], 1.0) AS h FROM ext_t").head.getMap[Long, Long](0)
+      "SELECT graft_histogram(va[0], 1.0) AS h FROM ext_t").head().getMap[Long, Long](0)
     assert(h === Map(1L -> 1L, 0L -> 1L))
     val avg = spark.sql(
-      "SELECT graft_vec_avg(va) AS m FROM ext_t").head.getSeq[Double](0)
+      "SELECT graft_vec_avg(va) AS m FROM ext_t").head().getSeq[Double](0)
     assert(avg === Seq(0.5, 1.5, 3.0))
   }
 }

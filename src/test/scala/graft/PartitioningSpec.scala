@@ -26,7 +26,7 @@ class PartitioningSpec extends SparkSpec {
     assert(salted.size === 2000)
     // the hot-key stats pass identifies key 0 (the 1000 even rows plus
     // the 10 odd multiples of 97)
-    val hot = Skew.hotKeys(big, "k", 1).head
+    val hot = Skew.hotKeys(big, "k", 1).head()
     assert(hot.getLong(0) === 0L && hot.getLong(1) === 1010L)
   }
 

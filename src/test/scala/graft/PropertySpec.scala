@@ -118,7 +118,7 @@ class PropertySpec extends SparkSpec {
       def total(parts: Int, data: List[Double]): Double =
         data.toDF("x").repartition(parts)
           .agg(graft.util.Det.dsum(col("x")).as("t"))
-          .head.getDouble(0)
+          .head().getDouble(0)
       val a = total(1, rounded)
       val b = total(7, rounded)
       val c = total(13, rounded.reverse)

@@ -40,7 +40,7 @@ class TdcSpec extends SparkSpec {
     val back = Sources.hitsFromCsv(spark, dir)
     assert(back.schema === TdcHit.schema)
     assert(back.count() === 61)
-    assert(back.agg(sum("ORBIT_CNT")).head.getLong(0) ===
+    assert(back.agg(sum("ORBIT_CNT")).head().getLong(0) ===
       fixture.map(_.ORBIT_CNT).sum)
   }
 
@@ -64,7 +64,7 @@ class TdcSpec extends SparkSpec {
 
   test("occupancy counts: every (FPGA, channel) count sums back to 61") {
     val occ = hits.groupBy("FPGA", "TDC_CHANNEL").agg(count(lit(1)).as("n"))
-    assert(occ.agg(sum("n")).head.getLong(0) === 61)
+    assert(occ.agg(sum("n")).head().getLong(0) === 61)
     assert(occ.filter(col("FPGA") === 0).count() === 31) // even i of 0..60
   }
 
