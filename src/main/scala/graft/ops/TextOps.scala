@@ -198,7 +198,47 @@ object TextOps {
     },
     None)
 
+  /** End-to-end training-data filter — the pipeline the mandate
+    * describes, composed from the building blocks above: keep documents
+    * that (a) survive exact dedup (min doc_id per text), (b) pass the
+    * stopword language heuristic, and (c) clear quality floors on token
+    * count and mean token length. Output is the per-source survivor
+    * count plus total tokens — what a curation run reports. */
+  val qPipelineFilter = Q(
+    "q_pipeline_filter",
+    (s, d) => {
+      val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+      T.documents(s, d)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("toks", split(col("text"), " "))
+        .filter(col("rn") === 1)
+        .filter(expr("size(filter(toks, t -> t IN ('the', 'a', 'of')))")
+          .cast("double") / size(col("toks")) >= 0.03)
+        .filter(size(col("toks")) >= 10 &&
+          length(col("text")).cast("double") / size(col("toks")) >= 3.0)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(size(col("toks")).cast("long")).as("n_tokens"))
+        .orderBy("source")
+    },
+    Some("""WITH survivors AS (
+             SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id)
+                    AS rn,
+                    string_split(text, ' ') AS toks
+             FROM documents)
+           SELECT source, count(*) AS n_docs,
+                  sum(len(toks)) AS n_tokens
+           FROM survivors
+           WHERE rn = 1
+             AND CAST(len(list_filter(toks,
+                     t -> t IN ('the', 'a', 'of'))) AS DOUBLE)
+                 / len(toks) >= 0.03
+             AND len(toks) >= 10
+             AND CAST(length(text) AS DOUBLE) / len(toks) >= 3.0
+           GROUP BY source ORDER BY source"""))
+
   val all: Seq[Q] =
     Seq(qArrayExplode, qTextStats, qTextTokens, qTextFingerprint,
-      qTextLanguage, qTextLanguageNgram, qTextTokensRegex, qTextWinnowPairs)
+      qTextLanguage, qTextLanguageNgram, qTextTokensRegex, qTextWinnowPairs,
+      qPipelineFilter)
 }
