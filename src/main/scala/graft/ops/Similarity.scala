@@ -139,14 +139,15 @@ object Similarity {
 
   // ---------------------------------------------------------------- IVF
 
-  /** IVF coarse quantizer, pure DataFrame ops: deterministic seed
-    * centroids (every n/k-th vector by vec_id), refined by `iters` Lloyd
-    * steps — assign via broadcast-join + sort-free `min_by` argmin,
-    * re-center via the elementwise [[graft.functions.VectorAvgAgg]]
-    * mean (one shuffled row per cell). Each iteration costs one
-    * broadcast of k·dim doubles plus one shuffle keyed by vec_id; the
-    * corpus never shuffles. Returns (cells, centroids): the per-vector
-    * assignment and the refined centroid set it was assigned against. */
+  /** IVF coarse quantizer, MLlib-KMeans-shaped: centroids are driver
+    * state (k·dim doubles — tiny by definition of a coarse quantizer),
+    * assignment is a pure map-side argmin over literal centroid arrays —
+    * the corpus NEVER shuffles for assignment. Each Lloyd step costs one
+    * groupBy(cell) re-center via [[graft.functions.VectorAvgAgg]] (one
+    * shuffled row per cell) plus a k-row collect. Seed centroids are
+    * deterministic: every n/k-th vector by vec_id. Returns
+    * (cells, centroids): the assigned corpus and the centroid frame it
+    * was assigned against. */
   def ivfIndex(s: SparkSession, d: String, k: Int = 16,
       iters: Int = 1): (DataFrame, DataFrame) = {
     val e = T.embeddings(s, d)
@@ -154,20 +155,32 @@ object Similarity {
               col("embedding").cast("array<double>").as("v"))
     val n = e.count()
     val stride = math.max(n / k, 1L)
-    var centroids = e.filter(col("vec_id") % stride === 0 && col("vec_id") < stride * k)
-      .select((col("vec_id") / stride).cast("long").as("cell"), col("v").as("cv"))
-    def assign(cents: DataFrame): DataFrame =
-      e.join(broadcast(cents))
-        .withColumn("dist", -graft.functions.VectorFunctions.dot(col("v"), col("cv"))
-          + graft.functions.VectorFunctions.dot(col("cv"), col("cv")) / 2)
-        .groupBy("vec_id")
-        .agg(
-          first(col("label")).as("label"), first(col("v")).as("v"),
-          min_by(col("cell"), struct(col("dist"), col("cell"))).as("cell"))
+    var cents: Array[(Long, Array[Double])] = e
+      .filter(col("vec_id") % stride === 0 && col("vec_id") < stride * k)
+      .select((col("vec_id") / stride).cast("long").as("cell"), col("v"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    // map-side argmin: array_min over (dist, cell) structs compares dist
+    // first, then cell — deterministic ties, codegen-friendly
+    def assignCol(cs: Array[(Long, Array[Double])]): Column =
+      array_min(array(cs.map { case (cell, cv) =>
+        val dist = -graft.functions.VectorFunctions.dot(col("v"), typedLit(cv)) +
+          lit(cv.map(x => x * x).sum / 2)
+        struct(dist.as("d"), lit(cell).as("c"))
+      }: _*)).getField("c")
+    def assigned(cs: Array[(Long, Array[Double])]): DataFrame =
+      e.withColumn("cell", assignCol(cs))
     (0 until iters).foreach { _ =>
-      centroids = recenter(assign(centroids))
+      cents = recenter(assigned(cents)).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
     }
-    (assign(centroids), centroids)
+    val centDf = {
+      import s.implicits._
+      cents.toSeq.map { case (c, v) => (c, v.toSeq) }
+        .toDF("cell", "cv")
+        .select(col("cell"), col("cv").cast("array<double>").as("cv"))
+    }
+    (assigned(cents), centDf)
   }
 
   def ivfCells(s: SparkSession, d: String, k: Int = 16, iters: Int = 1): DataFrame =
