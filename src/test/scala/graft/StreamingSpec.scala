@@ -215,4 +215,45 @@ class StreamingSpec extends SparkSpec {
     assert(seen.values.sum === 4L)
     assert(seen.keySet === Set(0L, 1L))
   }
+
+  test("streaming tumbling counts equal the oracled batch query on real events") {
+    val s = spark
+    import s.implicits._
+    // stream the events table itself (file source + AvailableNow), then
+    // compare against the DuckDB-oracled batch spelling — the
+    // batch/streaming unification claim on real data
+    val batchDf = Tables.events(spark, sf)
+    // the file stream source wants a directory; stage the single-file
+    // table into one
+    val dir = java.nio.file.Files.createTempDirectory("parity_in")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = s.readStream
+      .schema(s.read.parquet(s"$sf/events.parquet").schema)
+      .format("parquet")
+      .load(dir.toString)
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000"))) // nanos long -> us
+    val q = Pipelines.tumblingCounts(stream, "1 hour", "0 seconds")
+      .writeStream.format("memory").queryName("parity")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = s.sql("SELECT win_start, event_type, n FROM parity")
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2)))
+      .toSet
+    val batch = batchDf
+      .groupBy(
+        org.apache.spark.sql.functions.date_trunc("hour", org.apache.spark.sql.functions.col("ts")).as("w"),
+        org.apache.spark.sql.functions.col("event_type"))
+      .count()
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2)))
+      .toSet
+    assert(streamed === batch)
+  }
 }
