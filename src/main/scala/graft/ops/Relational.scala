@@ -470,6 +470,32 @@ object Relational {
                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
            ORDER BY user_id, event_id"""))
 
+  /** first_value / last_value over an unbounded frame: each customer row
+    * tagged with the partition's highest- and lowest-priced order keys.
+    * Total ordering inside the frame makes both edges deterministic. */
+  val qWindowFirstLast = Q(
+    "q_window_first_last",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      T.orders(s, d)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          first(col("o_orderkey")).over(w).as("best_order"),
+          last(col("o_orderkey")).over(w).as("worst_order"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+           first_value(o_orderkey) OVER w AS best_order,
+           last_value(o_orderkey) OVER w AS worst_order
+           FROM orders
+           WINDOW w AS (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND UNBOUNDED FOLLOWING)
+           ORDER BY o_custkey, o_orderkey"""))
+
   /** Rank-function family beyond rank(): dense_rank, percent_rank and
     * ntile quartiles of each customer's orders by price. */
   val qWindowRankFamily = Q(
@@ -647,6 +673,33 @@ object Relational {
              WHERE o_orderpriority = '1-URGENT')
            GROUP BY custkey ORDER BY custkey"""))
 
+  /** Null semantics: nullif manufactures nulls, coalesce/nvl2-style
+    * expressions collapse them, null-safe equality compares through
+    * them — the null-handling matrix over real data. */
+  val qScalarNull = Q(
+    "q_scalar_null",
+    (s, d) =>
+      T.customer(s, d)
+        .select(
+          col("c_custkey"),
+          nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_or_null"),
+          coalesce(nullif(col("c_mktsegment"), lit("BUILDING")),
+            lit("SUPPRESSED")).as("seg_filled"),
+          when(nullif(col("c_mktsegment"), lit("BUILDING")).isNull, 0L)
+            .otherwise(1L).as("kept"),
+          (nullif(col("c_mktsegment"), lit("BUILDING")) <=> lit(null))
+            .as("is_suppressed"))
+        .orderBy("c_custkey"),
+    Some("""SELECT c_custkey,
+           nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'SUPPRESSED')
+             AS seg_filled,
+           CASE WHEN nullif(c_mktsegment, 'BUILDING') IS NULL THEN 0
+                ELSE 1 END AS kept,
+           nullif(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM NULL
+             AS is_suppressed
+           FROM customer ORDER BY c_custkey"""))
+
   // ------------------------------------------------------ scalar functions
 
   /** String expressions over part names. */
@@ -797,10 +850,11 @@ object Relational {
     qAggGroup, qAggDistinct, qAggRollup, qAggCube, qAggGroupingSets,
     qAggHistogram, qAggHistogramSketch, qAggApproxDistinct,
     qAggApproxPercentile,
-    qWindowRank, qWindowRankFamily, qWindowRunning, qWindowLag,
+    qWindowRank, qWindowRankFamily, qWindowFirstLast, qWindowRunning, qWindowLag,
     qWindowFrameRange, qAggPercentile, qAggPivot, qSubqueryScalar, qJoinCross,
     qExceptAll,
     qTopk, qUnion, qIntersect, qExcept,
-    qScalarString, qScalarDate, qScalarMath, qScalarCase, qMapJson,
+    qScalarString, qScalarDate, qScalarMath, qScalarCase, qScalarNull,
+    qMapJson,
     qEventsTumbling, qEventsSession)
 }
