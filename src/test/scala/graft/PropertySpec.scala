@@ -164,4 +164,48 @@ class PropertySpec extends SparkSpec {
       }
     })
   }
+
+  test("custom aggregate buffers serialize/deserialize losslessly") {
+    val hGen = Gen.listOf(Gen.zip(Gen.choose(-50L, 50L), Gen.choose(1L, 9L)))
+    check(Prop.forAllNoShrink(hGen) { entries =>
+      val h = graft.functions.HistogramAgg(
+        org.apache.spark.sql.catalyst.expressions.Literal(1.0), 1.0)
+      val buf = h.createAggregationBuffer()
+      entries.foreach { case (k, v) => buf.update(k, buf.getOrElse(k, 0L) + v) }
+      val back = h.deserialize(h.serialize(buf))
+      back.toMap == buf.toMap
+    })
+    val vGen = Gen.zip(Gen.choose(0L, 5L), Gen.listOfN(6, Gen.choose(-5.0, 5.0)))
+    check(Prop.forAllNoShrink(vGen) { case (count, sums) =>
+      val v = graft.functions.VectorAvgAgg(
+        org.apache.spark.sql.catalyst.expressions.Literal(null,
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))
+      val buf = new graft.functions.VectorAvgAgg.Buf(count, sums.toArray)
+      val back = v.deserialize(v.serialize(buf))
+      back.count == count && back.sums.toSeq == sums
+    })
+  }
+
+  test("custom aggregate merge handles empty and uneven buffers") {
+    val h = graft.functions.HistogramAgg(
+      org.apache.spark.sql.catalyst.expressions.Literal(1.0), 1.0)
+    val empty = h.createAggregationBuffer()
+    val one = h.createAggregationBuffer(); one.update(3L, 7L)
+    assert(h.merge(h.createAggregationBuffer(), one).toMap === Map(3L -> 7L))
+    assert(h.merge(one, h.createAggregationBuffer()).toMap === Map(3L -> 7L))
+    assert(h.eval(empty).asInstanceOf[
+      org.apache.spark.sql.catalyst.util.MapData].numElements() === 0)
+    val v = graft.functions.VectorAvgAgg(
+      org.apache.spark.sql.catalyst.expressions.Literal(null,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)))
+    // uneven dims: merging a shorter buffer into a longer one and back
+    val a = new graft.functions.VectorAvgAgg.Buf(1L, Array(1.0, 2.0))
+    val b = new graft.functions.VectorAvgAgg.Buf(1L, Array(10.0, 20.0, 30.0))
+    val m = v.merge(a, b)
+    assert(m.count === 2L && m.sums.toSeq === Seq(11.0, 22.0, 30.0))
+    assert(v.eval(new graft.functions.VectorAvgAgg.Buf(0L, Array.emptyDoubleArray))
+      === null)
+  }
 }
