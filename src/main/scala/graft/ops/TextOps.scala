@@ -198,6 +198,31 @@ object TextOps {
     },
     None)
 
+  /** Array-function matrix over token arrays: size, membership,
+    * element extraction from both ends, sorted-prefix — the list-ops
+    * surface beyond explode. */
+  val qScalarArray = Q(
+    "q_scalar_array",
+    (s, d) =>
+      T.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          size(col("toks")).as("n_toks"),
+          array_contains(col("toks"), "the").as("has_the"),
+          element_at(col("toks"), 1).as("first_tok"),
+          element_at(col("toks"), -1).as("last_tok"),
+          concat_ws(" ", slice(sort_array(col("toks")), 1, 3)).as("sorted3"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_toks,
+           list_contains(string_split(text, ' '), 'the') AS has_the,
+           string_split(text, ' ')[1] AS first_tok,
+           string_split(text, ' ')[-1] AS last_tok,
+           array_to_string(list_sort(string_split(text, ' '))[1:3], ' ')
+             AS sorted3
+           FROM documents ORDER BY doc_id"""))
+
   /** End-to-end training-data filter — the pipeline the mandate
     * describes, composed from the building blocks above: keep documents
     * that (a) survive exact dedup (min doc_id per text), (b) pass the
@@ -240,5 +265,5 @@ object TextOps {
   val all: Seq[Q] =
     Seq(qArrayExplode, qTextStats, qTextTokens, qTextFingerprint,
       qTextLanguage, qTextLanguageNgram, qTextTokensRegex, qTextWinnowPairs,
-      qPipelineFilter)
+      qPipelineFilter, qScalarArray)
 }
