@@ -1,11 +1,41 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 
 /** Per-round benchmark: run every declared query at SPARK_GRAFT_SF_DIR and
   * print one JSON line. Each query is forced through the `noop` sink so the
   * full plan (projections included) executes — `count()` would let Catalyst
   * prune everything but the row count. */
 object Bench {
+
+  /** Streaming throughput probe: the events table replayed through
+    * [[graft.stream.Pipelines.tumblingCounts]] as a bounded stream
+    * (Trigger.AvailableNow), so state-store / watermark regressions show
+    * up as time, not just as scalatest failures. Returns elapsed seconds. */
+  private def streamTumbling(spark: SparkSession, sfDir: String): Double = {
+    val path = s"$sfDir/events.parquet"
+    val rawSchema = spark.read.parquet(path).schema
+    // the file stream source wants a directory; stage the single-file
+    // table into one (untimed — setup, not stream work)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bench_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(path), dir.resolve("events.parquet"))
+    val t0 = System.nanoTime()
+    val q = graft.stream.Pipelines.tumblingCounts(
+        spark.readStream.schema(rawSchema).parquet(dir.toString)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+      .writeStream
+      .format("noop")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_bench_ckpt").toString)
+      .start()
+    q.awaitTermination()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -28,20 +58,35 @@ object Bench {
     catch { case _: Throwable => () }
     // Optional comma-separated name filter for single-query iteration.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // A failed query must not masquerade as a fast one: it reports -1 in
+    // `queries`, lands in `failures`, and contributes nothing to `value`.
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
       }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val streaming: Seq[(String, Double, Boolean)] =
+      if (only.forall(_.contains("q_stream_tumbling")))
+        Seq(try { ("q_stream_tumbling", streamTumbling(spark, sfDir), true) }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] q_stream_tumbling failed: ${e.getMessage}")
+          ("q_stream_tumbling", -1.0, false)
+        })
+      else Seq.empty
+    val all = results ++ streaming
+    val qs = all.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failures = all.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = all.collect { case (_, v, true) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -35,27 +35,52 @@ object Dedup {
                 i -> array_to_string(tk[i:i+1], ' '))) AS sh
               FROM toks)"""
 
+  /** Document-frequency ceiling for posting lists (pair generation) and
+    * fingerprint joins. A key shared by more than this many documents is
+    * the dedup analogue of a stopword: it carries no similarity signal
+    * (everything matches everything through it) while its pair expansion
+    * is quadratic in df. Far above any real near-dup cluster; sf0.1 max
+    * observed df is 33. */
+  val MaxPostingDf = 1000
+
   /** Inverted-index pair generation: group rows by `keys`, collect the
     * sorted doc_id posting list, stream each list's unordered pairs
     * through the lazy [[graft.functions.PairCombinations]] generator —
     * constant memory per posting list, no interpreted lambdas. One
     * shuffle (the groupBy), pairs never re-join the input — the shape
-    * both LSH banding and blocked Jaccard share. At 100 TB the
-    * posting-list size is bounded by the blocking key (band / source); a
-    * pathological hot bucket would be capped or salted upstream. */
-  private[ops] def pairsFromGroups(df: DataFrame, keys: Seq[String]): DataFrame =
-    df.groupBy(keys.map(col): _*)
+    * both LSH banding and blocked Jaccard share.
+    *
+    * Hot keys (df > maxDf) are dropped BEFORE the collect: the df count
+    * partial-aggregates map-side (one row per key crosses the wire), the
+    * surviving hot set is tiny by definition, and the anti-join against
+    * it broadcasts — so neither the quadratic pair expansion nor the hot
+    * key's collect_list buffer ever materializes. The input is scanned
+    * twice (count pass + collect pass); that is the standard trade for
+    * bounding the worst group at corpus scale. */
+  private[ops] def pairsFromGroups(df: DataFrame, keys: Seq[String],
+      maxDf: Int = MaxPostingDf): DataFrame = {
+    val kc = keys.map(col)
+    val hot = df.groupBy(kc: _*).agg(count(lit(1)).as("graft_df"))
+      .filter(col("graft_df") > maxDf)
+      .select(kc: _*)
+    df.join(broadcast(hot), keys, "left_anti")
+      .groupBy(kc: _*)
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(graft.functions.PairCombinations.pairs(col("ids")))
       .select("a", "b")
+  }
 
-  /** Exact dedup on full text, deterministic survivor (min doc_id),
-    * survivor count per language. */
+  /** Exact dedup, deterministic survivor (min doc_id), survivor count per
+    * language. Duplicate groups key on `md5(text)` — a 128-bit content
+    * hash — NOT the full text: at corpus scale the window exchange then
+    * shuffles/sorts 32-char keys instead of whole document bodies
+    * (collision odds at 128 bits are negligible; same trade every dedup
+    * pipeline makes). */
   val qDedupExact = Q(
     "q_dedup_exact",
     (s, d) => {
-      val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+      val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
       T.documents(s, d)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
@@ -64,7 +89,7 @@ object Dedup {
         .orderBy("lang")
     },
     Some("""SELECT lang, count(*) AS n_docs FROM (
-             SELECT lang, row_number() OVER (PARTITION BY text
+             SELECT lang, row_number() OVER (PARTITION BY md5(text)
                     ORDER BY doc_id) AS rn
              FROM documents)
            WHERE rn = 1 GROUP BY lang ORDER BY lang"""))
@@ -171,32 +196,57 @@ object Dedup {
         .orderBy("doc_id"),
     None)
 
+  /** Per-label block-size ceiling for the embedding near-dup self-join:
+    * each label contributes at most this many vectors (the first
+    * `MaxEmbeddingBlock` by vec_id), so the within-block pair work is
+    * bounded by MaxEmbeddingBlock²/2 no matter how hot a label gets.
+    * Blocks that overflow the cap are the ANN path's job
+    * ([[Similarity.srpTopk]]/[[Similarity.ivfTopk]] bound candidates
+    * data-adaptively). sf0.1 max block is 218 — results unchanged. */
+  val MaxEmbeddingBlock = 1024
+
   /** Embedding-cosine near-duplicate pairs (same label block, cos >= 0.9).
     * Blocking on `label` bounds the pair space exactly like an IVF coarse
-    * quantizer would at scale. */
+    * quantizer would at scale; the deterministic per-block cap (above)
+    * bounds the quadratic step when one label dominates. */
+  /** Embedding pair generation body — `maxBlock` exposed for tests; the
+    * declared query runs at [[MaxEmbeddingBlock]]. */
+  private[ops] def embeddingPairs(s: SparkSession, d: String,
+      maxBlock: Int): DataFrame = {
+    val wb = Window.partitionBy(col("label")).orderBy(col("vec_id"))
+    val e = T.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+              col("embedding").cast("array<double>").as("v"))
+      .withColumn("rnb", row_number().over(wb))
+      .filter(col("rnb") <= maxBlock)
+      .drop("rnb")
+    val cos = Similarity.cosine(col("x.v"), col("y.v"))
+    e.as("x")
+      .join(e.as("y"),
+        col("x.label") === col("y.label") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+              r2(cos).as("cos"))
+      .filter(col("cos") >= 0.9)
+      .orderBy("a", "b")
+  }
+
   val qDedupEmbedding = Q(
     "q_dedup_embedding",
-    (s, d) => {
-      val e = T.embeddings(s, d)
-        .select(col("vec_id"), col("label"),
-                col("embedding").cast("array<double>").as("v"))
-      val cos = Similarity.cosine(col("x.v"), col("y.v"))
-      e.as("x")
-        .join(e.as("y"),
-          col("x.label") === col("y.label") &&
-          col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-                r2(cos).as("cos"))
-        .filter(col("cos") >= 0.9)
-        .orderBy("a", "b")
-    },
-    Some(s"""SELECT a, b, cos FROM (
+    (s, d) => embeddingPairs(s, d, MaxEmbeddingBlock),
+    Some(s"""WITH capped AS (
+             SELECT vec_id, label, embedding,
+                    row_number() OVER (PARTITION BY label ORDER BY vec_id)
+                      AS rnb
+             FROM embeddings)
+           SELECT a, b, cos FROM (
              SELECT x.vec_id AS a, y.vec_id AS b,
                     ${sqlR2("""list_cosine_similarity(
                       CAST(x.embedding AS DOUBLE[]),
                       CAST(y.embedding AS DOUBLE[]))""")} AS cos
-             FROM embeddings x JOIN embeddings y
-               ON x.label = y.label AND x.vec_id < y.vec_id)
+             FROM capped x JOIN capped y
+               ON x.label = y.label AND x.vec_id < y.vec_id
+              AND x.rnb <= $MaxEmbeddingBlock AND y.rnb <= $MaxEmbeddingBlock)
            WHERE cos >= 0.9 ORDER BY a, b"""))
 
   val all: Seq[Q] = Seq(

@@ -402,7 +402,8 @@ object Relational {
         .filter(col("rnk") <= 3)
         .select("o_custkey", "rnk", "o_orderkey", "o_totalprice")
         .orderBy("o_custkey", "rnk", "o_orderkey"),
-    Some("""SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM (
+    Some("""SELECT o_custkey, CAST(rnk AS INT) AS rnk, o_orderkey,
+                  o_totalprice FROM (
              SELECT o_custkey, o_orderkey, o_totalprice,
                     rank() OVER (PARTITION BY o_custkey
                                  ORDER BY o_totalprice DESC, o_orderkey) AS rnk
@@ -512,9 +513,9 @@ object Relational {
         .orderBy("o_custkey", "o_orderkey")
     },
     Some(s"""SELECT o_custkey, o_orderkey,
-            dense_rank() OVER w AS drank,
+            CAST(dense_rank() OVER w AS INT) AS drank,
             ${sqlR2("percent_rank() OVER w")} AS prank,
-            ntile(4) OVER w AS quartile
+            CAST(ntile(4) OVER w AS INT) AS quartile
             FROM orders
            WINDOW w AS (PARTITION BY o_custkey
                         ORDER BY o_totalprice DESC, o_orderkey)
@@ -694,8 +695,8 @@ object Relational {
            nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
            coalesce(nullif(c_mktsegment, 'BUILDING'), 'SUPPRESSED')
              AS seg_filled,
-           CASE WHEN nullif(c_mktsegment, 'BUILDING') IS NULL THEN 0
-                ELSE 1 END AS kept,
+           CAST(CASE WHEN nullif(c_mktsegment, 'BUILDING') IS NULL THEN 0
+                ELSE 1 END AS BIGINT) AS kept,
            nullif(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM NULL
              AS is_suppressed
            FROM customer ORDER BY c_custkey"""))
@@ -792,7 +793,7 @@ object Relational {
              min(col("k")).as("min_k"), max(col("k")).as("max_k"))
         .orderBy("event_type"),
     Some("""SELECT event_type, count(*) AS n,
-           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
            max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
            FROM events GROUP BY event_type ORDER BY event_type"""))
@@ -832,7 +833,7 @@ object Relational {
              count(lit(1)).as("n_events"))
         .orderBy("user_id")
     },
-    Some("""SELECT user_id, sum(new_session) AS n_sessions,
+    Some("""SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
            count(*) AS n_events FROM (
              SELECT user_id,
                     CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000

@@ -18,6 +18,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Index-artifact caches. The SRP dimensionality probe and the IVF cell
+    * assignment are *index build* products (table metadata / a persisted
+    * vector-index file at deployment scale), not per-query work: memoized
+    * per dataset (dim is a data property) and per (session, dataset,
+    * params) (DataFrames are session-bound), they run once per JVM
+    * instead of once per query. This also bounds the persisted footprint
+    * to one entry per dataset — previously every ivfTopk call persisted a
+    * fresh copy and never released it. */
+  private val dimCache =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
+  private val ivfCache = scala.collection.concurrent.TrieMap
+    .empty[(Int, String, Int, Int), (DataFrame, DataFrame)]
+
   /** Cosine similarity between two array<double> columns — fused codegen
     * expression ([[graft.functions.CosineSim]]). Same FP op order as the
     * built-in HOF spelling `aggregate(zip_with(a,b,_*_), 0d, _+_) / ...`,
@@ -83,8 +96,10 @@ object Similarity {
     val e = T.embeddings(s, d)
       .select(col("vec_id"), col("label"),
               col("embedding").cast("array<double>").as("v"))
-    // One stats probe for the dimensionality (an index build's stats pass).
-    val dim = e.select(size(col("v"))).head().getInt(0)
+    // One stats probe for the dimensionality (an index build's stats
+    // pass) — memoized per dataset, so repeated queries read it as
+    // metadata instead of scanning a row each.
+    val dim = dimCache.getOrElseUpdate(d, e.select(size(col("v"))).head().getInt(0))
     val w = srpWeights(nPlanes, dim)
     val bit: Seq[Column] = (0 until nPlanes).map { p =>
       val proj = graft.functions.VectorFunctions.dot(col("v"), typedLit(w(p)))
@@ -149,7 +164,12 @@ object Similarity {
     * (cells, centroids): the assigned corpus and the centroid frame it
     * was assigned against. */
   def ivfIndex(s: SparkSession, d: String, k: Int = 16,
-      iters: Int = 1): (DataFrame, DataFrame) = {
+      iters: Int = 1): (DataFrame, DataFrame) =
+    ivfCache.getOrElseUpdate(
+      (System.identityHashCode(s), d, k, iters), buildIvfIndex(s, d, k, iters))
+
+  private def buildIvfIndex(s: SparkSession, d: String, k: Int,
+      iters: Int): (DataFrame, DataFrame) = {
     val e = T.embeddings(s, d)
       .select(col("vec_id"), col("label"),
               col("embedding").cast("array<double>").as("v"))
@@ -180,7 +200,11 @@ object Similarity {
         .toDF("cell", "cv")
         .select(col("cell"), col("cv").cast("array<double>").as("cv"))
     }
-    (assigned(cents), centDf)
+    // The assignment IS the index — persist it once here (the cache above
+    // hands the same frame to every consumer for the session's lifetime).
+    val cells = assigned(cents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (cells, centDf)
   }
 
   def ivfCells(s: SparkSession, d: String, k: Int = 16, iters: Int = 1): DataFrame =
@@ -204,12 +228,11 @@ object Similarity {
   def ivfTopk(s: SparkSession, d: String, topk: Int = 3, k: Int = 16,
       nprobe: Int = 4): DataFrame = {
     // The cell assignment is the IVF *index* — a materialized artifact
-    // (persisted table / vector-index file at deployment scale). Caching
-    // it here keeps the Lloyd pipeline from re-running for each of its
-    // three consumers (probe centroids, query side, candidate join).
-    val (cellsRaw, cents) = ivfIndex(s, d, k)
-    val cells = cellsRaw
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (persisted table / vector-index file at deployment scale), built
+    // and persisted once per (session, dataset, k) by ivfIndex's cache;
+    // its three consumers here (probe centroids, query side, candidate
+    // join) and every later query share the same persisted frame.
+    val (cells, cents) = ivfIndex(s, d, k)
     val centroids = cents.withColumnRenamed("cell", "pcell")
     val q = cells.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"))

@@ -23,9 +23,16 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       factor: Int): DataFrame = {
     require(factor > 0, "salt factor must be positive")
+    // The salt must be DETERMINISTIC in row content: it becomes a shuffle
+    // key, and a nondeterministic one (e.g. monotonically_increasing_id)
+    // can re-salt rows differently when a map task is recomputed after a
+    // fetch failure — the classic duplicated/lost-row hazard. Hashing all
+    // columns spreads a hot key as long as its rows differ anywhere;
+    // fully identical rows share a salt, which costs spread, not
+    // correctness.
     val salted = big.withColumn(
       "graft_salt",
-      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(factor.toLong)))
+      pmod(xxhash64(big.columns.toIndexedSeq.map(col): _*), lit(factor.toLong)))
     val replicated = small.withColumn(
       "graft_salt", explode(array((0 until factor).map(i => lit(i.toLong)): _*)))
     salted

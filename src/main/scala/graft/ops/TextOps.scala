@@ -179,23 +179,37 @@ object TextOps {
     * fingerprint, keep pairs sharing >= 10 — same linear join shape as
     * minhash banding, but edit-position-robust. Engine-specific hashes ->
     * no SQL oracle; TextSpec pins the semantics. */
+  /** Winnow pair generation body — `maxDf` exposed for tests; the
+    * declared query runs at [[Dedup.MaxPostingDf]]. */
+  private[ops] def winnowPairs(s: org.apache.spark.sql.SparkSession,
+      d: String, maxDf: Int): org.apache.spark.sql.DataFrame = {
+    val fpAll = T.documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.functions.Winnow.fingerprints(col("text"))).as("fp"))
+    // Df guard (same rationale as Dedup.pairsFromGroups): a fingerprint
+    // shared by more than maxDf documents is noise, not signal, and its
+    // pair expansion is quadratic. The count partial-aggregates
+    // map-side; the hot set is tiny -> broadcast anti-join, no extra
+    // shuffle of the exploded table.
+    val hot = fpAll.groupBy("fp").agg(count(lit(1)).as("graft_df"))
+      .filter(col("graft_df") > maxDf)
+      .select("fp")
+    val fp = fpAll.join(broadcast(hot), Seq("fp"), "left_anti")
+    // NOTE: deliberately a self-join, not pairsFromGroups — winnow
+    // fingerprints have no blocking key, so one hot fingerprint's whole
+    // pair expansion would run inside a single task; the join spreads
+    // that work across tasks instead.
+    fp.as("x").join(fp.as("y"),
+        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 10)
+      .orderBy("a", "b")
+  }
+
   val qTextWinnowPairs = Q(
     "q_text_winnow_pairs",
-    (s, d) => {
-      val fp = T.documents(s, d)
-        .select(col("doc_id"),
-          explode(graft.functions.Winnow.fingerprints(col("text"))).as("fp"))
-      // NOTE: deliberately a self-join, not pairsFromGroups — winnow
-      // fingerprints have no blocking key, so one hot fingerprint's whole
-      // pair expansion would run inside a single task; the join spreads
-      // that work across tasks instead.
-      fp.as("x").join(fp.as("y"),
-          col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-        .agg(count(lit(1)).as("n_shared"))
-        .filter(col("n_shared") >= 10)
-        .orderBy("a", "b")
-    },
+    (s, d) => winnowPairs(s, d, Dedup.MaxPostingDf),
     None)
 
   /** Array-function matrix over token arrays: size, membership,
@@ -232,7 +246,10 @@ object TextOps {
   val qPipelineFilter = Q(
     "q_pipeline_filter",
     (s, d) => {
-      val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+      // Dedup groups key on md5(text), not the text body — the window
+      // exchange ships 32-char hashes instead of whole documents (see
+      // Dedup.qDedupExact for the scale rationale).
+      val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
       T.documents(s, d)
         .withColumn("rn", row_number().over(w))
         .withColumn("toks", split(col("text"), " "))
@@ -247,12 +264,12 @@ object TextOps {
         .orderBy("source")
     },
     Some("""WITH survivors AS (
-             SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id)
+             SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id)
                     AS rn,
                     string_split(text, ' ') AS toks
              FROM documents)
            SELECT source, count(*) AS n_docs,
-                  sum(len(toks)) AS n_tokens
+                  CAST(sum(len(toks)) AS BIGINT) AS n_tokens
            FROM survivors
            WHERE rn = 1
              AND CAST(len(list_filter(toks,

@@ -77,14 +77,19 @@ object Pipelines {
             Iterator(SessionOut(user, s.start, s.end, s.n))
           } else {
             // Fold sorted event times into the open session; close and
-            // emit whenever a gap exceeds gapMs.
+            // emit whenever a gap exceeds gapMs. Merging takes
+            // min(start)/max(end): a cross-batch out-of-order event
+            // (above the watermark but before the open session's end)
+            // must extend the span, never shrink it — s.copy(end = t)
+            // would move the session end backwards.
             val times = rows.map(_.ts.getTime).toArray.sorted
             var out = List.empty[SessionOut]
             var cur = state.getOption
             times.foreach { t =>
               cur match {
                 case Some(s) if t - s.end <= gapMs =>
-                  cur = Some(s.copy(end = t, n = s.n + 1))
+                  cur = Some(SessionState(
+                    math.min(s.start, t), math.max(s.end, t), s.n + 1))
                 case Some(s) =>
                   out = SessionOut(user, s.start, s.end, s.n) :: out
                   cur = Some(SessionState(t, t, 1))
@@ -94,7 +99,11 @@ object Pipelines {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.end + gapMs)
+              // Spark rejects a timeout at/below the current watermark —
+              // clamp just above it when the session end already trails
+              // the watermark (late-but-accepted data).
+              val wm = state.getCurrentWatermarkMs()
+              state.setTimeoutTimestamp(math.max(s.end + gapMs, wm + 1))
             }
             out.reverseIterator
           }

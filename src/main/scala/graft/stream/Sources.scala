@@ -28,28 +28,53 @@ object Sources {
     * of `KafkaReader(batch_size=...)` (`core.py:12`, applied `core.py:111`)
     * via `maxOffsetsPerTrigger`; cold start from earliest mirrors
     * `auto.offset.reset='earliest'` (`core.py:23`). */
+  /** The option map [[kafkaStream]] hands the Kafka source — factored out
+    * so the wiring is unit-testable without a broker (the format itself
+    * can't load in this offline image, so an option typo would otherwise
+    * hide until deployment). */
+  private[stream] def kafkaStreamOptions(
+      bootstrap: String,
+      topic: String,
+      batchSize: Long,
+      startingOffsets: String,
+      minPartitions: Option[Int]): Map[String, String] = {
+    val base = Map(
+      "kafka.bootstrap.servers" -> bootstrap,
+      "subscribe" -> topic,
+      "startingOffsets" -> startingOffsets,
+      "maxOffsetsPerTrigger" -> batchSize.toString)
+    // minPartitions oversplits topic-partitions into more input splits
+    // than the 1:1 default — the lever when executor count exceeds the
+    // topic's partition count (the reference is pinned to its 4).
+    minPartitions.fold(base)(n => base + ("minPartitions" -> n.toString))
+  }
+
   def kafkaStream(
       spark: SparkSession,
       bootstrap: String,
       topic: String,
       batchSize: Long = 10000L,
       startingOffsets: String = "earliest",
-      minPartitions: Option[Int] = None): DataFrame = {
-    val base = spark.readStream
+      minPartitions: Option[Int] = None): DataFrame =
+    spark.readStream
       .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topic)
-      .option("startingOffsets", startingOffsets)
-      .option("maxOffsetsPerTrigger", batchSize)
-    // minPartitions oversplits topic-partitions into more input splits
-    // than the 1:1 default — the lever when executor count exceeds the
-    // topic's partition count (the reference is pinned to its 4).
-    minPartitions.fold(base)(n => base.option("minPartitions", n)).load()
-  }
+      .options(kafkaStreamOptions(
+        bootstrap, topic, batchSize, startingOffsets, minPartitions))
+      .load()
 
   /** Bounded Kafka read over an explicit offset range — the batch analogue
     * of one `read_batch()` call (`core.py:27-73`), with Spark doing the
     * per-partition range planning. */
+  private[stream] def kafkaBatchOptions(
+      bootstrap: String,
+      topic: String,
+      startingOffsets: String,
+      endingOffsets: String): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrap,
+    "subscribe" -> topic,
+    "startingOffsets" -> startingOffsets,
+    "endingOffsets" -> endingOffsets)
+
   def kafkaBatch(
       spark: SparkSession,
       bootstrap: String,
@@ -58,10 +83,7 @@ object Sources {
       endingOffsets: String = "latest"): DataFrame =
     spark.read
       .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrap)
-      .option("subscribe", topic)
-      .option("startingOffsets", startingOffsets)
-      .option("endingOffsets", endingOffsets)
+      .options(kafkaBatchOptions(bootstrap, topic, startingOffsets, endingOffsets))
       .load()
 
   /** Decode a Kafka-shaped frame (binary `value` column) of JSON hit

@@ -62,6 +62,21 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "rangepartitioning") == 0, p)
   }
 
+  test("exact dedup shuffles a 128-bit text hash, never the document body") {
+    // the window exchange must partition on md5(text) — shipping full
+    // document bodies through the exchange is the dominant shuffle at
+    // corpus scale
+    for (name <- Seq("q_dedup_exact", "q_pipeline_filter")) {
+      val p = plan(name)
+      assert(p.contains("md5("), s"$name: no md5 partition key:\n$p")
+      val exch = p.linesIterator
+        .filter(l => l.contains("hashpartitioning"))
+        .mkString("\n")
+      assert(!exch.contains("text#"),
+        s"$name: exchange keyed on raw text:\n$exch")
+    }
+  }
+
   test("multimodal metadata queries never read the blob column") {
     val p = plan("q_mm_meta_stats")
     assert(!p.contains("bytes"), "metadata query deserializes blobs:\n" + p)

@@ -93,6 +93,38 @@ class StreamingSpec extends SparkSpec {
       s"expected sessions {2 events, 1 event}, got $rows")
   }
 
+  test("out-of-order cross-batch event extends a session, never shrinks it") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val in = MemoryStream[Pipelines.SessionInput]
+    val q = Pipelines.sessionsWithState(in.toDS(), gapMs = 30L * 60 * 1000)
+      .writeStream.format("memory").queryName("fmgws_ooo").outputMode("append")
+      .start()
+    // batch 1: open session [09:00, 09:10]
+    in.addData(
+      Pipelines.SessionInput(1L, ts("2026-01-01 09:00:00")),
+      Pipelines.SessionInput(1L, ts("2026-01-01 09:10:00")))
+    q.processAllAvailable()
+    // batch 2: out-of-order events above the 2h watermark — one inside
+    // the open span, one before its start. The merge must take
+    // min(start)/max(end): end stays 09:10 (s.copy(end = t) would drag
+    // it back to 08:55 and emit a shrunken session).
+    in.addData(
+      Pipelines.SessionInput(1L, ts("2026-01-01 09:05:00")),
+      Pipelines.SessionInput(1L, ts("2026-01-01 08:55:00")))
+    q.processAllAvailable()
+    // flush: advance the watermark far past the session close
+    in.addData(Pipelines.SessionInput(9L, ts("2026-01-01 23:00:00")))
+    runToCompletion(q)
+    val rows = s.sql(
+        "SELECT sess_start, sess_end, n_events FROM fmgws_ooo WHERE user_id = 1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows === Set((
+      ts("2026-01-01 08:55:00").getTime,
+      ts("2026-01-01 09:10:00").getTime, 4L)), s"got $rows")
+  }
+
   test("dropDuplicatesWithinWatermark emits each key once") {
     val s = spark
     import s.implicits._

@@ -16,17 +16,9 @@ import org.scalacheck.{Gen, Prop, Test => ScTest}
 class TdcSpec extends SparkSpec {
   import OrbitTime._
 
-  /** 61 deterministic hits: orbit ramps over 451 orbits, channels cycle
-    * 1..125, FPGA alternates — mirrors the golden sample's domains. */
-  private val fixture: Seq[TdcHit] = (0 until 61).map { i =>
-    TdcHit(
-      HEAD = 2,
-      FPGA = i % 2,
-      TDC_CHANNEL = 1 + (i * 7) % 125,
-      ORBIT_CNT = 2252311494L + (i * 451L) / 61,
-      BX_COUNTER = (i * 57) % 3564,
-      TDC_MEAS = 1 + i % 30)
-  }
+  /** The shared 61-hit golden fixture — also the frame behind the
+    * declared `q_tdc_occupancy` query (graft.ops.Tdc). */
+  private val fixture: Seq[TdcHit] = graft.model.TdcFixture.hits
 
   private lazy val hits = {
     val s = spark
@@ -66,6 +58,20 @@ class TdcSpec extends SparkSpec {
     val occ = hits.groupBy("FPGA", "TDC_CHANNEL").agg(count(lit(1)).as("n"))
     assert(occ.agg(sum("n")).head().getLong(0) === 61)
     assert(occ.filter(col("FPGA") === 0).count() === 31) // even i of 0..60
+  }
+
+  test("q_tdc_occupancy matches the fixture computed in plain Scala") {
+    val got = graft.ops.Tdc.qTdcOccupancy.fn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val want = fixture.groupBy(h => (h.FPGA, h.TDC_CHANNEL)).map {
+      case (k, hs) =>
+        val ts = hs.map(h =>
+          (h.ORBIT_CNT * BxPerOrbit + h.BX_COUNTER) * TdcPerBx + h.TDC_MEAS)
+        k -> (hs.size.toLong, ts.min, ts.max)
+    }
+    assert(got === want)
+    assert(got.values.map(_._1).sum === 61L)
   }
 
   test("orbit-time decomposition round-trips (property)") {

@@ -1,0 +1,73 @@
+package graft.ops
+
+import graft.SparkSpec
+
+import org.apache.spark.sql.functions._
+
+/** Hot-key / hot-block guards that keep the dedup family linear at corpus
+  * scale: document-frequency caps on posting lists and fingerprint joins,
+  * and the per-label block-size cap on the embedding self-join. Each test
+  * shows the guard bounding a pathological input while leaving normal
+  * inputs untouched (the declared queries run with caps far above any
+  * observed sf0.1 group size, so gate results are unchanged).
+  */
+class ScaleGuardSpec extends SparkSpec {
+
+  private val tmp =
+    java.nio.file.Files.createTempDirectory("scale_guard").toString
+
+  private def writeDocs(rows: (Long, String)*): Unit = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("unit"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+  }
+
+  test("pairsFromGroups drops hot keys above maxDf, keeps the rest intact") {
+    val s = spark
+    import s.implicits._
+    // key "hot" spans 5 docs, key "ok" spans 3 — with maxDf = 4 only the
+    // ok-key pairs may appear
+    val posting = (
+      (1L to 5L).map(i => ("hot", i)) ++ (10L to 12L).map(i => ("ok", i))
+    ).toDF("k", "doc_id")
+    val capped = Dedup.pairsFromGroups(posting, Seq("k"), maxDf = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((10L, 11L), (10L, 12L), (11L, 12L)),
+      s"hot-key pairs must be dropped, got $capped")
+    // with the cap above every df, all pairs appear (5C2 + 3C2 = 13)
+    val uncapped = Dedup.pairsFromGroups(posting, Seq("k"), maxDf = 100)
+    assert(uncapped.count() === 13)
+  }
+
+  test("winnow pair generation drops fingerprints above maxDf") {
+    val body = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed " +
+      "do eiusmod tempor incididunt ut labore et dolore magna aliqua ut " +
+      "enim ad minim veniam quis nostrud exercitation ullamco laboris")
+    writeDocs(1L -> body, 2L -> body, 3L -> body)
+    // every fingerprint has df = 3: above a cap of 2 nothing may pair...
+    assert(TextOps.winnowPairs(spark, tmp, maxDf = 2).count() === 0)
+    // ...below the declared cap all three pairs appear
+    val full = TextOps.winnowPairs(spark, tmp, maxDf = Dedup.MaxPostingDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("embedding near-dup blocks are bounded by maxBlock") {
+    val s = spark
+    import s.implicits._
+    // four identical vectors in one label block: uncapped -> 6 pairs;
+    // capped at 2 -> only the first two (by vec_id) may pair
+    (1L to 4L).map(i => (i, Array(1.0f, 2.0f, 3.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val capped = Dedup.embeddingPairs(spark, tmp, maxBlock = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((1L, 2L)), s"block must cap at 2 vectors, got $capped")
+    assert(Dedup.embeddingPairs(spark, tmp, Dedup.MaxEmbeddingBlock)
+      .count() === 6)
+  }
+}

@@ -42,6 +42,19 @@ def main(sf_dir: str, out_dir: str) -> int:
             ok = False
             msgs.append(f"rows {len(got)} != {len(want)}")
         else:
+            # dtype-strict: the driver's hash gate is sensitive to the
+            # physical type (e.g. DuckDB widens integer sum() to HUGEINT
+            # while Spark emits BIGINT — values equal, hashes differ), so
+            # a dtype mismatch must fail locally too.
+            for c in got.columns:
+                da, db = str(got[c].dtype), str(want[c].dtype)
+                if da != db:
+                    ok = False
+                    msgs.append(f"col {c}: dtype {da} != {db}")
+            if not ok:
+                n_fail += 1
+                print(f"  - {name}: FAIL  " + "; ".join(msgs))
+                continue
             for c in got.columns:
                 a, b = got[c], want[c]
                 try:
