@@ -1,0 +1,174 @@
+package graft.ops
+
+import graft.{Q, Tables => T}
+import graft.util.Det.{r2, sqlR2}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation surface beyond filtering/dedup: repetition quality
+  * signals (the Gopher-style rules), deterministic sampling, per-group
+  * heavy hitters, and PII redaction. All built-in codegen expressions;
+  * every op keyed on content hashes or aggregates — nothing driver-side.
+  */
+object Curation {
+
+  /** Repetition quality signals per document — the two workhorse
+    * Gopher-rule inputs: the duplicate word-2-gram ratio (1 − distinct/
+    * total) and the top-token dominance (most frequent token's share).
+    * Two aggregations over the exploded token stream plus one map-side
+    * shingle pass, joined back on doc_id — both shuffles partial-
+    * aggregate map-side. */
+  val qTextRepetition = Q(
+    "q_text_repetition",
+    (s, d) => {
+      val tokAgg = T.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id")
+        .agg(max(col("cnt")).as("max_cnt"), sum(col("cnt")).as("n_toks"))
+      val grams = T.documents(s, d).select(
+        col("doc_id"),
+        size(graft.functions.WordShingles.shingles(col("text")))
+          .as("n_distinct_2g"),
+        greatest(size(split(col("text"), " ")) - 1, lit(1)).as("n_2g"))
+      grams.join(tokAgg, "doc_id")
+        .select(
+          col("doc_id"),
+          r2(lit(1.0) - col("n_distinct_2g").cast("double") / col("n_2g"))
+            .as("dup_2gram_ratio"),
+          r2(col("max_cnt").cast("double") / col("n_toks"))
+            .as("top_tok_ratio"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH tc AS (
+              SELECT doc_id, tok, count(*) AS cnt FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents)
+              GROUP BY 1, 2),
+            ta AS (SELECT doc_id, max(cnt) AS max_cnt, sum(cnt) AS n_toks
+                   FROM tc GROUP BY 1),
+            g AS (SELECT doc_id,
+                    len(list_distinct(list_transform(
+                      range(1, greatest(len(string_split(text, ' ')) - 1, 1) + 1),
+                      i -> array_to_string(string_split(text, ' ')[i:i+1], ' '))))
+                      AS n_distinct_2g,
+                    greatest(len(string_split(text, ' ')) - 1, 1) AS n_2g
+                  FROM documents)
+            SELECT g.doc_id,
+              ${sqlR2("1.0 - CAST(n_distinct_2g AS DOUBLE) / n_2g")}
+                AS dup_2gram_ratio,
+              ${sqlR2("CAST(max_cnt AS DOUBLE) / n_toks")} AS top_tok_ratio
+            FROM g JOIN ta USING (doc_id)
+            ORDER BY doc_id"""))
+
+  /** Deterministic ~10% corpus sample: keep documents whose
+    * md5(doc_id)'s first byte falls under 0x1a. Content-hash sampling is
+    * THE reproducible sampling primitive at corpus scale — stable across
+    * runs, engines and partitionings, no RNG state, trivially pushed
+    * into a scan filter. */
+  val qSampleHash = Q(
+    "q_sample_hash",
+    (s, d) =>
+      T.documents(s, d)
+        .filter(substring(md5(col("doc_id").cast("string").cast("binary")),
+          1, 2) <= "19")
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id, source FROM documents
+           WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '19'
+           ORDER BY doc_id"""))
+
+  /** Stratified deterministic sample: exactly (up to) 20 documents per
+    * source, chosen by md5 hash order — per-stratum quotas without an
+    * RNG. One window exchange on the (low-cardinality) stratum key. */
+  val qSampleStratified = Q(
+    "q_sample_stratified",
+    (s, d) => {
+      val h = md5(col("doc_id").cast("string").cast("binary"))
+      val w = Window.partitionBy(col("source")).orderBy(h, col("doc_id"))
+      T.documents(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 20)
+        .select(col("source"), col("rn"), col("doc_id"))
+        .orderBy("source", "rn")
+    },
+    Some("""SELECT source, CAST(rn AS INT) AS rn, doc_id FROM (
+             SELECT source, doc_id,
+                    row_number() OVER (PARTITION BY source
+                      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             FROM documents)
+           WHERE rn <= 20 ORDER BY source, rn"""))
+
+  /** Exact heavy hitters: the 10 most frequent tokens per source. The
+    * token counts two-phase aggregate (map-side partials), then one
+    * window pass over the aggregated (source, token) frame — tiny
+    * relative to the corpus — picks each stratum's top 10. At larger
+    * group cardinalities the same query shape runs on a count-min/
+    * space-saving sketch; this is the exact, oracle-checkable form. */
+  val qAggHeavyHitters = Q(
+    "q_agg_heavy_hitters",
+    (s, d) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n").desc, col("tok"))
+      T.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("n"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .orderBy("source", "rank")
+    },
+    Some("""SELECT source, tok, n, CAST(rank AS INT) AS rank FROM (
+             SELECT source, tok, count(*) AS n,
+                    row_number() OVER (PARTITION BY source
+                      ORDER BY count(*) DESC, tok) AS rank
+             FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+                   FROM documents)
+             GROUP BY source, tok)
+           WHERE rank <= 10 ORDER BY source, rank"""))
+
+  /** PII redaction: scrub emails and long digit runs, report per-doc
+    * redaction counts + the cleaned length. The synthetic corpus is
+    * PII-free word soup, so the query plants one deterministic email and
+    * number per document (derived from doc_id) before scrubbing — the
+    * gate then verifies the regex semantics actually agree between
+    * engines instead of comparing all-zero counts. Patterns use only
+    * constructs Java regex and RE2 read identically. */
+  val qTextPiiScrub = Q(
+    "q_text_pii_scrub",
+    (s, d) => {
+      val emailRe = "[a-z0-9._]+@[a-z0-9.-]+"
+      val numRe = "[0-9]{4,}"
+      val annotated = concat(
+        col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com ref "), (col("doc_id") * 1234567L).cast("string"))
+      val scrubbed = regexp_replace(
+        regexp_replace(annotated, emailRe, "<EMAIL>"), numRe, "<NUM>")
+      T.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(regexp_extract_all(annotated, lit(emailRe), lit(0)))
+            .as("n_emails"),
+          size(regexp_extract_all(annotated, lit(numRe), lit(0)))
+            .as("n_longnums"),
+          length(scrubbed).as("clean_len"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+           CAST(len(regexp_extract_all(a, '[a-z0-9._]+@[a-z0-9.-]+')) AS INT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(a, '[0-9]{4,}')) AS INT)
+             AS n_longnums,
+           CAST(length(regexp_replace(regexp_replace(a,
+             '[a-z0-9._]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+             '[0-9]{4,}', '<NUM>', 'g')) AS INT) AS clean_len
+           FROM (SELECT doc_id,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+                   '@example.com ref ' || CAST(doc_id * 1234567 AS VARCHAR)
+                     AS a
+                 FROM documents)
+           ORDER BY doc_id"""))
+
+  val all: Seq[Q] = Seq(
+    qTextRepetition, qSampleHash, qSampleStratified, qAggHeavyHitters,
+    qTextPiiScrub)
+}

@@ -1,0 +1,63 @@
+package graft
+
+import graft.ops.AsOf
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => ScTest}
+
+/** The as-of join operator against its brute-force definition: for every
+  * left row, the matched right row is the one with the greatest
+  * rts <= ts among equal keys (inclusive), nulls when none exists.
+  */
+class AsOfSpec extends SparkSpec {
+
+  test("asofJoin matches the brute-force definition (property)") {
+    val params =
+      ScTest.Parameters.default.withMinSuccessfulTests(6).withMaxSize(40)
+    val leftGen = Gen.listOfN(20,
+      Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 50L)))
+    val rightGen = Gen.listOfN(15,
+      Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 50L)))
+    val prop = Prop.forAllNoShrink(leftGen, rightGen) { (lRaw, rRaw) =>
+      val s = spark
+      import s.implicits._
+      val lRows = lRaw.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+      // unique (key, ts) on the right — the operator's precondition
+      val rRows = rRaw.distinct.map { case (k, t) => (k, t, t * 10 + k) }
+      val left = lRows.toDF("id", "k", "ts")
+      val right = rRows.toDF("k", "rts", "v")
+      val got = AsOf.asofJoin(left, right, Seq("k"), "ts", "rts", Seq("v"))
+        .select("id", "asof_rts", "asof_v")
+        .collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))
+        .toSet
+      val want = lRows.map { case (id, k, t) =>
+        val m = rRows.filter(r => r._1 == k && r._2 <= t)
+          .sortBy(_._2).lastOption
+        (id, m.map(_._2), m.map(_._3))
+      }.toSet
+      got == want
+    }
+    val res = ScTest.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("asofJoin keeps every left row exactly once (left-outer cardinality)") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 0L, 5L), (2L, 0L, 5L), (3L, 1L, 2L))
+      .toDF("id", "k", "ts") // duplicate (k, ts) on the LEFT is fine
+    val right = Seq((0L, 5L, 99L)).toDF("k", "rts", "v")
+    val out = AsOf.asofJoin(left, right, Seq("k"), "ts", "rts", Seq("v"))
+    assert(out.count() === 3)
+    // equal timestamps match inclusively
+    val byId = out.collect()
+      .map(r => r.getLong(r.fieldIndex("id")) ->
+        (if (r.isNullAt(r.fieldIndex("asof_v"))) None
+         else Some(r.getLong(r.fieldIndex("asof_v"))))).toMap
+    assert(byId(1L) === Some(99L) && byId(2L) === Some(99L))
+    assert(byId(3L) === None)
+  }
+}

@@ -77,6 +77,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q_join_asof is join-free: union + forward-fill window, no pair expansion") {
+    val p = plan("q_join_asof")
+    assert(count(p, "SortMergeJoin") == 0 && count(p, "NestedLoop") == 0 &&
+      count(p, "ShuffledHashJoin") == 0 && count(p, "BroadcastHashJoin") == 0,
+      "as-of must not plan a join:\n" + p)
+    assert(p.contains("Window"), p)
+    assert(p.contains("Union"), p)
+  }
+
   test("multimodal metadata queries never read the blob column") {
     val p = plan("q_mm_meta_stats")
     assert(!p.contains("bytes"), "metadata query deserializes blobs:\n" + p)
