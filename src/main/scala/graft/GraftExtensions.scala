@@ -49,6 +49,7 @@ object GraftExtensions {
     "graft_shingles" -> (es => WordShingles(es.head)),
     "graft_minhash" -> (es => MinHashSig(es.head)),
     "graft_simhash" -> (es => SimHashSig(es.head)),
+    "graft_quantize" -> (es => QuantizeStats(es.head)),
     "graft_vec_avg" -> (es => VectorAvgAgg(es.head)),
     "graft_histogram" -> (es =>
       HistogramAgg(es.head, foldedDouble(es(1), "histogram width"))),

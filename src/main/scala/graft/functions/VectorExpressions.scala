@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
@@ -107,6 +107,68 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Int8 quantization summary of an array<double> vector in ONE fused
+  * pass: struct(scale, q_sum, q_l1) where scale = 127 / max|x_i| (0 for
+  * the zero vector), q_i = floor(x_i * scale + 0.5) — the deterministic
+  * round both engines compute bit-identically — and q_sum / q_l1 are the
+  * exact integer sums of q_i / |q_i|. Vector compression for embedding
+  * storage is a standard corpus-pipeline pass; the HOF spelling would be
+  * three interpreted lambda chains and three passes over the array. */
+case class QuantizeStats(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "graft_quantize"
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("q_sum", LongType, nullable = false),
+    StructField("q_l1", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects array<double>, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var mx = 0.0; var i = 0
+    while (i < n) { mx = math.max(mx, math.abs(x.getDouble(i))); i += 1 }
+    val sc = if (mx == 0.0) 0.0 else 127.0 / mx
+    var qs = 0L; var ql = 0L; i = 0
+    while (i < n) {
+      val q = math.floor(x.getDouble(i) * sc + 0.5).toLong
+      qs += q; ql += math.abs(q)
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](sc, qs, ql))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val (n, mx, sc, qs, ql, i) = (ctx.freshName("n"), ctx.freshName("mx"),
+        ctx.freshName("sc"), ctx.freshName("qs"), ctx.freshName("ql"),
+        ctx.freshName("i"))
+      s"""
+        |int $n = $a.numElements();
+        |double $mx = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  $mx = java.lang.Math.max($mx, java.lang.Math.abs($a.getDouble($i)));
+        |}
+        |double $sc = $mx == 0.0 ? 0.0 : 127.0 / $mx;
+        |long $qs = 0L, $ql = 0L;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  long q = (long) java.lang.Math.floor($a.getDouble($i) * $sc + 0.5);
+        |  $qs += q; $ql += java.lang.Math.abs(q);
+        |}
+        |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        |  new Object[]{$sc, $qs, $ql});
+      """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Fused codegen cosine — drop-in for the HOF spelling, same FP results. */
   def cosineSim(a: Column, b: Column): Column =
@@ -114,6 +176,10 @@ object VectorFunctions {
 
   def dot(a: Column, b: Column): Column =
     Bridge.column(DotProduct(expr(a), expr(b)))
+
+  /** Fused int8-quantization summary: struct(scale, q_sum, q_l1). */
+  def quantizeStats(v: Column): Column =
+    Bridge.column(QuantizeStats(expr(v)))
 
   /** Expose the expressions to SQL: `SELECT graft_cosine(a, b)`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -1,0 +1,130 @@
+package graft.ops
+
+import graft.{Q, Tables => T}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-analytics surface over `events`: ordered conversion funnel,
+  * weekly cohort retention, and a bin-bucketed interval join. These are
+  * the standard product-analytics shapes a general engine must express;
+  * all three are pure DataFrame compositions whose shuffles stay keyed
+  * on `user_id` (funnel, cohort) or a coarse time bin (interval join).
+  */
+object Analytics {
+
+  private def ev(s: SparkSession, d: String): DataFrame =
+    T.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+
+  /** Ordered conversion funnel view -> click -> purchase: a user counts
+    * at stage N only with an event strictly after their stage-N-1 entry
+    * time. Three min-aggregations chained by joins, every shuffle keyed
+    * on user_id — at cluster scale all stages reuse one hash
+    * partitioning, and each stage's frame is one row per surviving user
+    * (monotonically shrinking). */
+  val qEventsFunnel = Q(
+    "q_events_funnel",
+    (s, d) => {
+      val e = ev(s, d)
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t_view"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") > col("t_view"))
+        .groupBy("user_id").agg(min("ts").as("t_click"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") > col("t_click"))
+        .groupBy("user_id").agg(min("ts").as("t_buy"))
+      v.select(lit(1).as("stage"), col("user_id"))
+        .union(c.select(lit(2).as("stage"), col("user_id")))
+        .union(p.select(lit(3).as("stage"), col("user_id")))
+        .groupBy("stage").agg(count(lit(1)).as("n_users"))
+        .orderBy("stage")
+    },
+    Some("""WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+                      WHERE event_type = 'view' GROUP BY 1),
+            c AS (SELECT e.user_id, min(e.ts) AS t_click
+                  FROM events e JOIN v ON e.user_id = v.user_id
+                  WHERE e.event_type = 'click' AND e.ts > v.t_view
+                  GROUP BY 1),
+            p AS (SELECT e.user_id, min(e.ts) AS t_buy
+                  FROM events e JOIN c ON e.user_id = c.user_id
+                  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+                  GROUP BY 1)
+           SELECT stage, count(*) AS n_users FROM (
+             SELECT CAST(1 AS INT) AS stage, user_id FROM v
+             UNION ALL SELECT CAST(2 AS INT), user_id FROM c
+             UNION ALL SELECT CAST(3 AS INT), user_id FROM p)
+           GROUP BY stage ORDER BY stage"""))
+
+  /** Weekly cohort retention: users grouped by first-activity week, and
+    * for each (cohort, weeks-since-cohort) the count of users active
+    * that week. Both `date_trunc('week', …)` dialects are Monday-start,
+    * and the week offset is an exact integer (day diff of two week
+    * starts / 7), so the output is dialect-stable. Two aggregations and
+    * a join, all keyed on user_id. */
+  val qEventsCohort = Q(
+    "q_events_cohort",
+    (s, d) => {
+      val wk = date_trunc("week", col("ts")).cast("date")
+      val e = ev(s, d)
+      val first = e.groupBy("user_id").agg(min(wk).as("cohort"))
+      val active = e.select(col("user_id"), wk.as("wk")).distinct()
+      active.join(first, "user_id")
+        .groupBy(col("cohort"),
+          (datediff(col("wk"), col("cohort")) / 7).cast("int").as("week_n"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort", "week_n")
+    },
+    Some("""WITH f AS (SELECT user_id,
+                         min(CAST(date_trunc('week', ts) AS DATE)) AS cohort
+                       FROM events GROUP BY 1),
+            a AS (SELECT DISTINCT user_id,
+                         CAST(date_trunc('week', ts) AS DATE) AS wk
+                  FROM events)
+           SELECT cohort,
+                  CAST(datediff('day', cohort, wk) / 7 AS INT) AS week_n,
+                  count(DISTINCT user_id) AS n_users
+           FROM a JOIN f USING (user_id)
+           GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  /** Point-in-interval join, bin-bucketed: count lineitems shipped in
+    * each of 24 overlapping 45-day promo windows. The naive plan for
+    * point-BETWEEN-interval is a nested-loop over every (point,
+    * interval) pair; bucketing by a 30-day bin turns it into an
+    * EQUI-join — intervals explode into the (<=2, width/bin+1) bins they
+    * overlap, points land in exactly one bin, the join keys on the bin,
+    * and a residual BETWEEN filter keeps exact semantics. Each matching
+    * pair meets in exactly one bin (the point's), so no post-join dedup
+    * is needed. That shape survives BOTH sides growing — the classic
+    * spatial/temporal binning trick — while the oracle states the plain
+    * range predicate. */
+  val qJoinIntervalBinned = Q(
+    "q_join_interval_binned",
+    (s, d) => {
+      val binDays = 30
+      val binOf: Column => Column =
+        c => floor(unix_date(c) / binDays).cast("long")
+      val w0 = to_date(lit("1994-01-01"))
+      val wins = s.range(24).select(
+          col("id").as("w_id"),
+          date_add(w0, (col("id") * 30).cast("int")).as("ws"),
+          date_add(w0, (col("id") * 30 + 44).cast("int")).as("we"))
+        .withColumn("bin", explode(sequence(binOf(col("ws")), binOf(col("we")))))
+      val pts = T.lineitem(s, d)
+        .select(to_date(col("l_shipdate")).as("sd"))
+        .withColumn("bin", binOf(col("sd")))
+      pts.join(wins, "bin")
+        .filter(col("sd").between(col("ws"), col("we")))
+        .groupBy("w_id").agg(count(lit(1)).as("n_items"))
+        .orderBy("w_id")
+    },
+    Some("""WITH w AS (SELECT range AS w_id,
+                              DATE '1994-01-01' + CAST(range * 30 AS INT) AS ws,
+                              DATE '1994-01-01' + CAST(range * 30 + 44 AS INT) AS we
+                       FROM range(24))
+           SELECT w_id, count(*) AS n_items
+           FROM lineitem JOIN w
+             ON CAST(l_shipdate AS DATE) BETWEEN ws AND we
+           GROUP BY w_id ORDER BY w_id"""))
+
+  val all: Seq[Q] = Seq(qEventsFunnel, qEventsCohort, qJoinIntervalBinned)
+}

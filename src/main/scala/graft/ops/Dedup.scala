@@ -94,6 +94,44 @@ object Dedup {
              FROM documents)
            WHERE rn = 1 GROUP BY lang ORDER BY lang"""))
 
+  /** Distinct MinHash-LSH candidate pairs (a < b) — the shared input of
+    * [[qDedupMinhash]] and [[Graph.qDedupComponents]]. Signatures are
+    * computed entirely map-side, fused into one pass by the MinHashSig
+    * expression — no explode, no groupBy(doc_id) shuffle. Only the band
+    * groupBy inside [[pairsFromGroups]] ever shuffles. */
+  private[ops] def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val mh = shingled(s, d)
+      .select(col("doc_id"),
+        graft.functions.MinHashSig.minhash(col("sh")).as("sig"))
+    val bands = mh.select(col("doc_id"),
+        posexplode(array(
+          concat_ws("", slice(col("sig"), 1, 4)),
+          concat_ws("", slice(col("sig"), 5, 4)))))
+      .toDF("doc_id", "band_no", "band")
+    pairsFromGroups(bands, Seq("band_no", "band")).distinct()
+  }
+
+  /** DuckDB mirror of [[minhashPairs]]: CTE chain ending in
+    * `cand(a, b)` — the candidate pair set, distinct, a < b. */
+  private[ops] val minhashPairsSqlCte: String =
+    s"""$shingleSqlCte,
+       hx AS (SELECT doc_id, md5('0:' || sh) AS m0, md5('1:' || sh) AS m1
+              FROM sh),
+       mh AS (SELECT doc_id,
+                min(substring(m0, 1, 8))  AS h0, min(substring(m0, 9, 8))  AS h1,
+                min(substring(m0, 17, 8)) AS h2, min(substring(m0, 25, 8)) AS h3,
+                min(substring(m1, 1, 8))  AS h4, min(substring(m1, 9, 8))  AS h5,
+                min(substring(m1, 17, 8)) AS h6, min(substring(m1, 25, 8)) AS h7
+              FROM hx GROUP BY doc_id),
+       bands AS (
+         SELECT doc_id, 0 AS band_no, h0 || h1 || h2 || h3 AS band FROM mh
+         UNION ALL
+         SELECT doc_id, 1 AS band_no, h4 || h5 || h6 || h7 AS band FROM mh),
+       cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+                FROM bands x JOIN bands y
+                  ON x.band_no = y.band_no AND x.band = y.band
+                 AND x.doc_id < y.doc_id)"""
+
   /** MinHash(8 planes) + LSH banding (2 bands × 4 rows): candidate
     * near-duplicate pairs. Portable hash, cheap: TWO md5s per shingle
     * ('0:'/'1:' seed prefixes), each split into four 8-hex-char (32-bit)
@@ -102,40 +140,9 @@ object Dedup {
     * is what keeps this linear at corpus scale — never pair-compare. */
   val qDedupMinhash = Q(
     "q_dedup_minhash",
-    (s, d) => {
-      // Signatures are computed entirely map-side, fused into one pass by
-      // the MinHashSig expression — no explode, no groupBy(doc_id)
-      // shuffle. Only the band groupBy below ever shuffles.
-      val mh = shingled(s, d)
-        .select(col("doc_id"),
-          graft.functions.MinHashSig.minhash(col("sh")).as("sig"))
-      val bands = mh.select(col("doc_id"),
-          posexplode(array(
-            concat_ws("", slice(col("sig"), 1, 4)),
-            concat_ws("", slice(col("sig"), 5, 4)))))
-        .toDF("doc_id", "band_no", "band")
-      pairsFromGroups(bands, Seq("band_no", "band"))
-        .distinct()
-        .orderBy("a", "b")
-    },
-    Some(s"""WITH $shingleSqlCte,
-            hx AS (SELECT doc_id, md5('0:' || sh) AS m0, md5('1:' || sh) AS m1
-                   FROM sh),
-            mh AS (SELECT doc_id,
-                     min(substring(m0, 1, 8))  AS h0, min(substring(m0, 9, 8))  AS h1,
-                     min(substring(m0, 17, 8)) AS h2, min(substring(m0, 25, 8)) AS h3,
-                     min(substring(m1, 1, 8))  AS h4, min(substring(m1, 9, 8))  AS h5,
-                     min(substring(m1, 17, 8)) AS h6, min(substring(m1, 25, 8)) AS h7
-                   FROM hx GROUP BY doc_id),
-            bands AS (
-              SELECT doc_id, 0 AS band_no, h0 || h1 || h2 || h3 AS band FROM mh
-              UNION ALL
-              SELECT doc_id, 1 AS band_no, h4 || h5 || h6 || h7 AS band FROM mh)
-            SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-            FROM bands x JOIN bands y
-              ON x.band_no = y.band_no AND x.band = y.band
-             AND x.doc_id < y.doc_id
-            ORDER BY a, b"""))
+    (s, d) => minhashPairs(s, d).orderBy("a", "b"),
+    Some(s"""WITH $minhashPairsSqlCte
+            SELECT a, b FROM cand ORDER BY a, b"""))
 
   /** Exact n-gram Jaccard similarity, blocked by source (the candidate
     * blocking a real pipeline would get from LSH): pairs with J >= 0.5.

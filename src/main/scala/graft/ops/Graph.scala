@@ -1,0 +1,122 @@
+package graft.ops
+
+import graft.{Q, Tables => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate **cluster assignment**: connected components over the
+  * MinHash-LSH candidate-pair graph, the step every production dedup
+  * pipeline runs between pair generation and survivor selection (pairs
+  * alone over-delete: {A~B, B~C} must collapse to ONE cluster {A,B,C}
+  * with one survivor, not two independent pair decisions).
+  *
+  * The algorithm is iterative min-label propagation — each round every
+  * vertex takes the min of its own label and its neighbours' labels —
+  * run to a fixed point. Rounds = graph diameter; near-dup graphs are
+  * dense little cliques (LSH connects most members of a cluster
+  * directly), so the fixed point lands in 2-4 rounds in practice. Each
+  * round is one shuffle keyed on vertex id over the PAIR GRAPH ONLY —
+  * vertices with no candidate edge never enter the loop and are closed
+  * as singletons by the final left join — so the iteration cost scales
+  * with the (small) near-dup fraction of the corpus, not the corpus.
+  * Lineage is cut with an eager localCheckpoint per round, otherwise
+  * the plan doubles each iteration. For adversarial long-chain graphs
+  * the alternating large-star/small-star variant bounds rounds at
+  * O(log n) with the same per-round shuffle shape; LSH pair graphs do
+  * not need it.
+  */
+object Graph {
+
+  /** Connected components of an undirected edge list `(a, b)`.
+    * Returns `(v, comp)` for every vertex that appears in an edge, where
+    * `comp` is the minimum vertex id of the component. */
+  private[ops] def connectedComponents(
+      edges: DataFrame, maxIters: Int = 25): DataFrame = {
+    // Symmetrize once and materialize: every round re-reads this frame.
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("v")).distinct()
+      .withColumn("comp", col("v"))
+      .localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIters) {
+      val prop = sym.join(labels, col("src") === col("v"))
+        .select(col("dst").as("v"), col("comp"))
+      val next = labels.union(prop)
+        .groupBy("v").agg(min("comp").as("comp"))
+        .localCheckpoint()
+      // Convergence probe: one count over the (small) label frame per
+      // round — the standard price of a driver-steered fixed point.
+      changed = next
+        .join(labels.withColumnRenamed("comp", "prev"), "v")
+        .filter(col("comp") =!= col("prev"))
+        .count()
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
+  /** Cluster id per document: min doc_id reachable through the MinHash
+    * candidate graph; documents with no near-dup candidate are their own
+    * cluster. The DuckDB oracle replays the same fixed point as a
+    * recursive CTE (labels flood along symmetrized edges, min per
+    * vertex), so the gate checks the clustering itself, not just the
+    * pair set. */
+  val qDedupComponents = Q(
+    "q_dedup_components",
+    (s, d) => {
+      val comp = connectedComponents(Dedup.minhashPairs(s, d))
+      T.documents(s, d).select(col("doc_id"))
+        .join(comp, col("doc_id") === col("v"), "left")
+        .select(col("doc_id"),
+                coalesce(col("comp"), col("doc_id")).as("comp"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE ${Dedup.minhashPairsSqlCte},
+            e AS (SELECT a AS src, b AS dst FROM cand
+                  UNION ALL
+                  SELECT b AS src, a AS dst FROM cand),
+            reach(v, l) AS (
+              SELECT src, src FROM e
+              UNION
+              SELECT e.dst, r.l FROM reach r JOIN e ON e.src = r.v),
+            comp AS (SELECT v, min(l) AS comp FROM reach GROUP BY v)
+          SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS comp
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.v
+          ORDER BY d.doc_id"""))
+
+  /** Cluster-size histogram: how many clusters of each size the
+    * candidate graph collapses to — the dedup report a curation run
+    * ships (size 1 = unique docs; the tail is the duplication mass).
+    * Same component computation, two more tiny aggregations. */
+  val qDedupClusterSizes = Q(
+    "q_dedup_cluster_sizes",
+    (s, d) => {
+      val comp = connectedComponents(Dedup.minhashPairs(s, d))
+      T.documents(s, d).select(col("doc_id"))
+        .join(comp, col("doc_id") === col("v"), "left")
+        .select(coalesce(col("comp"), col("doc_id")).as("comp"))
+        .groupBy("comp").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+        .orderBy("sz")
+    },
+    Some(s"""WITH RECURSIVE ${Dedup.minhashPairsSqlCte},
+            e AS (SELECT a AS src, b AS dst FROM cand
+                  UNION ALL
+                  SELECT b AS src, a AS dst FROM cand),
+            reach(v, l) AS (
+              SELECT src, src FROM e
+              UNION
+              SELECT e.dst, r.l FROM reach r JOIN e ON e.src = r.v),
+            comp AS (SELECT v, min(l) AS comp FROM reach GROUP BY v),
+            assign AS (SELECT coalesce(c.comp, d.doc_id) AS comp
+                       FROM documents d LEFT JOIN comp c ON d.doc_id = c.v),
+            sizes AS (SELECT comp, count(*) AS sz FROM assign GROUP BY comp)
+          SELECT sz, count(*) AS n_clusters FROM sizes
+          GROUP BY sz ORDER BY sz"""))
+
+  val all: Seq[Q] = Seq(qDedupComponents, qDedupClusterSizes)
+}

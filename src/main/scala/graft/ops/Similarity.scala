@@ -255,5 +255,39 @@ object Similarity {
 
   val qSimIvfTopk = Q("q_sim_ivf_topk", (s, d) => ivfTopk(s, d), None)
 
-  val all: Seq[Q] = Seq(qSimCosineTopk, qSimLshBuckets, qSimLshTopk, qSimIvfTopk)
+  /** Int8 vector quantization summary per embedding — the compression
+    * pass a vector store runs at ingest. One fused codegen expression
+    * ([[graft.functions.QuantizeStats]]) computes max|x|, the 127/max
+    * scale, and the exact integer sums of the quantized values; the
+    * deterministic floor(x*scale + 0.5) round makes the output
+    * bit-identical across engines, so the gate checks the whole
+    * quantization arithmetic, not just shapes. Pure map-side. */
+  val qVecQuantize = Q(
+    "q_vec_quantize",
+    (s, d) =>
+      T.embeddings(s, d)
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.quantizeStats(
+            col("embedding").cast("array<double>")).as("qs"))
+        .select(col("vec_id"), r2(col("qs.scale")).as("scale"),
+                col("qs.q_sum").as("q_sum"), col("qs.q_l1").as("q_l1"))
+        .orderBy("vec_id"),
+    Some(s"""WITH m AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv,
+                    list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                            x -> abs(x))) AS mx
+                 FROM embeddings),
+            q AS (SELECT vec_id,
+                    CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END AS sc,
+                    list_transform(dv, x -> CAST(floor(
+                      x * (CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END)
+                      + 0.5) AS BIGINT)) AS qv
+                  FROM m)
+          SELECT vec_id, ${sqlR2("sc")} AS scale,
+                 CAST(list_sum(qv) AS BIGINT) AS q_sum,
+                 CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT)
+                   AS q_l1
+          FROM q ORDER BY vec_id"""))
+
+  val all: Seq[Q] = Seq(qSimCosineTopk, qSimLshBuckets, qSimLshTopk,
+    qSimIvfTopk, qVecQuantize)
 }

@@ -1,0 +1,75 @@
+package graft.ops
+
+import graft.SparkSpec
+
+import org.apache.spark.sql.functions._
+
+/** Event-analytics semantics on hand-built event logs (funnel ordering,
+  * cohort offsets) plus an equivalence check of the bin-bucketed
+  * interval join against the naive range predicate on real data.
+  */
+class AnalyticsSpec extends SparkSpec {
+
+  private val tmp =
+    java.nio.file.Files.createTempDirectory("analytics").toString
+
+  /** Write an events.parquet in the sfDir layout: ts is nano-epoch long,
+    * exactly like the driver's testdata (Tables.events truncates to µs). */
+  private def events(rows: (Long, String, Long)*): Unit = {
+    val s = spark
+    import s.implicits._
+    rows.zipWithIndex
+      .map { case ((u, et, tsSec), i) => (i.toLong, tsSec * 1000000000L, u, et) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(1.0))
+      .withColumn("props", lit("{}"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/events.parquet")
+  }
+
+  test("funnel requires strictly increasing stage times per user") {
+    events(
+      // user 1: full ordered funnel
+      (1L, "view", 100L), (1L, "click", 200L), (1L, "purchase", 300L),
+      // user 2: click BEFORE first view — stops at stage 1
+      (2L, "click", 100L), (2L, "view", 200L), (2L, "purchase", 300L),
+      // user 3: view+click ordered, purchase before click — stops at 2
+      (3L, "view", 100L), (3L, "purchase", 150L), (3L, "click", 200L),
+      // user 4: never views — counts nowhere
+      (4L, "click", 100L), (4L, "purchase", 200L))
+    val got = Analytics.qEventsFunnel.fn(spark, tmp).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // stage 1 = {1,2,3} (any view); stage 2 = {1,3} (click after first
+    // view); stage 3 = {1} (purchase after first qualifying click).
+    assert(got === Map(1 -> 3L, 2 -> 2L, 3 -> 1L))
+  }
+
+  test("cohort retention offsets are whole weeks from the first-seen week") {
+    val day = 86400L
+    events(
+      // user 1 first seen week 0 (Mon 1970-01-05 epoch-week), active wk0+wk2
+      (1L, "view", 4 * day), (1L, "view", 4 * day + 14 * day),
+      // user 2 first seen same week, active that week only
+      (2L, "view", 5 * day))
+    val got = Analytics.qEventsCohort.fn(spark, tmp).collect()
+      .map(r => (r.getInt(1), r.getLong(2)))
+    assert(got.toSet === Set((0, 2L), (2, 1L)))
+  }
+
+  test("binned interval join equals the naive range predicate") {
+    val naive = {
+      val w0 = to_date(lit("1994-01-01"))
+      val wins = spark.range(24).select(
+        col("id").as("w_id"),
+        date_add(w0, (col("id") * 30).cast("int")).as("ws"),
+        date_add(w0, (col("id") * 30 + 44).cast("int")).as("we"))
+      graft.Tables.lineitem(spark, sf)
+        .select(to_date(col("l_shipdate")).as("sd"))
+        .join(wins, col("sd").between(col("ws"), col("we")))
+        .groupBy("w_id").agg(count(lit(1)).as("n_items"))
+        .orderBy("w_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    }
+    val binned = Analytics.qJoinIntervalBinned.fn(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(binned === naive && binned.nonEmpty)
+  }
+}

@@ -1,0 +1,56 @@
+package graft.ops
+
+import graft.{SparkSpec, Tables}
+
+import org.apache.spark.sql.functions._
+
+/** Connected-components semantics: label propagation on hand-built
+  * graphs (including a chain that needs several propagation rounds),
+  * and cluster-assignment invariants on the real corpus tables.
+  */
+class GraphSpec extends SparkSpec {
+
+  private def cc(edges: (Long, Long)*): Map[Long, Long] = {
+    val s = spark
+    import s.implicits._
+    Graph.connectedComponents(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("chain + islands: components collapse to the min vertex id") {
+    // 1-2-3-4-5 is a diameter-4 chain — takes multiple propagation
+    // rounds; 10-11 is an island; 20-21-22 a fork.
+    val got = cc(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L,
+                 10L -> 11L, 20L -> 21L, 21L -> 22L)
+    assert(got === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("q_dedup_components: assignment is a fixed point over the pair graph") {
+    val comp = Graph.qDedupComponents.fn(spark, sf)
+    val pairs = Dedup.qDedupMinhash.fn(spark, sf)
+    // Every candidate pair's two endpoints share a component...
+    val broken = pairs
+      .join(comp.withColumnRenamed("doc_id", "a")
+                .withColumnRenamed("comp", "ca"), "a")
+      .join(comp.withColumnRenamed("doc_id", "b")
+                .withColumnRenamed("comp", "cb"), "b")
+      .filter(col("ca") =!= col("cb"))
+      .count()
+    assert(broken === 0L)
+    // ...and labels are canonical: comp <= doc_id, every label maps to
+    // itself (so comp ids ARE survivor doc ids).
+    val rows = comp.collect().map(r => r.getLong(0) -> r.getLong(1))
+    val byId = rows.toMap
+    assert(rows.forall { case (id, c) => c <= id && byId(c) == c })
+  }
+
+  test("q_dedup_cluster_sizes: histogram mass equals the corpus size") {
+    val hist = Graph.qDedupClusterSizes.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(hist.map { case (sz, n) => sz * n }.sum === nDocs)
+  }
+}

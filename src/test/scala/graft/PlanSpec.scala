@@ -90,4 +90,11 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_mm_meta_stats")
     assert(!p.contains("bytes"), "metadata query deserializes blobs:\n" + p)
   }
+
+  test("q_join_interval_binned: the range join is an equi-join on the bin") {
+    val p = plan("q_join_interval_binned")
+    assert(count(p, "NestedLoop") == 0 && count(p, "CartesianProduct") == 0,
+      "binned interval join fell back to a pair loop:\n" + p)
+    assert(count(p, "HashJoin|SortMergeJoin") >= 1, p)
+  }
 }

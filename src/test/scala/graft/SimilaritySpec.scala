@@ -92,4 +92,28 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.25, s"IVF recall $recall vs brute-force baseline")
     assert(ann.forall(_._1 < 10))
   }
+
+  test("fused quantize stats match the HOF spelling bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val hof = e.select(
+      col("vec_id"), col("v"),
+      array_max(transform(col("v"), x => abs(x))).as("mx"))
+      .withColumn("sc",
+        when(col("mx") === 0d, lit(0d)).otherwise(lit(127.0) / col("mx")))
+      .withColumn("qv",
+        transform(col("v"), x => floor(x * col("sc") + lit(0.5)).cast("long")))
+      .select(col("vec_id"), col("sc"),
+        aggregate(col("qv"), lit(0L), (a, x) => a + x).as("q_sum"),
+        aggregate(col("qv"), lit(0L), (a, x) => a + abs(x)).as("q_l1"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
+    val fused = e.select(col("vec_id"),
+        graft.functions.VectorFunctions.quantizeStats(col("v")).as("qs"))
+      .select(col("vec_id"), col("qs.scale"), col("qs.q_sum"), col("qs.q_l1"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(fused === hof && fused.nonEmpty)
+  }
 }
