@@ -50,6 +50,8 @@ object GraftExtensions {
     "graft_minhash" -> (es => MinHashSig(es.head)),
     "graft_simhash" -> (es => SimHashSig(es.head)),
     "graft_quantize" -> (es => QuantizeStats(es.head)),
+    "graft_cms" -> (es => CountMinAgg(es.head)),
+    "graft_cms_est" -> (es => CmsEstimate(es.head, es(1))),
     "graft_vec_avg" -> (es => VectorAvgAgg(es.head)),
     "graft_histogram" -> (es =>
       HistogramAgg(es.head, foldedDouble(es(1), "histogram width"))),

@@ -168,7 +168,64 @@ object Curation {
                  FROM documents)
            ORDER BY doc_id"""))
 
+  /** Deterministic train/val/test split (~80/10/10) by md5(doc_id)
+    * range: the first hex byte partitions [00,cc)/[cc,e6)/[e6,ff] into
+    * train/val/test. Same properties as [[qSampleHash]] — stable across
+    * runs, engines, partitionings; no RNG; evaluable inside the scan —
+    * and the split of a document never changes as the corpus grows,
+    * which is what prevents test-set leakage across dataset versions.
+    * Output: per (source, split) counts, the report a split job emits. */
+  val qSampleSplit = Q(
+    "q_sample_split",
+    (s, d) => {
+      val h = substring(
+        md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+      T.documents(s, d)
+        .withColumn("split",
+          when(h < "cc", "train").when(h < "e6", "val").otherwise("test"))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("source", "split")
+    },
+    Some("""SELECT source, split, count(*) AS n_docs FROM (
+             SELECT source,
+                    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                           THEN 'train'
+                         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                           THEN 'val'
+                         ELSE 'test' END AS split
+             FROM documents)
+           GROUP BY source, split ORDER BY source, split"""))
+
+  /** Sketch-backed heavy hitters: the same top-10-per-source report as
+    * [[qAggHeavyHitters]], with counts re-estimated from a per-source
+    * count-min sketch ([[graft.functions.CountMinAgg]]). The sketch
+    * aggregation shuffles ONE fixed-size row per source — independent of
+    * vocabulary — which is the scale path the exact query's
+    * (source, token) shuffle can't offer at 100 TB. CMS is
+    * order-independent (counter sums), so `n_est` is deterministic under
+    * any partitioning; CurationSpec pins n_est >= n and the 2N/width
+    * error bound. No SQL oracle (sketch layout is engine-specific). */
+  val qAggHeavyHittersSketch = Q(
+    "q_agg_heavy_hitters_sketch",
+    (s, d) => {
+      val toks = T.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      val sketch = toks.groupBy("source")
+        .agg(graft.functions.CountMin.cms(col("tok")).as("sk"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n").desc, col("tok"))
+      val top = toks.groupBy("source", "tok").agg(count(lit(1)).as("n"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+      top.join(sketch, "source")
+        .select(col("source"), col("tok"), col("n"), col("rank"),
+          graft.functions.CountMin.estimate(col("sk"), col("tok")).as("n_est"))
+        .orderBy("source", "rank")
+    },
+    None)
+
   val all: Seq[Q] = Seq(
     qTextRepetition, qSampleHash, qSampleStratified, qAggHeavyHitters,
-    qTextPiiScrub)
+    qTextPiiScrub, qSampleSplit, qAggHeavyHittersSketch)
 }

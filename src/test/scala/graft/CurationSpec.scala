@@ -64,4 +64,48 @@ class CurationSpec extends SparkSpec {
       " contact <EMAIL> ref <NUM>").length
     assert(cleanLen === expected, s"clean_len $cleanLen != $expected")
   }
+
+  test("CMS heavy hitters: estimates dominate exact counts within the bound") {
+    val got = Curation.qAggHeavyHittersSketch.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(4)))
+    assert(got.nonEmpty)
+    val s = spark
+    import s.implicits._
+    val totals = graft.Tables.documents(spark, sf)
+      .select(col("source"),
+        org.apache.spark.sql.functions.size(split(col("text"), " ")).as("nt"))
+      .groupBy("source").agg(sum("nt").as("total"))
+      .as[(String, Long)].collect().toMap
+    got.foreach { case (src, tok, n, nEst) =>
+      assert(nEst >= n, s"CMS underestimated $src/$tok: $nEst < $n")
+      val bound = n + 4L * totals(src) / 1024  // depth-independent slack
+      assert(nEst <= bound, s"CMS overestimate $src/$tok: $nEst > $bound")
+    }
+  }
+
+  test("CMS sketch is identical under any partitioning") {
+    val s = spark
+    import s.implicits._
+    val data = (1 to 2000).map(i => s"tok${i % 37}")
+    def sketchOf(parts: Int): Seq[Long] =
+      data.toDF("tok").repartition(parts)
+        .agg(graft.functions.CountMin.cms(col("tok")).as("sk"))
+        .head().getSeq[Long](0)
+    assert(sketchOf(1) === sketchOf(13))
+  }
+
+  test("train/val/test split is total, deterministic, and ~80/10/10") {
+    val runs = Seq.fill(2)(
+      Curation.qSampleSplit.fn(spark, sf).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap)
+    assert(runs(0) === runs(1))
+    val bySplit = runs(0).groupMapReduce(_._1._2)(_._2)(_ + _)
+    val n = bySplit.values.sum
+    assert(n === graft.Tables.documents(spark, sf).count())
+    // hash ranges 0xcc/256 and 0x1a/256 bound the expected masses; the
+    // tolerance absorbs small-sample noise at sf0.001 (500 docs).
+    assert(math.abs(bySplit("train").toDouble / n - 0.80) < 0.06, bySplit)
+    assert(math.abs(bySplit("val").toDouble / n - 0.10) < 0.05, bySplit)
+    assert(math.abs(bySplit("test").toDouble / n - 0.10) < 0.05, bySplit)
+  }
 }
