@@ -1,5 +1,7 @@
 package graft.ops
 
+import graft.{Q, Tables => T}
+import graft.util.Det.{dsum, sqlDsum}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -55,4 +57,31 @@ object Skew {
       saltedJoin(big, small, key, factor)
     else big.join(small, Seq(key))
   }
+
+  /** The salted join as a gate-checked operator: lineitem ⋈ supplier on
+    * suppkey, salted 8 ways, revenue per nation. The ORACLE IS THE PLAIN
+    * JOIN — salting must be invisible in the result, and the driver's
+    * hash gate proves it (the property the scalatest row-identity check
+    * asserts, re-proven end-to-end through DuckDB). */
+  val qJoinSkewSalted = Q(
+    "q_join_skew_salted",
+    (s, d) => {
+      val li = T.lineitem(s, d)
+        .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      val sup = T.supplier(s, d)
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      saltedJoin(li, sup, "l_suppkey", 8)
+        .groupBy("s_nationkey")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+               .as("revenue"),
+             count(lit(1)).as("n_rows"))
+        .orderBy("s_nationkey")
+    },
+    Some(s"""SELECT s_nationkey,
+            ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS revenue,
+            count(*) AS n_rows
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_nationkey ORDER BY s_nationkey"""))
+
+  val all: Seq[Q] = Seq(qJoinSkewSalted)
 }
