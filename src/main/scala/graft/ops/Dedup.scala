@@ -238,6 +238,52 @@ object Dedup {
       .orderBy("a", "b")
   }
 
+  /** SRP-LSH-banded embedding candidate generation — the scale path the
+    * label-blocked [[qDedupEmbedding]] hands over to when no blocking
+    * attribute exists: two 4-plane bands of the 8-plane SRP bucket
+    * (banding boosts near-dup recall exactly like MinHash banding), an
+    * equi-join per band, hot-band cap, exact cosine rescoring. Returns
+    * the `k` highest-cosine candidate pairs (cos desc, then (a, b)) —
+    * deterministic given the driver-precomputed hyperplanes. */
+  private[ops] def embeddingLshTopPairs(s: SparkSession, d: String,
+      maxBucket: Int = MaxPostingDf, k: Int = 10): DataFrame = {
+    val b = Similarity.srpBuckets(s, d)
+      .select(col("vec_id"), col("v"), col("bucket"))
+    val bands = b.select(col("vec_id"), col("v"),
+        posexplode(array(
+          pmod(col("bucket"), lit(16L)),
+          floor(col("bucket") / 16).cast("long"))))
+      .toDF("vec_id", "v", "band_no", "band")
+    // Same hot-key policy as pairsFromGroups: a band bucket holding more
+    // than maxBucket vectors is dense-region noise whose pair expansion
+    // is quadratic — drop it; dense regions are the ANN paths' job.
+    val hot = bands.groupBy("band_no", "band")
+      .agg(count(lit(1)).as("graft_df"))
+      .filter(col("graft_df") > maxBucket)
+      .select("band_no", "band")
+    val cold = bands.join(broadcast(hot), Seq("band_no", "band"), "left_anti")
+    val cos = Similarity.cosine(col("x.v"), col("y.v"))
+    cold.as("x")
+      .join(cold.as("y"),
+        col("x.band_no") === col("y.band_no") &&
+        col("x.band") === col("y.band") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+              r2(cos).as("cos"))
+      .distinct()
+      .orderBy(col("cos").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
+  /** Declared form of the LSH embedding near-dup path. No SQL oracle
+    * (hyperplane layout is engine-specific); DedupSpec plants clusters
+    * of near-identical vectors and asserts they surface as the top
+    * candidates. */
+  val qDedupEmbeddingLsh = Q(
+    "q_dedup_embedding_lsh",
+    (s, d) => embeddingLshTopPairs(s, d),
+    None)
+
   val qDedupEmbedding = Q(
     "q_dedup_embedding",
     (s, d) => embeddingPairs(s, d, MaxEmbeddingBlock),
@@ -258,5 +304,5 @@ object Dedup {
 
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupMinhash, qDedupNgramJaccard, qDedupSimhash,
-    qDedupEmbedding)
+    qDedupEmbedding, qDedupEmbeddingLsh)
 }

@@ -47,5 +47,32 @@ object Tdc {
           ORDER BY FPGA, TDC_CHANNEL"""
     })
 
-  val all: Seq[Q] = Seq(qTdcOccupancy)
+  /** Fine-time (drift-time proxy) spectrum per FPGA in 5-count buckets,
+    * computed through the [[graft.functions.HistogramAgg]] sketch — ONE
+    * shuffled row per FPGA carrying the whole spectrum (the plan a
+    * 40 MHz-rate monitor needs: shuffle volume scales with FPGA count,
+    * not hit rate). Exploding the sketch reproduces the plain
+    * groupBy(FPGA, bucket) result, which is what the oracle states. */
+  val qTdcDriftSpectrum = Q(
+    "q_tdc_drift_spectrum",
+    (s, _) =>
+      s.createDataFrame(TdcFixture.hits)
+        .groupBy("FPGA")
+        .agg(graft.functions.HistogramAgg
+          .histogram(col("TDC_MEAS"), 5.0).as("h"))
+        .select(col("FPGA"), explode(col("h")))
+        .toDF("FPGA", "bucket", "n_hits")
+        .orderBy("FPGA", "bucket"),
+    Some {
+      val values = TdcFixture.hits
+        .map(h => s"(${h.FPGA}, ${h.TDC_MEAS})")
+        .mkString(",\n             ")
+      s"""SELECT FPGA, CAST(floor(TDC_MEAS / 5.0) AS BIGINT) AS bucket,
+            count(*) AS n_hits
+          FROM (VALUES $values) AS hits(FPGA, TDC_MEAS)
+          GROUP BY FPGA, bucket
+          ORDER BY FPGA, bucket"""
+    })
+
+  val all: Seq[Q] = Seq(qTdcOccupancy, qTdcDriftSpectrum)
 }

@@ -134,6 +134,45 @@ class DedupSpec extends SparkSpec {
       "near-dup must be closer than unrelated")
   }
 
+  test("LSH embedding near-dup: planted near-identical pairs surface on top") {
+    val s = spark
+    import s.implicits._
+    val dim = 16
+    // 5 planted clusters of 2 near-identical vectors + 50 scattered.
+    // Components are md5-derived — deterministic, no RNG, and (unlike a
+    // linear-congruential formula) decorrelated across vectors, so no
+    // accidental near-collinear scatter pairs.
+    def hvec(tag: String): Array[Float] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(dim) { i =>
+        val h = md.digest(s"$tag:$i".getBytes("UTF-8"))
+        (((h(0) & 0xff) - 128) / 128.0f)
+      }
+    }
+    def base(c: Int): Array[Float] = hvec(s"cluster$c")
+    def scatter(j: Int): Array[Float] = hvec(s"noise$j")
+    val planted = (0 until 5).flatMap { c =>
+      val b = base(c)
+      val near = b.clone(); near(0) = near(0) + 0.01f
+      Seq((c * 2L, b, c), (c * 2L + 1, near, c))
+    }
+    val noise = (0 until 50).map(j => (100L + j, scatter(j), 99))
+    val tmp = java.nio.file.Files.createTempDirectory("lsh_dedup").toString
+    (planted ++ noise).toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val got = Dedup.qDedupEmbeddingLsh.fn(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val plantedPairs = (0 until 5).map(c => (c * 2L, c * 2L + 1)).toSet
+    val found = got.collect {
+      case (a, b, _) if plantedPairs((a, b)) => (a, b) }.toSet
+    // a planted pair can straddle a hyperplane in both bands; allow one
+    assert(found.size >= 4, s"planted pairs found: $found of $plantedPairs")
+    // nothing scattered should score as a near-dup
+    got.filter { case (a, b, _) => !plantedPairs((a, b)) }
+      .foreach { case (a, b, c) =>
+        assert(c < 0.99, s"unplanted pair ($a,$b) scored $c") }
+  }
+
   test("cosine expression: self-similarity 1, orthogonal 0") {
     val s = spark
     import s.implicits._
