@@ -844,7 +844,77 @@ object Relational {
                    FROM events))
            GROUP BY user_id ORDER BY user_id"""))
 
+  /** Second-moment statistics per group — stddev and correlation — via
+    * EXACT scaled integer sums (Det.dsumRaw), not the native stddev/corr
+    * aggregates: those accumulate doubles in partition order (and with
+    * different inner algorithms per engine), so their low bits are not
+    * reproducible across engines or partitionings. Deriving
+    * mean/variance/covariance from order-independent integer sums with
+    * the same IEEE-754 op sequence in both dialects makes the output
+    * bit-identical by construction — the same trick dsum uses, lifted to
+    * second moments. (Analytically: var = E[x²]−E[x]², corr =
+    * (E[xy]−E[x]E[y])/(σx·σy).) */
+  val qAggStatsMoments = Q(
+    "q_agg_stats_moments",
+    (s, d) => {
+      val li = T.lineitem(s, d)
+      val n = count(lit(1)).cast("double")
+      val mq = dsumRaw(col("l_quantity")) / n
+      val mp = dsumRaw(col("l_extendedprice")) / n
+      val vq = dsumRaw(col("l_quantity") * col("l_quantity")) / n - mq * mq
+      val vp = dsumRaw(col("l_extendedprice") * col("l_extendedprice")) / n - mp * mp
+      val cov = dsumRaw(col("l_quantity") * col("l_extendedprice")) / n - mq * mp
+      li.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+             r2(sqrt(vq)).as("std_qty"),
+             r2(sqrt(vp)).as("std_price"),
+             r2(cov / (sqrt(vq) * sqrt(vp))).as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    },
+    Some {
+      val n = "CAST(count(*) AS DOUBLE)"
+      val mq = s"${sqlDsumRaw("l_quantity")} / $n"
+      val mp = s"${sqlDsumRaw("l_extendedprice")} / $n"
+      val vq = s"${sqlDsumRaw("l_quantity * l_quantity")} / $n - ($mq) * ($mq)"
+      val vp = s"${sqlDsumRaw("l_extendedprice * l_extendedprice")} / $n - ($mp) * ($mp)"
+      val cov = s"${sqlDsumRaw("l_quantity * l_extendedprice")} / $n - ($mq) * ($mp)"
+      s"""SELECT l_returnflag, count(*) AS n_rows,
+            ${sqlR2(s"sqrt($vq)")} AS std_qty,
+            ${sqlR2(s"sqrt($vp)")} AS std_price,
+            ${sqlR2(s"($cov) / (sqrt($vq) * sqrt($vp))")} AS corr_qty_price
+          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+    })
+
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    * match each other instead of vanishing — the join-matrix corner the
+    * plain equi-join can't express. Keys are made sparse-null
+    * deterministically (nullif on a data predicate) so the gate
+    * exercises the NULL-bucket semantics on both engines. */
+  val qJoinNullsafe = Q(
+    "q_join_nullsafe",
+    (s, d) => {
+      val a = T.orders(s, d)
+        .select(nullif(col("o_orderpriority"), lit("3-MEDIUM")).as("k"),
+                col("o_orderkey"))
+      val b = T.orders(s, d)
+        .select(nullif(col("o_orderpriority"), lit("3-MEDIUM")).as("k2"),
+                lit(1L).as("one"))
+        .groupBy("k2").agg(count(lit(1)).as("n_b"))
+      a.join(b, col("k") <=> col("k2"))
+        .groupBy("k").agg(count(lit(1)).as("n_rows"), max("n_b").as("n_b"))
+        .orderBy(col("k").asc_nulls_first)
+    },
+    Some("""SELECT k, count(*) AS n_rows, max(n_b) AS n_b FROM
+             (SELECT nullif(o_orderpriority, '3-MEDIUM') AS k, o_orderkey
+              FROM orders) a
+           JOIN (SELECT nullif(o_orderpriority, '3-MEDIUM') AS k2,
+                        count(*) AS n_b
+                 FROM orders GROUP BY k2) b
+             ON a.k IS NOT DISTINCT FROM b.k2
+           GROUP BY k ORDER BY k NULLS FIRST"""))
+
   val all: Seq[Q] = Seq(
+    qAggStatsMoments, qJoinNullsafe,
     qScanProject, qFilterPred,
     qJoinInner, qJoinBroadcast, qJoinLeft, qJoinFull, qJoinSemi, qJoinAnti,
     qJoinThetaRange, qJoinMultiway,

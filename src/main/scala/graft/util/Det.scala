@@ -48,6 +48,12 @@ object Det {
   private def scaledSum(c: Column): Column =
     sum(floor(c * lit(1e6) + lit(0.5)).cast("long").cast(S))
 
+  /** Scaled sum exposed as a DOUBLE of the original unit — the building
+    * block for deterministic higher moments (variance, correlation):
+    * every moment derived from these sums via the SAME IEEE-754 op
+    * sequence in both dialects is bit-identical by construction. */
+  def dsumRaw(c: Column): Column = scaledSum(c).cast("double") / lit(1e6)
+
   /** Order-independent exact sum of a double expression, rounded to 2dp. */
   def dsum(c: Column): Column =
     r2(scaledSum(c).cast("double") / lit(1e6))
@@ -71,6 +77,8 @@ object Det {
     s"sum(CAST(CAST(floor(($x) * 1e6 + 0.5) AS BIGINT) AS DECIMAL(18,0)))"
   def sqlDsum(x: String): String =
     sqlR2(s"CAST(${sqlScaledSum(x)} AS DOUBLE) / 1e6")
+  def sqlDsumRaw(x: String): String =
+    s"(CAST(${sqlScaledSum(x)} AS DOUBLE) / 1e6)"
   def sqlDavg(x: String): String =
     sqlR2(s"CAST(${sqlScaledSum(x)} AS DOUBLE) / 1e6 / count(*)")
 }

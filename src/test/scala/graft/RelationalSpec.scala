@@ -107,4 +107,28 @@ class RelationalSpec extends SparkSpec {
       assert(sessions >= 1L && sessions <= events)
     }
   }
+
+  test("deterministic moments agree with the native aggregates") {
+    import org.apache.spark.sql.functions._
+    val got = Relational.qAggStatsMoments.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    val native = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(stddev_pop("l_quantity").as("sq"),
+           stddev_pop("l_extendedprice").as("sp"),
+           corr("l_quantity", "l_extendedprice").as("c"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet === native.keySet && got.nonEmpty)
+    got.foreach { case (k, (sq, sp, c)) =>
+      val (nsq, nsp, nc) = native(k)
+      assert(math.abs(sq - nsq) < 0.02, s"$k std_qty $sq vs native $nsq")
+      // price magnitudes ~1e5: the 6dp scaled grid + 2dp round gives
+      // agreement to ~cents, native to double precision
+      assert(math.abs(sp - nsp) / nsp < 1e-4, s"$k std_price $sp vs native $nsp")
+      assert(math.abs(c - nc) < 0.02, s"$k corr $c vs native $nc")
+    }
+  }
 }
