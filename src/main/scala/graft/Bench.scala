@@ -9,11 +9,13 @@ import org.apache.spark.sql.streaming.Trigger
   * prune everything but the row count. */
 object Bench {
 
-  /** Streaming throughput probe: the events table replayed through
-    * [[graft.stream.Pipelines.tumblingCounts]] as a bounded stream
+  /** Streaming throughput probe: the events table replayed through a
+    * [[graft.stream.Pipelines]] transform as a bounded stream
     * (Trigger.AvailableNow), so state-store / watermark regressions show
     * up as time, not just as scalatest failures. Returns elapsed seconds. */
-  private def streamTumbling(spark: SparkSession, sfDir: String): Double = {
+  private def streamProbe(spark: SparkSession, sfDir: String,
+      mode: String,
+      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Double = {
     val path = s"$sfDir/events.parquet"
     val rawSchema = spark.read.parquet(path).schema
     // the file stream source wants a directory; stage the single-file
@@ -22,12 +24,12 @@ object Bench {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(path), dir.resolve("events.parquet"))
     val t0 = System.nanoTime()
-    val q = graft.stream.Pipelines.tumblingCounts(
+    val q = transform(
         spark.readStream.schema(rawSchema).parquet(dir.toString)
           .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
       .writeStream
       .format("noop")
-      .outputMode("append")
+      .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation",
         java.nio.file.Files.createTempDirectory("graft_bench_ckpt").toString)
@@ -72,14 +74,23 @@ object Bench {
           }
         (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
       }
+    val streamDefs: Seq[(String, String,
+        org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)] = Seq(
+      ("q_stream_tumbling", "append",
+        df => graft.stream.Pipelines.tumblingCounts(df)),
+      // session_window exercises the merging-state path — the heavier
+      // state-store shape tumbling windows never touch
+      ("q_stream_sessions", "append",
+        df => graft.stream.Pipelines.sessionCounts(df)))
     val streaming: Seq[(String, Double, Boolean)] =
-      if (only.forall(_.contains("q_stream_tumbling")))
-        Seq(try { ("q_stream_tumbling", streamTumbling(spark, sfDir), true) }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] q_stream_tumbling failed: ${e.getMessage}")
-          ("q_stream_tumbling", -1.0, false)
-        })
-      else Seq.empty
+      streamDefs.filter { case (n, _, _) => only.forall(_.contains(n)) }
+        .map { case (n, mode, tf) =>
+          try { (n, streamProbe(spark, sfDir, mode, tf), true) }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $n failed: ${e.getMessage}")
+            (n, -1.0, false)
+          }
+        }
     val all = results ++ streaming
     val qs = all.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

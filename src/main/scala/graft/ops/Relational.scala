@@ -913,8 +913,38 @@ object Relational {
              ON a.k IS NOT DISTINCT FROM b.k2
            GROUP BY k ORDER BY k NULLS FIRST"""))
 
+  /** TPC-H Q3 (shipping priority) driven through the SQL FRONT-END:
+    * the tables register as temp views and ONE ANSI SQL string is both
+    * the Spark query (`spark.sql`) and the DuckDB oracle, verbatim —
+    * the strongest form of dialect parity the gate can check (every
+    * other query pairs a DataFrame plan with a re-spelled oracle). The
+    * deterministic revenue sum (Det's scaled-decimal formula) is itself
+    * ANSI, which is what makes the single-spelling trick possible. */
+  val sqlShippingPrioritySql: String =
+    s"""SELECT l_orderkey,
+          ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS revenue,
+          o_orderdate, o_orderpriority
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING'
+          AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND o_orderdate < TIMESTAMP '1995-03-15'
+          AND l_shipdate  > TIMESTAMP '1995-03-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10"""
+
+  val qSqlShippingPriority = Q(
+    "q_sql_shipping_priority",
+    (s, d) => {
+      T.customer(s, d).createOrReplaceTempView("customer")
+      T.orders(s, d).createOrReplaceTempView("orders")
+      T.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(sqlShippingPrioritySql)
+    },
+    Some(sqlShippingPrioritySql))
+
   val all: Seq[Q] = Seq(
-    qAggStatsMoments, qJoinNullsafe,
+    qAggStatsMoments, qJoinNullsafe, qSqlShippingPriority,
     qScanProject, qFilterPred,
     qJoinInner, qJoinBroadcast, qJoinLeft, qJoinFull, qJoinSemi, qJoinAnti,
     qJoinThetaRange, qJoinMultiway,
