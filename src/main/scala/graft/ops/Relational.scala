@@ -538,6 +538,37 @@ object Relational {
            count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  /** Unpivot (wide → long): melt the four lineitem measure columns into
+    * (metric, value) rows — the inverse reshaping of [[qAggPivot]].
+    * Spark's `stack` generator is map-side (no shuffle; the only
+    * exchange is the final aggregation's), and the oracle spells the
+    * same melt as a UNION ALL so both engines state it in portable SQL.
+    * Aggregated per metric with the deterministic sum so the long-form
+    * table round-trips through the gate. */
+  val qUnpivot = Q(
+    "q_unpivot",
+    (s, d) =>
+      T.lineitem(s, d)
+        .select(expr(
+          """stack(4,
+               'quantity', l_quantity,
+               'extendedprice', l_extendedprice,
+               'discount', l_discount,
+               'tax', l_tax) AS (metric, value)"""))
+        .groupBy("metric")
+        .agg(count(lit(1)).as("n_rows"), dsum(col("value")).as("total"))
+        .orderBy("metric"),
+    Some(s"""SELECT metric, count(*) AS n_rows, ${sqlDsum("value")} AS total
+            FROM (
+              SELECT 'quantity' AS metric, l_quantity AS value FROM lineitem
+              UNION ALL
+              SELECT 'extendedprice', l_extendedprice FROM lineitem
+              UNION ALL
+              SELECT 'discount', l_discount FROM lineitem
+              UNION ALL
+              SELECT 'tax', l_tax FROM lineitem)
+            GROUP BY metric ORDER BY metric"""))
+
   /** Exact interpolated percentiles (median / p90) — SortAggregate-backed;
     * DuckDB's quantile_cont uses the same interpolation. */
   val qAggPercentile = Q(
@@ -952,7 +983,8 @@ object Relational {
     qAggHistogram, qAggHistogramSketch, qAggApproxDistinct,
     qAggApproxPercentile,
     qWindowRank, qWindowRankFamily, qWindowFirstLast, qWindowRunning, qWindowLag,
-    qWindowFrameRange, qAggPercentile, qAggPivot, qSubqueryScalar, qJoinCross,
+    qWindowFrameRange, qAggPercentile, qAggPivot, qUnpivot, qSubqueryScalar,
+    qJoinCross,
     qExceptAll,
     qTopk, qUnion, qIntersect, qExcept,
     qScalarString, qScalarDate, qScalarMath, qScalarCase, qScalarNull,
