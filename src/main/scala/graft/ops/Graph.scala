@@ -29,7 +29,15 @@ object Graph {
 
   /** Connected components of an undirected edge list `(a, b)`.
     * Returns `(v, comp)` for every vertex that appears in an edge, where
-    * `comp` is the minimum vertex id of the component. */
+    * `comp` is the minimum vertex id of the component.
+    *
+    * Each round does min-label propagation along edges PLUS one pointer
+    * jump (follow `comp` to ITS label — every label is a vertex id, so
+    * the join is well-defined): jumping halves label-chain depth per
+    * round, so convergence is O(log diameter) rounds, not O(diameter) —
+    * a 2^25-diameter path converges inside the default cap. If the cap
+    * is ever hit unconverged the method THROWS rather than returning a
+    * silently-wrong clustering. */
   private[ops] def connectedComponents(
       edges: DataFrame, maxIters: Int = 25): DataFrame = {
     // Symmetrize once and materialize: every round re-reads this frame.
@@ -44,8 +52,12 @@ object Graph {
     while (changed > 0 && i < maxIters) {
       val prop = sym.join(labels, col("src") === col("v"))
         .select(col("dst").as("v"), col("comp"))
-      val next = labels.union(prop)
+      val gathered = labels.union(prop)
         .groupBy("v").agg(min("comp").as("comp"))
+      val parents = gathered
+        .select(col("v").as("pv"), col("comp").as("pcomp"))
+      val next = gathered.join(parents, col("comp") === col("pv"))
+        .select(col("v"), col("pcomp").as("comp"))
         .localCheckpoint()
       // Convergence probe: one count over the (small) label frame per
       // round — the standard price of a driver-steered fixed point.
@@ -56,6 +68,8 @@ object Graph {
       labels = next
       i += 1
     }
+    require(changed == 0L,
+      s"connectedComponents did not converge in $maxIters rounds")
     labels
   }
 

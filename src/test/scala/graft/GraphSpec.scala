@@ -28,6 +28,15 @@ class GraphSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("a 40-vertex path converges well inside the round cap (pointer jumping)") {
+    // Diameter 39 > the 25-round cap of plain propagation: only the
+    // pointer-jump acceleration (O(log diameter) rounds) passes this —
+    // and worst case the method throws instead of mislabeling.
+    val edges = (1L until 40L).map(i => i -> (i + 1))
+    val got = cc(edges: _*)
+    assert(got === (1L to 40L).map(_ -> 1L).toMap)
+  }
+
   test("q_dedup_components: assignment is a fixed point over the pair graph") {
     val comp = Graph.qDedupComponents.fn(spark, sf)
     val pairs = Dedup.qDedupMinhash.fn(spark, sf)

@@ -97,4 +97,19 @@ class PlanSpec extends SparkSpec {
       "binned interval join fell back to a pair loop:\n" + p)
     assert(count(p, "HashJoin|SortMergeJoin") >= 1, p)
   }
+
+  test("q_agg_stats_moments: all six moments in ONE two-phase aggregation") {
+    val p = plan("q_agg_stats_moments")
+    // one partial+final pair around ONE hash exchange — the moments all
+    // ride the same shuffle (the output sort adds the only other one)
+    assert(count(p, """\(\d+\) HashAggregate""") == 2, p)
+    assert(count(p, "hashpartitioning") == 1, p)
+  }
+
+  test("q_unpivot: the melt is a map-side generator, not a self-union of scans") {
+    val p = plan("q_unpivot")
+    assert(count(p, """\(\d+\) Scan parquet""") == 1,
+      "unpivot re-scans the table per measure:\n" + p)
+    assert(count(p, """\(\d+\) Generate""") == 1, p)
+  }
 }
