@@ -21,21 +21,30 @@ object Bench {
     // the file stream source wants a directory; stage the single-file
     // table into one (untimed — setup, not stream work)
     val dir = java.nio.file.Files.createTempDirectory("graft_bench_stream")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_bench_ckpt")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(path), dir.resolve("events.parquet"))
-    val t0 = System.nanoTime()
-    val q = transform(
-        spark.readStream.schema(rawSchema).parquet(dir.toString)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
-      .writeStream
-      .format("noop")
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft_bench_ckpt").toString)
-      .start()
-    q.awaitTermination()
-    (System.nanoTime() - t0) / 1e9
+    try {
+      val t0 = System.nanoTime()
+      val q = transform(Tables.tsNanosToMicros(
+          spark.readStream.schema(rawSchema).parquet(dir.toString)))
+        .writeStream
+        .format("noop")
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt.toString)
+        .start()
+      q.awaitTermination()
+      (System.nanoTime() - t0) / 1e9
+    } finally {
+      // a staged table copy + checkpoint per probe per run adds up fast
+      // in /tmp — delete both (bottom-up) once the probe is done
+      Seq(dir, ckpt).foreach { root =>
+        java.nio.file.Files.walk(root)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
   }
 
   def main(args: Array[String]): Unit = {

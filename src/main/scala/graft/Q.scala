@@ -39,13 +39,18 @@ object Tables {
     * truncate to a microsecond timestamp — exactly what DuckDB's
     * µs-native TIMESTAMP does on the same file, so event-time semantics
     * align engine-to-engine. `div` keeps the arithmetic in integer space
-    * (a double division would lose precision above 2^53 ns). */
-  private def eventsRaw(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, d, "events").withColumn(
+    * (a double division would lose precision above 2^53 ns). Shared by
+    * the batch reader below and Bench's streaming probes so both paths
+    * carry identical event-time semantics. */
+  def tsNanosToMicros(df: DataFrame): DataFrame =
+    df.withColumn(
       "ts",
       org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
+
+  private def eventsRaw(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tsNanosToMicros(t(s, d, "events"))
   }
 
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")

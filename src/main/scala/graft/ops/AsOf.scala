@@ -31,12 +31,17 @@ object AsOf {
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+    // the struct's timestamp slot uses a reserved name so a payload
+    // column called "ts" (or anything user-side) can never collide with
+    // it and make the graft_fill.<field> extraction ambiguous
+    require(!payload.contains("graft_rts"),
+      "payload column name graft_rts is reserved by asofJoin")
     val leftOnly = left.columns.toSeq.filterNot(keys.contains).filterNot(_ == leftTs)
     // the carried right payload travels as ONE struct so ts + payload
     // always come from the same matched row (independent per-column
     // fills could mix rows when payload itself holds nulls)
     val rStructType = StructType(
-      StructField("ts", right.schema(rightTs).dataType) +:
+      StructField("graft_rts", right.schema(rightTs).dataType) +:
         payload.map(p => right.schema(p)))
     val l = left.select(
       keys.map(col) ++
@@ -47,7 +52,8 @@ object AsOf {
       keys.map(col) ++
         Seq(col(rightTs).as("graft_ts"), lit(0).as("graft_side")) ++
         leftOnly.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
-        struct(col(rightTs).as("ts") +: payload.map(col): _*).as("graft_r"): _*)
+        struct(col(rightTs).as("graft_rts") +: payload.map(col): _*)
+          .as("graft_r"): _*)
     // right rows sort before left rows at equal ts -> the match is
     // inclusive (rightTs == leftTs matches), like ASOF JOIN's >=
     val w = Window.partitionBy(keys.map(col): _*)
@@ -56,7 +62,7 @@ object AsOf {
     val outCols: Seq[Column] =
       keys.map(col) ++
         (col("graft_ts").as(leftTs) +: leftOnly.map(col)) ++
-        (col("graft_fill.ts").as(s"asof_$rightTs") +:
+        (col("graft_fill.graft_rts").as(s"asof_$rightTs") +:
           payload.map(p => col(s"graft_fill.$p").as(s"asof_$p")))
     l.unionByName(r)
       .withColumn("graft_fill", last(col("graft_r"), ignoreNulls = true).over(w))

@@ -112,7 +112,10 @@ object Dedup {
   }
 
   /** DuckDB mirror of [[minhashPairs]]: CTE chain ending in
-    * `cand(a, b)` — the candidate pair set, distinct, a < b. */
+    * `cand(a, b)` — the candidate pair set, distinct, a < b. The
+    * `qualify` step mirrors [[pairsFromGroups]]' maxDf hot-key drop —
+    * the oracle must state the cap too, or a band with more than maxDf
+    * documents diverges between engines exactly when the cap fires. */
   private[ops] val minhashPairsSqlCte: String =
     s"""$shingleSqlCte,
        hx AS (SELECT doc_id, md5('0:' || sh) AS m0, md5('1:' || sh) AS m1
@@ -123,10 +126,13 @@ object Dedup {
                 min(substring(m1, 1, 8))  AS h4, min(substring(m1, 9, 8))  AS h5,
                 min(substring(m1, 17, 8)) AS h6, min(substring(m1, 25, 8)) AS h7
               FROM hx GROUP BY doc_id),
-       bands AS (
+       bands_all AS (
          SELECT doc_id, 0 AS band_no, h0 || h1 || h2 || h3 AS band FROM mh
          UNION ALL
          SELECT doc_id, 1 AS band_no, h4 || h5 || h6 || h7 AS band FROM mh),
+       bands AS (
+         SELECT doc_id, band_no, band FROM bands_all
+         QUALIFY count(*) OVER (PARTITION BY band_no, band) <= $MaxPostingDf),
        cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
                 FROM bands x JOIN bands y
                   ON x.band_no = y.band_no AND x.band = y.band
@@ -177,9 +183,14 @@ object Dedup {
     },
     Some(s"""WITH $shingleSqlCte,
             sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            -- mirror pairsFromGroups' maxDf drop: posting lists sized
+            -- above the cap generate no pairs in EITHER engine
+            shc AS (SELECT doc_id, source, sh FROM sh
+                    QUALIFY count(*) OVER (PARTITION BY source, sh)
+                      <= $MaxPostingDf),
             inter AS (SELECT x.doc_id AS a, y.doc_id AS b,
                              count(*) AS n_inter
-                      FROM sh x JOIN sh y
+                      FROM shc x JOIN shc y
                         ON x.source = y.source AND x.sh = y.sh
                        AND x.doc_id < y.doc_id
                       GROUP BY 1, 2)

@@ -78,11 +78,14 @@ object Graph {
     * dataset) so the assignment query and the size report share one
     * propagation run. The frame is localCheckpointed, so the cached
     * handle is a materialized table, safe to fan out. */
-  private val ccCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  // Session INSTANCE as key, not identityHashCode (hash reuse after GC
+  // could hand a collision victim another session's frame) — same policy
+  // as Similarity's index caches.
+  private val ccCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
 
   private def componentsFor(s: SparkSession, d: String): DataFrame =
-    ccCache.getOrElseUpdate((System.identityHashCode(s), d),
+    ccCache.getOrElseUpdate((s, d),
       connectedComponents(Dedup.minhashPairs(s, d)))
 
   /** Cluster id per document: min doc_id reachable through the MinHash

@@ -26,10 +26,18 @@ object Similarity {
     * instead of once per query. This also bounds the persisted footprint
     * to one entry per dataset — previously every ivfTopk call persisted a
     * fresh copy and never released it. */
+  // Keys hold the SESSION INSTANCE, not its identityHashCode: identity
+  // hashes are reused after GC, so a hash key could hand a DataFrame
+  // bound to a different (possibly stopped) session to a collision
+  // victim. The strong reference is intentional — cached frames
+  // reference their session anyway, and index artifacts live for the
+  // session's lifetime by design. A same-session REWRITE of the dataset
+  // path is not auto-invalidated (index artifacts never are — rebuild
+  // under a new path or session to refresh).
   private val dimCache =
-    scala.collection.concurrent.TrieMap.empty[String, Int]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Int]
   private val ivfCache = scala.collection.concurrent.TrieMap
-    .empty[(Int, String, Int, Int), (DataFrame, DataFrame)]
+    .empty[(SparkSession, String, Int, Int), (DataFrame, DataFrame)]
 
   /** Cosine similarity between two array<double> columns — fused codegen
     * expression ([[graft.functions.CosineSim]]). Same FP op order as the
@@ -99,7 +107,8 @@ object Similarity {
     // One stats probe for the dimensionality (an index build's stats
     // pass) — memoized per dataset, so repeated queries read it as
     // metadata instead of scanning a row each.
-    val dim = dimCache.getOrElseUpdate(d, e.select(size(col("v"))).head().getInt(0))
+    val dim = dimCache.getOrElseUpdate((s, d),
+      e.select(size(col("v"))).head().getInt(0))
     val w = srpWeights(nPlanes, dim)
     val bit: Seq[Column] = (0 until nPlanes).map { p =>
       val proj = graft.functions.VectorFunctions.dot(col("v"), typedLit(w(p)))
@@ -165,8 +174,7 @@ object Similarity {
     * was assigned against. */
   def ivfIndex(s: SparkSession, d: String, k: Int = 16,
       iters: Int = 1): (DataFrame, DataFrame) =
-    ivfCache.getOrElseUpdate(
-      (System.identityHashCode(s), d, k, iters), buildIvfIndex(s, d, k, iters))
+    ivfCache.getOrElseUpdate((s, d, k, iters), buildIvfIndex(s, d, k, iters))
 
   private def buildIvfIndex(s: SparkSession, d: String, k: Int,
       iters: Int): (DataFrame, DataFrame) = {

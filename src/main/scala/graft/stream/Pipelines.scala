@@ -76,36 +76,38 @@ object Pipelines {
             state.remove()
             Iterator(SessionOut(user, s.start, s.end, s.n))
           } else {
-            // Fold sorted event times into the open session; close and
-            // emit whenever a gap exceeds gapMs. Merging takes
-            // min(start)/max(end): a cross-batch out-of-order event
-            // (above the watermark but before the open session's end)
-            // must extend the span, never shrink it — s.copy(end = t)
-            // would move the session end backwards.
-            val times = rows.map(_.ts.getTime).toArray.sorted
-            var out = List.empty[SessionOut]
-            var cur = state.getOption
-            times.foreach { t =>
-              cur match {
-                case Some(s) if t - s.end <= gapMs =>
-                  cur = Some(SessionState(
-                    math.min(s.start, t), math.max(s.end, t), s.n + 1))
-                case Some(s) =>
-                  out = SessionOut(user, s.start, s.end, s.n) :: out
-                  cur = Some(SessionState(t, t, 1))
-                case None =>
-                  cur = Some(SessionState(t, t, 1))
-              }
+            // Interval-merge the open session WITH the batch's events as
+            // intervals sorted by start, bridging any pair within gapMs.
+            // This handles every out-of-order case uniformly: an event
+            // inside / within-gap of the open session extends it
+            // (min-start/max-end — never shrinks), while an event more
+            // than gapMs BEFORE the session's start forms its own
+            // earlier session instead of being swallowed (folding raw
+            // times against the session's END alone would merge it:
+            // t - end <= gapMs is trivially true for early events).
+            val ivs: List[SessionState] =
+              (state.getOption.toList ++
+                rows.map(r => { val t = r.ts.getTime; SessionState(t, t, 1L) }))
+                .sortBy(v => (v.start, v.end))
+            val merged = ivs.foldLeft(List.empty[SessionState]) {
+              case (h :: tl, v) if v.start - h.end <= gapMs =>
+                SessionState(h.start, math.max(h.end, v.end), h.n + v.n) :: tl
+              case (acc, v) => v :: acc
             }
-            cur.foreach { s =>
-              state.update(s)
-              // Spark rejects a timeout at/below the current watermark —
-              // clamp just above it when the session end already trails
-              // the watermark (late-but-accepted data).
-              val wm = state.getCurrentWatermarkMs()
-              state.setTimeoutTimestamp(math.max(s.end + gapMs, wm + 1))
-            }
-            out.reverseIterator
+            // merged is newest-first; everything but the newest is
+            // gap-closed within this batch and emits now (a still-later
+            // out-of-order arrival could in principle have merged with
+            // one of them — the same single-open-session approximation
+            // as before, now only for genuinely closed sessions)
+            val latest = merged.head
+            state.update(latest)
+            // Spark rejects a timeout at/below the current watermark —
+            // clamp just above it when the session end already trails
+            // the watermark (late-but-accepted data).
+            val wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(math.max(latest.end + gapMs, wm + 1))
+            merged.tail.reverse
+              .map(s => SessionOut(user, s.start, s.end, s.n)).iterator
           }
       }
   }

@@ -60,4 +60,16 @@ class AsOfSpec extends SparkSpec {
     assert(byId(1L) === Some(99L) && byId(2L) === Some(99L))
     assert(byId(3L) === None)
   }
+
+  test("a right payload column named ts does not collide with the carried timestamp") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 0L, 5L)).toDF("id", "k", "ts")
+    // payload column literally named "ts" — the struct's timestamp slot
+    // must use its reserved name or this becomes ambiguous
+    val right = Seq((0L, 3L, 77L)).toDF("k", "rts", "ts")
+    val Array(r) = AsOf.asofJoin(left, right, Seq("k"), "ts", "rts", Seq("ts"))
+      .select("id", "asof_rts", "asof_ts").collect()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((1L, 3L, 77L)))
+  }
 }

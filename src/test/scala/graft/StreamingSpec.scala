@@ -125,6 +125,38 @@ class StreamingSpec extends SparkSpec {
       ts("2026-01-01 09:10:00").getTime, 4L)), s"got $rows")
   }
 
+  test("an event a full gap before the open session opens its OWN session") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val in = MemoryStream[Pipelines.SessionInput]
+    val q = Pipelines.sessionsWithState(in.toDS(), gapMs = 30L * 60 * 1000)
+      .writeStream.format("memory").queryName("fmgws_early")
+      .outputMode("append").start()
+    // batch 1: open session [09:00, 09:10]
+    in.addData(
+      Pipelines.SessionInput(1L, ts("2026-01-01 09:00:00")),
+      Pipelines.SessionInput(1L, ts("2026-01-01 09:10:00")))
+    q.processAllAvailable()
+    // batch 2: out-of-order event at 08:00 — above the 2h watermark so
+    // it is NOT dropped, but more than the 30min gap before the open
+    // session's start: folding it against the session END alone
+    // (t - end <= gap, trivially true for early events) would swallow
+    // it into one [08:00, 09:10] session; correct semantics are two.
+    in.addData(Pipelines.SessionInput(1L, ts("2026-01-01 08:00:00")))
+    q.processAllAvailable()
+    in.addData(Pipelines.SessionInput(9L, ts("2026-01-01 23:00:00")))
+    runToCompletion(q)
+    val rows = s.sql(
+        "SELECT sess_start, sess_end, n_events FROM fmgws_early WHERE user_id = 1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(rows === Set(
+      (ts("2026-01-01 08:00:00").getTime,
+       ts("2026-01-01 08:00:00").getTime, 1L),
+      (ts("2026-01-01 09:00:00").getTime,
+       ts("2026-01-01 09:10:00").getTime, 2L)), s"got $rows")
+  }
+
   test("dropDuplicatesWithinWatermark emits each key once") {
     val s = spark
     import s.implicits._
