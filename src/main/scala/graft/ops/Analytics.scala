@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{Q, Tables => T}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-analytics surface over `events`: ordered conversion funnel,
@@ -126,5 +127,33 @@ object Analytics {
              ON CAST(l_shipdate AS DATE) BETWEEN ws AND we
            GROUP BY w_id ORDER BY w_id"""))
 
-  val all: Seq[Q] = Seq(qEventsFunnel, qEventsCohort, qJoinIntervalBinned)
+  /** First-order transition matrix over per-user event sequences:
+    * counts of (event_type → next event_type) adjacent pairs, ordered
+    * by (ts, event_id) within user — the Markov-chain view of the
+    * clickstream. One window exchange on user_id; the aggregated matrix
+    * is |types|² rows regardless of input size. */
+  val qEventsTransitions = Q(
+    "q_events_transitions",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      T.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy("event_type", "next_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "next_type")
+    },
+    Some("""SELECT event_type, next_type, count(*) AS n FROM (
+             SELECT event_type,
+                    lead(event_type) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS next_type
+             FROM events)
+           WHERE next_type IS NOT NULL
+           GROUP BY event_type, next_type
+           ORDER BY event_type, next_type"""))
+
+  val all: Seq[Q] = Seq(
+    qEventsFunnel, qEventsCohort, qJoinIntervalBinned, qEventsTransitions)
 }

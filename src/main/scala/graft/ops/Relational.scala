@@ -538,6 +538,34 @@ object Relational {
            count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
 
+  /** Conditional-aggregation matrix per event_type: filtered counts,
+    * boolean aggregates, and a filtered deterministic mean — the
+    * FILTER-clause surface (Spark count_if/bool_or/bool_and ≡ standard
+    * FILTER spellings, which the oracle uses; the filtered mean reuses
+    * the Det machinery under a CASE so both engines sum the same scaled
+    * integers). */
+  val qAggConditional = Q(
+    "q_agg_conditional",
+    (s, d) => {
+      val hi = col("value") > 50.0
+      T.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          count_if(hi).as("n_hi"),
+          bool_or(hi).as("any_hi"),
+          bool_and(hi).as("all_hi"),
+          dsum(when(hi, col("value")).otherwise(lit(0.0))).as("sum_hi"))
+        .orderBy("event_type")
+    },
+    Some(s"""SELECT event_type, count(*) AS n,
+            CAST(count(*) FILTER (WHERE value > 50.0) AS BIGINT) AS n_hi,
+            bool_or(value > 50.0) AS any_hi,
+            bool_and(value > 50.0) AS all_hi,
+            ${sqlDsum("CASE WHEN value > 50.0 THEN value ELSE 0.0 END")}
+              AS sum_hi
+            FROM events GROUP BY event_type ORDER BY event_type"""))
+
   /** Unpivot (wide → long): melt the four lineitem measure columns into
     * (metric, value) rows — the inverse reshaping of [[qAggPivot]].
     * Spark's `stack` generator is map-side (no shuffle; the only
@@ -983,8 +1011,8 @@ object Relational {
     qAggHistogram, qAggHistogramSketch, qAggApproxDistinct,
     qAggApproxPercentile,
     qWindowRank, qWindowRankFamily, qWindowFirstLast, qWindowRunning, qWindowLag,
-    qWindowFrameRange, qAggPercentile, qAggPivot, qUnpivot, qSubqueryScalar,
-    qJoinCross,
+    qWindowFrameRange, qAggPercentile, qAggPivot, qUnpivot, qAggConditional,
+    qSubqueryScalar, qJoinCross,
     qExceptAll,
     qTopk, qUnion, qIntersect, qExcept,
     qScalarString, qScalarDate, qScalarMath, qScalarCase, qScalarNull,
