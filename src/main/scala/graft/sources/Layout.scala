@@ -27,4 +27,16 @@ object Layout {
     df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, key).sortBy(key)
       .saveAsTable(name)
+
+  /** Write `df` directory-partitioned on `partCol` (e.g. an event day
+    * derived from the timestamp). Time-partitioned layout is the other
+    * half of the storage story: a time-ranged query then reads ONLY the
+    * matching directories — partition pruning happens at planning time,
+    * before any file is opened, so a one-day query over a year of data
+    * scans 1/365th of it. LayoutSpec pins the pruned file count on the
+    * real plan. */
+  def partitioned(df: DataFrame, path: String, partCol: String): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .partitionBy(partCol)
+      .save(path)
 }

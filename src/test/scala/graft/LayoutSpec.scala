@@ -48,4 +48,28 @@ class LayoutSpec extends SparkSpec {
       s.sql("DROP TABLE IF EXISTS customer_bk")
     }
   }
+
+  test("date-partitioned layout prunes to the queried day at planning time") {
+    val s = spark
+    val tmp = java.nio.file.Files.createTempDirectory("layout_part").toString
+    Layout.partitioned(
+      Tables.events(s, sf)
+        .withColumn("day", to_date(col("ts"))),
+      s"$tmp/events_by_day", "day")
+    val days = s.read.parquet(s"$tmp/events_by_day")
+      .select("day").distinct().collect().map(_.getDate(0)).sorted
+    assert(days.length > 1, "fixture spans one day; partitioning test is vacuous")
+    val one = s.read.parquet(s"$tmp/events_by_day")
+      .filter(col("day") === lit(days(1)))
+    val p = one.queryExecution.explainString(FormattedMode)
+    // the day predicate must land in PartitionFilters — directory-level
+    // pruning at planning time — not as a per-row data filter
+    val pf = p.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert(pf.contains("day"), "day is not a partition filter:\n" + p)
+    assert(!p.linesIterator.filter(_.contains("PushedFilters"))
+      .mkString.contains("day"), "day degraded to a row filter:\n" + p)
+    val expected = Tables.events(s, sf)
+      .filter(to_date(col("ts")) === lit(days(1))).count()
+    assert(one.count() === expected && expected > 0)
+  }
 }
