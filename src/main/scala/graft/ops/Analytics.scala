@@ -154,6 +154,42 @@ object Analytics {
            GROUP BY event_type, next_type
            ORDER BY event_type, next_type"""))
 
+  /** Time-series gap fill: one row per (user, day) across each user's
+    * observed span, zero-filled where no events occurred — the resample
+    * step every downstream time-series model needs (missing days must
+    * be explicit zeros, not absent rows). The day grid generates
+    * map-side from each user's (min, max) aggregate via `sequence`;
+    * grid size is span-bounded, never data-bounded. */
+  val qEventsGapfill = Q(
+    "q_events_gapfill",
+    (s, d) => {
+      val e = T.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val perDay = e.groupBy("user_id", "day").agg(count(lit(1)).as("n"))
+      val grid = e.groupBy("user_id")
+        .agg(min("day").as("d0"), max("day").as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+      grid.join(perDay, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("user_id", "day")
+    },
+    Some("""WITH perday AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                     count(*) AS n
+                   FROM events GROUP BY 1, 2),
+            span AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+                     FROM perday GROUP BY 1),
+            grid AS (SELECT user_id,
+                     CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                       CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE)
+                       AS day
+                     FROM span)
+           SELECT user_id, day, coalesce(n, 0) AS n
+           FROM grid LEFT JOIN perday USING (user_id, day)
+           ORDER BY user_id, day"""))
+
   val all: Seq[Q] = Seq(
-    qEventsFunnel, qEventsCohort, qJoinIntervalBinned, qEventsTransitions)
+    qEventsFunnel, qEventsCohort, qJoinIntervalBinned, qEventsTransitions,
+    qEventsGapfill)
 }

@@ -3,6 +3,7 @@ package graft.ops
 import graft.{SparkSpec, Tables}
 
 import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => ScTest}
 
 /** Connected-components semantics: label propagation on hand-built
   * graphs (including a chain that needs several propagation rounds),
@@ -35,6 +36,30 @@ class GraphSpec extends SparkSpec {
     val edges = (1L until 40L).map(i => i -> (i + 1))
     val got = cc(edges: _*)
     assert(got === (1L to 40L).map(_ -> 1L).toMap)
+  }
+
+  test("components match a reference union-find on random graphs (property)") {
+    val params =
+      ScTest.Parameters.default.withMinSuccessfulTests(5).withMaxSize(40)
+    val edgesGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(1L, 25L), Gen.choose(1L, 25L)).suchThat(p => p._1 != p._2))
+    val prop = Prop.forAllNoShrink(edgesGen) { es =>
+      val got = cc(es.map { case (a, b) => math.min(a, b) -> math.max(a, b) }: _*)
+      // reference: plain driver-side union-find with min-root labels
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = parent.keys.map(v => v -> find(v)).toMap
+      got == want
+    }
+    val res = ScTest.check(params, prop)
+    assert(res.passed, res.status.toString)
   }
 
   test("q_dedup_components: assignment is a fixed point over the pair graph") {
