@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** The library facade: DataFrame-in / DataFrame-out entry points for
+  * every reusable operator core, independent of the test-data table
+  * layout the declared `q_*` queries bind to. A user brings their own
+  * DataFrames (any source) and composes; the declared queries in
+  * [[graft.ops]] are these same cores applied to the benchmark tables,
+  * so everything here is exercised by the oracle gate and scalatest.
+  *
+  * Column-function surface (fused Catalyst expressions, also exposed to
+  * SQL via [[GraftExtensions]]): see [[graft.functions.VectorFunctions]]
+  * (`cosineSim`, `dot`, `quantizeStats`), [[graft.functions.WordShingles]],
+  * [[graft.functions.MinHashSig]], [[graft.functions.SimHashSig]],
+  * [[graft.functions.HistogramAgg]], [[graft.functions.CountMin]],
+  * [[graft.functions.VectorAvgAgg]].
+  */
+object Graft {
+
+  // ------------------------------------------------------------- joins
+
+  /** As-of (temporal) join: for each left row, the latest right row
+    * with the same keys and rightTs <= leftTs. Join-free (union +
+    * forward-fill window) — one exchange, no pair explosion. */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, payload: Seq[String]): DataFrame =
+    ops.AsOf.asofJoin(left, right, keys, leftTs, rightTs, payload)
+
+  /** Skew-salted inner equi-join: row-identical to
+    * `big.join(small, key)`, with the hot key spread `factor` ways. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      factor: Int): DataFrame =
+    ops.Skew.saltedJoin(big, small, key, factor)
+
+  /** Stats pass for [[saltedJoin]]: the hottest `n` join-key values. */
+  def hotKeys(df: DataFrame, key: String, n: Int = 10): DataFrame =
+    ops.Skew.hotKeys(df, key, n)
+
+  // ------------------------------------------------------------- dedup
+
+  /** Connected components of an undirected edge list `(a, b)` (both
+    * long): `(v, comp)` with comp = min vertex id of the component.
+    * Min-label propagation + pointer jumping — O(log diameter) rounds.
+    * The near-dup clustering step between pair generation and survivor
+    * selection. */
+  def connectedComponents(edges: DataFrame): DataFrame =
+    ops.Graph.connectedComponents(edges)
+
+  /** Inverted-index pair generation: unordered `(a, b)` doc_id pairs
+    * that share a blocking key, with posting lists above `maxDf`
+    * dropped (hot keys carry no similarity signal and expand
+    * quadratically). Input needs a `doc_id` column plus the `keys`. */
+  def candidatePairs(df: DataFrame, keys: Seq[String],
+      maxDf: Int = ops.Dedup.MaxPostingDf): DataFrame =
+    ops.Dedup.pairsFromGroups(df, keys, maxDf)
+
+  // ------------------------------------------------------------ layout
+
+  /** Register `df` as a bucketed+sorted managed table — joins and
+    * aggregations on `key` then plan with zero exchanges. */
+  def bucketize(df: DataFrame, name: String, key: String, buckets: Int): Unit =
+    sources.Layout.bucketize(df, name, key, buckets)
+
+  /** Directory-partitioned write: range queries on `partCol` prune at
+    * planning time. */
+  def partitioned(df: DataFrame, path: String, partCol: String): Unit =
+    sources.Layout.partitioned(df, path, partCol)
+
+  // --------------------------------------------------------- analytics
+
+  /** Time-series gap fill: one row per (key, day) across each key's
+    * observed span of `tsCol`, zero-filled. */
+  def gapfillDaily(df: DataFrame, key: String, tsCol: String): DataFrame =
+    ops.Analytics.gapfillDaily(df, key, tsCol)
+}

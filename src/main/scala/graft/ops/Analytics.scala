@@ -154,27 +154,28 @@ object Analytics {
            GROUP BY event_type, next_type
            ORDER BY event_type, next_type"""))
 
-  /** Time-series gap fill: one row per (user, day) across each user's
-    * observed span, zero-filled where no events occurred — the resample
-    * step every downstream time-series model needs (missing days must
-    * be explicit zeros, not absent rows). The day grid generates
-    * map-side from each user's (min, max) aggregate via `sequence`;
-    * grid size is span-bounded, never data-bounded. */
+  /** Time-series gap fill core (df-in/df-out, exposed via
+    * [[graft.Graft.gapfillDaily]]): one row per (key, day) across each
+    * key's observed span of `tsCol`, zero-filled where nothing
+    * occurred — the resample step every downstream time-series model
+    * needs (missing days must be explicit zeros, not absent rows). The
+    * day grid generates map-side from each key's (min, max) aggregate
+    * via `sequence`; grid size is span-bounded, never data-bounded. */
+  def gapfillDaily(df: DataFrame, key: String, tsCol: String): DataFrame = {
+    val e = df.select(col(key), to_date(col(tsCol)).as("day"))
+    val perDay = e.groupBy(key, "day").agg(count(lit(1)).as("n"))
+    val grid = e.groupBy(key)
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col(key), explode(sequence(col("d0"), col("d1"))).as("day"))
+    grid.join(perDay, Seq(key, "day"), "left")
+      .select(col(key), col("day"), coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   val qEventsGapfill = Q(
     "q_events_gapfill",
-    (s, d) => {
-      val e = T.events(s, d)
-        .select(col("user_id"), to_date(col("ts")).as("day"))
-      val perDay = e.groupBy("user_id", "day").agg(count(lit(1)).as("n"))
-      val grid = e.groupBy("user_id")
-        .agg(min("day").as("d0"), max("day").as("d1"))
-        .select(col("user_id"),
-          explode(sequence(col("d0"), col("d1"))).as("day"))
-      grid.join(perDay, Seq("user_id", "day"), "left")
-        .select(col("user_id"), col("day"),
-          coalesce(col("n"), lit(0L)).as("n"))
-        .orderBy("user_id", "day")
-    },
+    (s, d) =>
+      gapfillDaily(T.events(s, d), "user_id", "ts")
+        .orderBy("user_id", "day"),
     Some("""WITH perday AS (SELECT user_id, CAST(ts AS DATE) AS day,
                      count(*) AS n
                    FROM events GROUP BY 1, 2),

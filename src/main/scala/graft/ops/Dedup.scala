@@ -57,7 +57,7 @@ object Dedup {
     * key's collect_list buffer ever materializes. The input is scanned
     * twice (count pass + collect pass); that is the standard trade for
     * bounding the worst group at corpus scale. */
-  private[ops] def pairsFromGroups(df: DataFrame, keys: Seq[String],
+  def pairsFromGroups(df: DataFrame, keys: Seq[String],
       maxDf: Int = MaxPostingDf): DataFrame = {
     val kc = keys.map(col)
     val hot = df.groupBy(kc: _*).agg(count(lit(1)).as("graft_df"))

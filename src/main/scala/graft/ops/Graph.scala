@@ -38,7 +38,7 @@ object Graph {
     * a 2^25-diameter path converges inside the default cap. If the cap
     * is ever hit unconverged the method THROWS rather than returning a
     * silently-wrong clustering. */
-  private[ops] def connectedComponents(
+  def connectedComponents(
       edges: DataFrame, maxIters: Int = 25): DataFrame = {
     // Symmetrize once and materialize: every round re-reads this frame.
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The public df-in/df-out facade resolves and composes — each entry
+  * point's semantics are pinned in its operator's own suite; this only
+  * guards the facade wiring itself. */
+class FacadeSpec extends SparkSpec {
+
+  test("facade entry points run end-to-end on ad-hoc frames") {
+    val s = spark
+    import s.implicits._
+
+    val comps = Graft.connectedComponents(
+      Seq(1L -> 2L, 3L -> 4L).toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+
+    val pairs = Graft.candidatePairs(
+      Seq((10L, "k"), (20L, "k"), (30L, "other")).toDF("doc_id", "key"),
+      Seq("key"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((10L, 20L)))
+
+    val filled = Graft.gapfillDaily(
+      Seq((1L, java.sql.Timestamp.valueOf("2026-01-01 10:00:00")),
+          (1L, java.sql.Timestamp.valueOf("2026-01-03 10:00:00")))
+        .toDF("k", "ts"), "k", "ts")
+      .orderBy("day")
+      .collect().map(r => r.getDate(1).toString -> r.getLong(2))
+    assert(filled.toSeq === Seq(
+      "2026-01-01" -> 1L, "2026-01-02" -> 0L, "2026-01-03" -> 1L))
+
+    val joined = Graft.saltedJoin(
+      Seq((1L, "x")).toDF("k", "v"),
+      Seq((1L, "dim")).toDF("k", "d"), "k", 4)
+    assert(joined.count() === 1)
+  }
+}
