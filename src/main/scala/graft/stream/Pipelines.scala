@@ -54,61 +54,62 @@ object Pipelines {
 
   final case class SessionInput(user_id: Long, ts: Timestamp)
   final case class SessionState(start: Long, end: Long, n: Long)
+  /** All of a user's open sessions, oldest-last (as the merge emits). */
+  final case class SessionsState(open: List[SessionState])
   final case class SessionOut(
       user_id: Long, sess_start: Long, sess_end: Long, n_events: Long)
 
   /** Custom-state sessionization via flatMapGroupsWithState — the shape to
     * reach for when session semantics outgrow `session_window` (e.g.
-    * per-session running features). Emits a session when the event-time
-    * watermark passes its close. Demonstrates the state-store API the
-    * SURVEY mandates; `sessionCounts` is the built-in route. */
+    * per-session running features). Demonstrates the state-store API the
+    * SURVEY mandates; `sessionCounts` is the built-in route.
+    *
+    * State holds ALL of a user's open sessions, and a session emits only
+    * once the WATERMARK passes its close (end + gap) — the point at
+    * which no admissible event can extend or merge it. Emitting on an
+    * in-batch gap instead (the single-open-session shortcut) fragments
+    * out-of-order data: an early event would emit immediately as its
+    * own session, and a later event within its gap — still above the
+    * watermark, so legal — could no longer merge with it. */
   def sessionsWithState(events: Dataset[SessionInput],
       gapMs: Long = 30L * 60 * 1000): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events
       .withWatermark("ts", "2 hours")
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, SessionOut](
+      .flatMapGroupsWithState[SessionsState, SessionOut](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        case (user, rows, state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator(SessionOut(user, s.start, s.end, s.n))
-          } else {
-            // Interval-merge the open session WITH the batch's events as
-            // intervals sorted by start, bridging any pair within gapMs.
-            // This handles every out-of-order case uniformly: an event
-            // inside / within-gap of the open session extends it
-            // (min-start/max-end — never shrinks), while an event more
-            // than gapMs BEFORE the session's start forms its own
-            // earlier session instead of being swallowed (folding raw
-            // times against the session's END alone would merge it:
-            // t - end <= gapMs is trivially true for early events).
-            val ivs: List[SessionState] =
-              (state.getOption.toList ++
-                rows.map(r => { val t = r.ts.getTime; SessionState(t, t, 1L) }))
-                .sortBy(v => (v.start, v.end))
-            val merged = ivs.foldLeft(List.empty[SessionState]) {
-              case (h :: tl, v) if v.start - h.end <= gapMs =>
-                SessionState(h.start, math.max(h.end, v.end), h.n + v.n) :: tl
-              case (acc, v) => v :: acc
-            }
-            // merged is newest-first; everything but the newest is
-            // gap-closed within this batch and emits now (a still-later
-            // out-of-order arrival could in principle have merged with
-            // one of them — the same single-open-session approximation
-            // as before, now only for genuinely closed sessions)
-            val latest = merged.head
-            state.update(latest)
-            // Spark rejects a timeout at/below the current watermark —
-            // clamp just above it when the session end already trails
-            // the watermark (late-but-accepted data).
-            val wm = state.getCurrentWatermarkMs()
-            state.setTimeoutTimestamp(math.max(latest.end + gapMs, wm + 1))
-            merged.tail.reverse
-              .map(s => SessionOut(user, s.start, s.end, s.n)).iterator
+        case (user, rows, state: GroupState[SessionsState]) =>
+          // Interval-merge the open sessions WITH the batch's events,
+          // sorted by start, bridging any pair within gapMs. Uniform in
+          // every arrival order: an event inside / within-gap of an open
+          // session extends it (min-start/max-end), one beyond every
+          // session's gap opens its own. The timed-out invocation is the
+          // same fold with zero new events.
+          val wm = state.getCurrentWatermarkMs()
+          val ivs: List[SessionState] =
+            (state.getOption.map(_.open).getOrElse(Nil) ++
+              rows.map(r => { val t = r.ts.getTime; SessionState(t, t, 1L) }))
+              .sortBy(v => (v.start, v.end))
+          val merged = ivs.foldLeft(List.empty[SessionState]) {
+            case (h :: tl, v) if v.start - h.end <= gapMs =>
+              SessionState(h.start, math.max(h.end, v.end), h.n + v.n) :: tl
+            case (acc, v) => v :: acc
           }
+          // A session is final once the watermark passes its close: no
+          // admissible (above-watermark) event can touch it again.
+          val (open, expired) = merged.partition(s => s.end + gapMs > wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(SessionsState(open))
+            // wake when the OLDEST open session's close passes; Spark
+            // rejects a timeout at/below the current watermark — clamp
+            // just above it for late-but-accepted data.
+            state.setTimeoutTimestamp(
+              math.max(open.map(_.end).min + gapMs, wm + 1))
+          }
+          expired.reverse
+            .map(s => SessionOut(user, s.start, s.end, s.n)).iterator
       }
   }
 
