@@ -48,6 +48,13 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // 1-minute host load average, sampled BEFORE any bench work starts,
+    // so the driver can flag ambient contamination. Sampled at the end
+    // it would mostly measure the bench's own 32-core usage (observed:
+    // 5.6 on an otherwise idle host) and flag every healthy run.
+    val loadavg =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -69,19 +76,31 @@ object Bench {
     catch { case _: Throwable => () }
     // Optional comma-separated name filter for single-query iteration.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Noise immunity: one sample per query lets an unrelated host-load
+    // spike destroy the round's only perf artifact (it did, in round 2 —
+    // 9-48x phantom slowdowns on untouched plans). Each query runs
+    // `passes` times and reports the MIN: the second pass is warm (plans
+    // and code cached), so the floor it finds is the query's real cost,
+    // and a spike must hit BOTH passes to survive into the number.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt.max(1)
+    def minOf(run: () => Unit): Double =
+      (1 to passes).map { _ =>
+        val t0 = System.nanoTime()
+        run()
+        (System.nanoTime() - t0) / 1e9
+      }.min
     // A failed query must not masquerade as a fast one: it reports -1 in
     // `queries`, lands in `failures`, and contributes nothing to `value`.
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-            false
-          }
-        (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, ok)
+        try {
+          (name, minOf(() =>
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()), true)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          (name, -1.0, false)
+        }
       }
     val streamDefs: Seq[(String, String,
         org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)] = Seq(
@@ -90,11 +109,17 @@ object Bench {
       // session_window exercises the merging-state path — the heavier
       // state-store shape tumbling windows never touch
       ("q_stream_sessions", "append",
-        df => graft.stream.Pipelines.sessionCounts(df)))
+        df => graft.stream.Pipelines.sessionCounts(df)),
+      // dropDuplicatesWithinWatermark exercises the state-store dedup
+      // path — the streaming twin of q_dedup_exact
+      ("q_stream_dedup", "append",
+        df => graft.stream.Pipelines.dedupKeyed(df, Seq("user_id", "ts"))))
     val streaming: Seq[(String, Double, Boolean)] =
       streamDefs.filter { case (n, _, _) => only.forall(_.contains(n)) }
         .map { case (n, mode, tf) =>
-          try { (n, streamProbe(spark, sfDir, mode, tf), true) }
+          // each streamProbe call stages its own table copy + fresh
+          // checkpoint, so min-of-N is a genuine cold-state re-run
+          try { (n, (1 to passes).map(_ => streamProbe(spark, sfDir, mode, tf)).min, true) }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $n failed: ${e.getMessage}")
             (n, -1.0, false)
@@ -106,7 +131,7 @@ object Bench {
     val failures = all.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = all.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"passes":$passes,"loadavg":$loadavg,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

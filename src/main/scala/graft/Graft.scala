@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** The library facade: DataFrame-in / DataFrame-out entry points for
   * every reusable operator core, independent of the test-data table
@@ -66,6 +66,23 @@ object Graft {
     * planning time. */
   def partitioned(df: DataFrame, path: String, partCol: String): Unit =
     sources.Layout.partitioned(df, path, partCol)
+
+  // ----------------------------------------------------------- caches
+
+  /** Evict every session-lifetime artifact the library memoized for
+    * `session`: IVF index frames (unpersisted), connected-component
+    * assignments, dataset-dimension probes, and the operator-persisted
+    * frames (shingle/band caches) via the catalog. Index caches key on
+    * (session, dataset path) and deliberately do NOT watch for in-place
+    * rewrites of the path — call this when rewriting a dataset under the
+    * same path, or before pointing a long-lived session at a new corpus. */
+  def clearCaches(session: SparkSession): Unit = {
+    ops.Similarity.clearSessionCaches(session)
+    ops.Graph.clearSessionCaches(session)
+    // drops the persisted dedup shingle/band frames (and any other
+    // plan-level cache entries registered through this session)
+    session.catalog.clearCache()
+  }
 
   // --------------------------------------------------------- analytics
 

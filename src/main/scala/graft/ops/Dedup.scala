@@ -103,11 +103,15 @@ object Dedup {
     val mh = shingled(s, d)
       .select(col("doc_id"),
         graft.functions.MinHashSig.minhash(col("sh")).as("sig"))
+    // pairsFromGroups scans its input twice (hot-count + collect); cached,
+    // the shingle+minhash map pass runs ONCE and the second scan reads
+    // two short strings per document. Evicted by [[graft.Graft.clearCaches]].
     val bands = mh.select(col("doc_id"),
         posexplode(array(
           concat_ws("", slice(col("sig"), 1, 4)),
           concat_ws("", slice(col("sig"), 5, 4)))))
       .toDF("doc_id", "band_no", "band")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pairsFromGroups(bands, Seq("band_no", "band")).distinct()
   }
 
@@ -158,14 +162,27 @@ object Dedup {
     * array lambda. Versus the naive shingle self-join this shuffles the
     * exploded table once instead of sort-merging it against itself, and
     * the pair counts partial-aggregate before the second shuffle. Per-doc
-    * set sizes come straight from `size(sh)` — no second explode. */
+    * set sizes come straight from `size(sh)` — no second explode.
+    *
+    * The shingle frame feeds THREE consumers (the hot-key count pass and
+    * the collect pass inside [[pairsFromGroups]], plus the per-doc sizes
+    * join) and Spark re-executes a shared subtree per reference — so
+    * without a cache the corpus is re-shingled three times, and the
+    * WordShingles pass dominates the query's map-side cost. Persisting the
+    * compact per-doc projection (id, source, size, shingle array — text
+    * itself is dropped) makes it ONE evaluation; MEMORY_AND_DISK spills
+    * rather than recomputes at corpus scale. Evicted by
+    * [[graft.Graft.clearCaches]]. */
   val qDedupNgramJaccard = Q(
     "q_dedup_ngram_jaccard",
     (s, d) => {
-      val sets = shingled(s, d)
+      val sh = shingled(s, d)
+        .select(col("source"), col("doc_id"),
+          size(col("sh")).cast("long").as("n_sh"), col("sh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sets = sh
         .select(col("source"), col("doc_id"), explode(col("sh")).as("sh"))
-      val sizes = shingled(s, d)
-        .select(col("doc_id").as("sz_id"), size(col("sh")).cast("long").as("n_sh"))
+      val sizes = sh.select(col("doc_id").as("sz_id"), col("n_sh"))
       val inter = pairsFromGroups(sets, Seq("source", "sh"))
         .groupBy("a", "b")
         .agg(count(lit(1)).as("n_inter"))
@@ -202,8 +219,12 @@ object Dedup {
             ORDER BY a, b"""))
 
   /** 32-bit SimHash per document (token-frequency weighted, md5-derived
-    * bit planes). Engine-specific layout -> no SQL oracle; scalatest
-    * asserts the invariants (determinism, identical-text collision). */
+    * bit planes). The planes are md5 bytes — portable, like MinHash's —
+    * so the oracle replays the exact construction relationally: token
+    * counts, plane = first 4 md5 bytes as uint32 (the hex-prefix cast),
+    * ±count vote per bit, sign bits reassembled with shifts. A bit-layout
+    * or hash divergence between engines flips whole signature values, so
+    * the hash-match gate pins the signature bit-for-bit. */
   val qDedupSimhash = Q(
     "q_dedup_simhash",
     (s, d) =>
@@ -212,7 +233,21 @@ object Dedup {
           graft.functions.SimHashSig.simhash(split(col("text"), " "))
             .as("simhash"))
         .orderBy("doc_id"),
-    None)
+    Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                          FROM documents),
+            tc AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+            pl AS (SELECT doc_id, cnt,
+                          ('0x' || substring(md5(tok), 1, 8))::BIGINT AS plane
+                   FROM tc),
+            bits AS (SELECT doc_id, b.range AS b,
+                            sum(CASE WHEN (plane >> CAST(b.range AS INT)) & 1 = 1
+                                     THEN cnt ELSE -cnt END) AS s
+                     FROM pl CROSS JOIN range(32) b GROUP BY 1, 2)
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN s > 0
+                            THEN 1::BIGINT << CAST(b AS INT) ELSE 0 END)
+                        AS BIGINT) AS simhash
+            FROM bits GROUP BY doc_id ORDER BY doc_id"""))
 
   /** Per-label block-size ceiling for the embedding near-dup self-join:
     * each label contributes at most this many vectors (the first

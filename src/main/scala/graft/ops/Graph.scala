@@ -84,6 +84,13 @@ object Graph {
   private val ccCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
+  /** Drop this session's memoized component assignments. The frames are
+    * localCheckpointed RDD state — dropping the last reference lets the
+    * ContextCleaner reclaim the blocks. Hook for
+    * [[graft.Graft.clearCaches]]. */
+  private[graft] def clearSessionCaches(s: SparkSession): Unit =
+    ccCache.keySet.toSeq.filter(_._1 eq s).foreach(ccCache.remove)
+
   private def componentsFor(s: SparkSession, d: String): DataFrame =
     ccCache.getOrElseUpdate((s, d),
       connectedComponents(Dedup.minhashPairs(s, d)))

@@ -39,6 +39,20 @@ object Similarity {
   private val ivfCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, Int, Int), (DataFrame, DataFrame)]
 
+  /** Evict every index artifact memoized for `s` (IVF cell assignments
+    * are unpersisted, not just dereferenced). Hook for
+    * [[graft.Graft.clearCaches]] — the escape hatch for in-place dataset
+    * rewrites, which index caches deliberately do not auto-detect. */
+  private[graft] def clearSessionCaches(s: SparkSession): Unit = {
+    dimCache.keySet.toSeq.filter(_._1 eq s).foreach(dimCache.remove)
+    ivfCache.snapshot().foreach { case (k, (cells, _)) =>
+      if (k._1 eq s) {
+        cells.unpersist(blocking = false)
+        ivfCache.remove(k)
+      }
+    }
+  }
+
   /** Cosine similarity between two array<double> columns — fused codegen
     * expression ([[graft.functions.CosineSim]]). Same FP op order as the
     * built-in HOF spelling `aggregate(zip_with(a,b,_*_), 0d, _+_) / ...`,

@@ -36,4 +36,25 @@ class FacadeSpec extends SparkSpec {
       Seq((1L, "dim")).toDF("k", "d"), "k", 4)
     assert(joined.count() === 1)
   }
+
+  test("clearCaches evicts memoized index artifacts and cached plans") {
+    // memoized: two asks for the same (session, dataset, k, iters) hand
+    // back the SAME frame instance...
+    val before = ops.Similarity.ivfCells(spark, sf)
+    assert(ops.Similarity.ivfCells(spark, sf) eq before)
+    // a persisted operator frame registers in the session's cache manager
+    val level = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val cached = spark.range(3).toDF("x").persist(level)
+    cached.count()
+    assert(cached.storageLevel === level)
+
+    Graft.clearCaches(spark)
+
+    // ...and a DIFFERENT instance after eviction (rebuilt, not served
+    // from the dead entry), with the old frame's storage released
+    assert(!(ops.Similarity.ivfCells(spark, sf) eq before))
+    assert(cached.storageLevel === org.apache.spark.storage.StorageLevel.NONE)
+    // the rebuilt index still answers (fresh entry is live, not poisoned)
+    assert(ops.Similarity.ivfCells(spark, sf).count() > 0)
+  }
 }

@@ -74,6 +74,39 @@ class TdcSpec extends SparkSpec {
     assert(got.values.map(_._1).sum === 61L)
   }
 
+  test("reference golden capture runs through EP2 (CSV -> JSON -> decode -> occupancy)") {
+    // The REAL golden sample (reference code/test/test_data.csv, the 61
+    // TDC hits the reference's simulate_stream.py replays), not the
+    // synthetic twin: scan with the explicit schema (R17), produce the
+    // JSON transport frame and decode it back (R18-R19 + R9), then
+    // aggregate — pinning the whole producer->decode path on the true
+    // capture. Expected values hand-computed from the file.
+    val goldenPath = "/root/reference/code/test/test_data.csv"
+    assume(new java.io.File(goldenPath).canRead, "reference checkout absent")
+    val decoded = Replay.roundTrip(Sources.hitsFromCsv(spark, goldenPath))
+    val stats = decoded.agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("ORBIT_CNT")).as("orbits"),
+      (max("ORBIT_CNT") - min("ORBIT_CNT")).as("span"),
+      countDistinct(col("TDC_CHANNEL")).as("channels"),
+      min("ORBIT_CNT").as("o_min")).head()
+    assert(stats.getLong(0) === 61L)
+    assert(stats.getLong(1) === 34L)   // distinct orbits
+    assert(stats.getLong(2) === 451L)  // orbit span
+    assert(stats.getLong(3) === 47L)   // distinct wire channels
+    assert(stats.getLong(4) === 2252311494L)
+    assert(decoded.filter(col("HEAD") =!= 2).count() === 0L)
+    val perFpga = decoded.groupBy("FPGA").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perFpga === Map(0 -> 31L, 1 -> 30L))
+    val occ = decoded.groupBy("FPGA", "TDC_CHANNEL").agg(count(lit(1)).as("n"))
+    assert(occ.count() === 50L)
+    val hottest = occ.orderBy(col("n").desc, col("FPGA"), col("TDC_CHANNEL"))
+      .head()
+    assert((hottest.getInt(0), hottest.getInt(1), hottest.getLong(2)) ===
+      ((0, 11, 3L)))
+  }
+
   test("orbit-time decomposition round-trips (property)") {
     val gen = for {
       orbit <- Gen.choose(0L, 3000000000L)
