@@ -55,6 +55,29 @@ object Graft {
       maxDf: Int = ops.Dedup.MaxPostingDf): DataFrame =
     ops.Dedup.pairsFromGroups(df, keys, maxDf)
 
+  // ------------------------------------------------- corpus assembly
+
+  /** Sequence-packing report: rows packed end-to-end in `orderCol`
+    * order within each `shardCol` shard, cut into `budget`-token bins
+    * (concatenate-and-chunk). One row per (shard, bin): n_docs,
+    * n_tokens, first row id. */
+  def packBins(rows: DataFrame, shardCol: String, orderCol: String,
+      nTokCol: String, budget: Int): DataFrame =
+    ops.Corpus.packBins(rows, shardCol, orderCol, nTokCol, budget)
+
+  /** Train/test contamination scan: per `probe` row, how many of its
+    * distinct token n-grams appear anywhere in `corpus`. */
+  def contaminationScan(probe: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String,
+      n: Int = ops.Corpus.ContamNgram): DataFrame =
+    ops.Corpus.contaminationScan(probe, corpus, idCol, textCol, n)
+
+  /** Domain-mixture report per shard: document/token inventory, token
+    * share (percent), and the uniform-target downsampling rate. */
+  def mixWeights(rows: DataFrame, shardCol: String,
+      nTokCol: String): DataFrame =
+    ops.Corpus.mixWeights(rows, shardCol, nTokCol)
+
   // ------------------------------------------------------------ layout
 
   /** Register `df` as a bucketed+sorted managed table — joins and

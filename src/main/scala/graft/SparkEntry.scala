@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.{Analytics, AsOf, Curation, Dedup, Graph, Multimodal, Relational, Similarity, Skew, Tdc, TextOps}
+import graft.ops.{Analytics, AsOf, Corpus, Curation, Dedup, Graph, Multimodal, Relational, Similarity, Skew, Tdc, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * All declared queries live in graft.ops.* as [[Q]] values; this object
@@ -13,7 +13,7 @@ object SparkEntry {
   def registry: Seq[Q] =
     Relational.all ++ TextOps.all ++ Dedup.all ++ Similarity.all ++
       Multimodal.all ++ Tdc.all ++ AsOf.all ++ Curation.all ++
-      Graph.all ++ Analytics.all ++ Skew.all
+      Graph.all ++ Analytics.all ++ Skew.all ++ Corpus.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

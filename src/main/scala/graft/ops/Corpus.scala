@@ -1,0 +1,196 @@
+package graft.ops
+
+import graft.{Q, Tables => T}
+import graft.util.Det
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly operators — the steps between a curated document set
+  * and a training run: sequence packing, train/test decontamination, and
+  * domain-mixture weighting. All three are mandate extensions (the
+  * reference has no query surface); each is DuckDB-oracled.
+  */
+object Corpus {
+
+  /** Tokens-per-context-window budget for [[qPackSequences]]. Small so
+    * the gate exercises multi-bin groups at sf0.01; the operator shape
+    * is budget-independent. */
+  val PackBudget = 256
+
+  /** Sequence-packing accounting core (concatenate-and-chunk): rows are
+    * laid end to end in `orderCol` order within each `shardCol` shard
+    * and cut into `budget`-token context windows; a row belongs to the
+    * bin its first token lands in. Output: docs and tokens per
+    * (shard, bin) plus the first row id — what a pretraining packer
+    * emits to size its shards.
+    *
+    * Scale: the running offset is a window over the shard, i.e. the
+    * packing SHARD is the parallelism unit — exactly how packing runs in
+    * production (each writer packs its own shard independently; a global
+    * order would serialize the corpus and is deliberately absent). One
+    * exchange keyed on the shard, then one partial-aggregated groupBy. */
+  def packBins(rows: org.apache.spark.sql.DataFrame, shardCol: String,
+      orderCol: String, nTokCol: String, budget: Int): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(shardCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    rows
+      .withColumn("off", coalesce(sum(nTokCol).over(w), lit(0L)))
+      .withColumn("bin", floor(col("off") / lit(budget.toDouble)).cast("long"))
+      .groupBy(col(shardCol), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(nTokCol).as("n_tokens"),
+        min(orderCol).as(s"first_$orderCol"))
+  }
+
+  val qPackSequences = Q(
+    "q_pack_sequences",
+    (s, d) =>
+      packBins(
+        T.documents(s, d)
+          .select(col("source"), col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tok")),
+        "source", "doc_id", "n_tok", PackBudget)
+        .withColumnRenamed("first_doc_id", "first_doc")
+        .orderBy("source", "bin"),
+    Some(s"""WITH toks AS (SELECT source, doc_id,
+               len(string_split(text, ' ')) AS n_tok FROM documents),
+             off AS (SELECT source, doc_id, n_tok,
+               coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+               FROM toks)
+           SELECT source,
+                  CAST(floor(off / ${PackBudget.toDouble}) AS BIGINT) AS bin,
+                  count(*) AS n_docs,
+                  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                  min(doc_id) AS first_doc
+           FROM off GROUP BY source, bin ORDER BY source, bin"""))
+
+  /** Decontamination n-gram length: the industry-standard 8-gram window
+    * (a 13-gram is common too; 8 keeps the gate non-vacuous at sf0.01's
+    * 10-99-token documents). */
+  val ContamNgram = 8
+
+  /** Contamination-scan core: for every row of `probe`, the number of
+    * its distinct token n-grams that appear anywhere in `corpus`
+    * (typically probe = the eval/test set, corpus = the train set — a
+    * nonzero count means evaluating on that row leaks training text).
+    * Rows shorter than the n-gram window carry no grams and surface
+    * with n_shared = 0, never silently dropped. Both frames need
+    * (idCol, textCol).
+    *
+    * Scale shape: both sides shingle map-side; the corpus side collapses
+    * to a DISTINCT gram set (one shuffle keyed on the gram), the probe
+    * side equi-joins it on the gram, and the final count shuffles
+    * (id, n) only. */
+  def contaminationScan(probe: org.apache.spark.sql.DataFrame,
+      corpus: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    def grams(df: org.apache.spark.sql.DataFrame) = df
+      .select(col(idCol), split(col(textCol), " ").as("tk"))
+      .filter(size(col("tk")) >= n)
+      .select(col(idCol), explode(expr(
+        s"""array_distinct(transform(sequence(1, size(tk) - ${n - 1}),
+            i -> concat_ws(' ', slice(tk, i, $n))))""")).as("g"))
+    // corpus side collapses to a DISTINCT gram set (one shuffle keyed on
+    // the gram); probe side equi-joins it — fan-out per probe gram is
+    // exactly 1 because the right side is a set, so no quadratic pair
+    // risk and no df cap needed
+    val hits = grams(probe)
+      .join(grams(corpus).select("g").distinct(), "g")
+      .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
+    probe.select(idCol)
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** The declared scan: TEST split vs TRAIN split of `documents`, split
+    * by the same md5 hash ranges as [[Curation.qSampleSplit]] — the
+    * split this check exists to protect. */
+  val qContamination = Q(
+    "q_contamination",
+    (s, d) => {
+      val sp = T.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+            .as("h"))
+        .withColumn("split",
+          when(col("h") < "cc", "train")
+            .when(col("h") < "e6", "val").otherwise("test"))
+      contaminationScan(
+        probe = sp.filter(col("split") === "test"),
+        corpus = sp.filter(col("split") === "train"),
+        idCol = "doc_id", textCol = "text", n = ContamNgram)
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH sp AS (SELECT doc_id, text,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                      THEN 'train'
+                    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                      THEN 'val'
+                    ELSE 'test' END AS split FROM documents),
+             toks AS (SELECT doc_id, split, string_split(text, ' ') AS tk
+                      FROM sp),
+             sh AS (SELECT DISTINCT doc_id, split, unnest(list_transform(
+                      range(1, len(tk) - ${ContamNgram - 1} + 1),
+                      i -> array_to_string(tk[i:i+${ContamNgram - 1}], ' ')))
+                      AS g
+                    FROM toks WHERE len(tk) >= $ContamNgram),
+             tr AS (SELECT DISTINCT g FROM sh WHERE split = 'train'),
+             hits AS (SELECT s.doc_id, count(*) AS n_shared
+                      FROM sh s JOIN tr USING (g)
+                      WHERE s.split = 'test' GROUP BY s.doc_id)
+           SELECT t.doc_id,
+                  coalesce(h.n_shared, 0) AS n_shared,
+                  coalesce(h.n_shared, 0) > 0 AS contaminated
+           FROM sp t LEFT JOIN hits h ON t.doc_id = h.doc_id
+           WHERE t.split = 'test' ORDER BY t.doc_id"""))
+
+  /** Domain-mixture report: per-source document/token inventory, each
+    * source's share of the corpus (percent), and the deterministic
+    * sampling rate that would flatten the mixture to uniform token mass
+    * across sources — `min(1, (total/k) / source_tokens)`, the standard
+    * down-sample-the-big-domains rule. The global totals are a one-row
+    * aggregate broadcast back over the per-source frame (never a
+    * single-partition window), so the plan is two partial-aggregated
+    * shuffles at any corpus size. Ratios go through [[Det.r2]] — both
+    * engines run the identical IEEE-754 op sequence. */
+  def mixWeights(rows: org.apache.spark.sql.DataFrame, shardCol: String,
+      nTokCol: String): org.apache.spark.sql.DataFrame = {
+    val per = rows
+      .groupBy(shardCol)
+      .agg(count(lit(1)).as("n_docs"), sum(nTokCol).as("n_tokens"))
+    val tot = per.agg(sum("n_tokens").as("t_total"),
+      count(lit(1)).as("n_sources"))
+    per.crossJoin(broadcast(tot))
+      .select(col(shardCol), col("n_docs"), col("n_tokens"),
+        Det.r2(col("n_tokens").cast("double") * lit(100.0) /
+          col("t_total").cast("double")).as("tok_share_pct"),
+        Det.r2(least(lit(1.0),
+          col("t_total").cast("double") / col("n_sources") /
+            col("n_tokens").cast("double"))).as("sample_rate"))
+  }
+
+  val qMixWeights = Q(
+    "q_mix_weights",
+    (s, d) =>
+      mixWeights(
+        T.documents(s, d)
+          .select(col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_tok")),
+        "source", "n_tok")
+        .orderBy("source"),
+    Some(s"""WITH per AS (SELECT source, count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+               FROM documents GROUP BY source),
+             tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t_total,
+               count(*) AS n_sources FROM per)
+           SELECT source, n_docs, n_tokens,
+             ${Det.sqlR2("CAST(n_tokens AS DOUBLE) * 100.0 / CAST(t_total AS DOUBLE)")}
+               AS tok_share_pct,
+             ${Det.sqlR2("least(1.0, CAST(t_total AS DOUBLE) / n_sources / CAST(n_tokens AS DOUBLE))")}
+               AS sample_rate
+           FROM per, tot ORDER BY source"""))
+
+  val all: Seq[Q] = Seq(qPackSequences, qContamination, qMixWeights)
+}

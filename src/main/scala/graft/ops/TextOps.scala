@@ -177,8 +177,8 @@ object TextOps {
   /** Winnowed rolling-hash near-dup candidates: explode each document's
     * fingerprint set ([[graft.functions.Winnow]]), equi-join on the
     * fingerprint, keep pairs sharing >= 10 — same linear join shape as
-    * minhash banding, but edit-position-robust. Engine-specific hashes ->
-    * no SQL oracle; TextSpec pins the semantics. */
+    * minhash banding, but edit-position-robust. TextSpec pins the
+    * semantics; the DuckDB oracle (below) replays the hash itself. */
   /** Winnow pair generation body — `maxDf` exposed for tests; the
     * declared query runs at [[Dedup.MaxPostingDf]]. */
   private[ops] def winnowPairs(s: org.apache.spark.sql.SparkSession,
@@ -207,10 +207,49 @@ object TextOps {
       .orderBy("a", "b")
   }
 
+  /** The winnow hash is a plain polynomial rolling hash (base 257 mod
+    * 1e9+7) over BYTES, and the corpus is ASCII — so the oracle replays
+    * the whole construction relationally: a recursive-CTE power table,
+    * per-window hash as a 16-term weighted character sum (per-term mod
+    * keeps every partial under 2^63, and mod distributes over the sum),
+    * the w=8 window minimum as a frames window function, DISTINCT
+    * selection, then the same df-capped fingerprint equi-join. The
+    * hash-match gate pins the fingerprints bit-for-bit; a divergence in
+    * byte handling, window edges, or the tie rule would flip rows. */
   val qTextWinnowPairs = Q(
     "q_text_winnow_pairs",
     (s, d) => winnowPairs(s, d, Dedup.MaxPostingDf),
-    None)
+    Some(s"""WITH RECURSIVE pows(e, pw) AS (
+               SELECT 0, CAST(1 AS BIGINT) UNION ALL
+               SELECT e + 1, pw * 257 % 1000000007 FROM pows WHERE e < 15),
+             d AS (SELECT doc_id, text, len(text) AS n FROM documents),
+             pos AS (SELECT doc_id, text, n, unnest(range(1, n + 1)) AS i
+                     FROM d),
+             ch AS (SELECT doc_id, i,
+                      CAST(ascii(substring(text, CAST(i AS INT), 1)) AS BIGINT)
+                        AS c
+                    FROM pos),
+             hs AS (SELECT ch.doc_id, ch.i + pows.e - 15 AS p,
+                      sum(ch.c * pows.pw) % 1000000007 AS h
+                    FROM ch, pows GROUP BY 1, 2),
+             hv AS (SELECT hs.doc_id, p, h, d.n - 15 AS nh
+                    FROM hs JOIN d USING (doc_id)
+                    WHERE p BETWEEN 1 AND d.n - 15),
+             win AS (SELECT doc_id, p, nh,
+                       min(h) OVER (PARTITION BY doc_id ORDER BY p
+                         ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS m
+                     FROM hv),
+             fps AS (SELECT DISTINCT doc_id, m AS fp FROM win
+                     WHERE nh > 8 AND p <= nh - 7
+                     UNION
+                     SELECT doc_id, min(h) AS fp FROM hv WHERE nh <= 8
+                     GROUP BY doc_id),
+             hot AS (SELECT fp FROM fps GROUP BY fp
+                     HAVING count(*) > ${Dedup.MaxPostingDf}),
+             ok AS (SELECT doc_id, fp FROM fps ANTI JOIN hot USING (fp))
+           SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared
+           FROM ok x JOIN ok y ON x.fp = y.fp AND x.doc_id < y.doc_id
+           GROUP BY a, b HAVING count(*) >= 10 ORDER BY a, b"""))
 
   /** Array-function matrix over token arrays: size, membership,
     * element extraction from both ends, sorted-prefix — the list-ops

@@ -1,0 +1,100 @@
+package graft
+
+import graft.ops.Corpus
+import org.apache.spark.sql.functions._
+
+/** Semantics of the corpus-assembly operators (packing, contamination,
+  * mixture weights) beyond the hash-match gate: accounting invariants
+  * that must hold for ANY corpus, cross-checked against independent
+  * spellings of the same quantity. */
+class CorpusSpec extends SparkSpec {
+
+  test("q_pack_sequences conserves documents and tokens per shard") {
+    val bins = Corpus.qPackSequences.fn(spark, sf)
+    val perSource = bins.groupBy("source")
+      .agg(sum("n_docs").as("docs"), sum("n_tokens").as("toks"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val truth = Tables.documents(spark, sf)
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("toks"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // every document and every token lands in exactly one bin
+    assert(perSource === truth)
+  }
+
+  test("q_pack_sequences bins are dense from 0 and docs start in their bin") {
+    val rows = Corpus.qPackSequences.fn(spark, sf)
+      .orderBy("source", "bin").collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val bins = rs.map(_.getLong(1)).toSeq
+      // chunking a contiguous token stream can skip a bin only if one
+      // document spans it whole — impossible while every doc is shorter
+      // than the budget, which holds for this corpus (max 99 tokens)
+      assert(bins === (0L until bins.size).toSeq)
+    }
+    // a bin's docs' start offsets all lie inside the bin: cross-check
+    // the per-bin doc count against an independent offset computation
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val expected = docs.flatMap { case (src, ds) =>
+      var off = 0L
+      ds.sortBy(_._2).map { case (_, _, n) =>
+        val bin = off / Corpus.PackBudget; off += n; (src, bin)
+      }.groupBy(identity).map { case ((s, b), xs) => (s, b) -> xs.size.toLong }
+    }
+    val got = rows.map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === expected)
+  }
+
+  test("q_contamination flags exactly the test docs sharing an 8-gram with train") {
+    val out = Corpus.qContamination.fn(spark, sf).collect()
+    // recompute the overlap independently (plain Scala, no Spark ops)
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def split8(t: String): Set[String] = {
+      val tk = t.split(" ", -1)
+      if (tk.length < Corpus.ContamNgram) Set.empty
+      else tk.sliding(Corpus.ContamNgram).map(_.mkString(" ")).toSet
+    }
+    def splitOf(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes).map("%02x".format(_)).mkString
+      val h = hex.substring(0, 2)
+      if (h < "cc") "train" else if (h < "e6") "val" else "test"
+    }
+    val train = docs.filter(d => splitOf(d._1) == "train")
+      .flatMap(d => split8(d._2)).toSet
+    val expected = docs.filter(d => splitOf(d._1) == "test")
+      .map { case (id, t) => id -> split8(t).count(train.contains).toLong }
+      .toMap
+    assert(out.map(r => r.getLong(0) -> r.getLong(1)).toMap === expected)
+    out.foreach(r => assert(r.getBoolean(2) === (r.getLong(1) > 0)))
+    // the gate must not be vacuous: this corpus plants duplicate docs,
+    // some of which straddle the split
+    assert(out.exists(_.getBoolean(2)), "no contaminated doc found")
+  }
+
+  test("q_mix_weights rates are in (0,1] and shares sum to ~100%") {
+    val rows = Corpus.qMixWeights.fn(spark, sf).collect()
+    val totalToks = rows.map(_.getLong(2)).sum
+    rows.foreach { r =>
+      val share = r.getDouble(3); val rate = r.getDouble(4)
+      assert(rate > 0.0 && rate <= 1.0)
+      assert(math.abs(share -
+        r.getLong(2).toDouble * 100.0 / totalToks) < 0.01)
+      // the uniform-target rule: a source at or below its fair share of
+      // tokens is kept whole (rate 1), an oversized one is downsampled
+      val fair = totalToks.toDouble / rows.length
+      if (r.getLong(2) <= fair.floor) assert(rate === 1.0)
+      else assert(rate < 1.0 + 1e-9)
+    }
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 100.0) < 0.5)
+  }
+}

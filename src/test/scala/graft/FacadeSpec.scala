@@ -37,6 +37,31 @@ class FacadeSpec extends SparkSpec {
     assert(joined.count() === 1)
   }
 
+  test("corpus-assembly cores work on arbitrary frames") {
+    import spark.implicits._
+    val rows = Seq(("a", 1L, 100L), ("a", 2L, 100L), ("a", 3L, 100L),
+      ("b", 4L, 50L)).toDF("shard", "id", "n_tok")
+    val bins = Graft.packBins(rows, "shard", "id", "n_tok", 256)
+      .orderBy("shard", "bin").collect()
+    // shard a: ids 1,2 start at 0,100 (bin 0); id 3 starts at 200 (bin 0)
+    // — all inside bin 0? 200 < 256 yes. So a -> one bin of 3 docs.
+    assert(bins.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      === Seq(("a", 0L, 3L), ("b", 0L, 1L)))
+
+    val probe = Seq((1L, "x y z w p q r s t"), (2L, "nothing shared here at all eight grams long")).toDF("id", "text")
+    val corpus = Seq((9L, "x y z w p q r s t u v")).toDF("id", "text")
+    val scan = Graft.contaminationScan(probe, corpus, "id", "text", 8)
+      .orderBy("id").collect()
+    assert(scan.map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === Seq((1L, 2L), (2L, 0L)))
+
+    val mix = Graft.mixWeights(rows, "shard", "n_tok")
+      .orderBy("shard").collect()
+    // a holds 300/350 tokens (fair share 175) -> downsampled; b kept
+    assert(mix.map(_.getString(0)).toSeq === Seq("a", "b"))
+    assert(mix(0).getDouble(4) < 1.0 && mix(1).getDouble(4) === 1.0)
+  }
+
   test("clearCaches evicts memoized index artifacts and cached plans") {
     // memoized: two asks for the same (session, dataset, k, iters) hand
     // back the SAME frame instance...

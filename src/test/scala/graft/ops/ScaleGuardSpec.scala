@@ -56,6 +56,29 @@ class ScaleGuardSpec extends SparkSpec {
     assert(full === Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("a hot band beyond the DECLARED cap never reaches pair expansion") {
+    // End-to-end stress at the production cap (MaxPostingDf = 1000), not
+    // a unit-sized stand-in: 1500 byte-identical documents put every
+    // MinHash band at df = 1500 > cap, whose uncapped expansion is
+    // 1500C2 = 1,124,250 pairs. With the cap those bands are dropped
+    // before collect_list, so the ONLY pair the full minhash path may
+    // emit is the planted 2-document cluster — remove the cap in
+    // pairsFromGroups and this equality fails by a million rows (and the
+    // runtime blows up with it).
+    val s = spark
+    import s.implicits._
+    val hotBody = (1 to 40).map(i => s"hot$i").mkString(" ")
+    val planted = "planted near duplicate cluster body " * 8
+    val rows =
+      (1L to 1500L).map(i => (i, hotBody)) ++
+        Seq(9001L -> planted, 9002L -> planted)
+    writeDocs(rows: _*)
+    val pairs = Dedup.minhashPairs(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((9001L, 9002L)),
+      s"hot-band pairs must never materialize, got ${pairs.size} pairs")
+  }
+
   test("embedding near-dup blocks are bounded by maxBlock") {
     val s = spark
     import s.implicits._
