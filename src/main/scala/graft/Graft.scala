@@ -14,7 +14,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (`cosineSim`, `dot`, `quantizeStats`), [[graft.functions.WordShingles]],
   * [[graft.functions.MinHashSig]], [[graft.functions.SimHashSig]],
   * [[graft.functions.HistogramAgg]], [[graft.functions.CountMin]],
-  * [[graft.functions.VectorAvgAgg]].
+  * [[graft.functions.VectorAvgAgg]], [[graft.functions.ZValue]].
   */
 object Graft {
 
@@ -89,6 +89,17 @@ object Graft {
     * planning time. */
   def partitioned(df: DataFrame, path: String, partCol: String): Unit =
     sources.Layout.partitioned(df, path, partCol)
+
+  /** Range-clustered write: `n` range-disjoint files sorted on `cols`,
+    * so row-group min/max stats skip files at scan time. */
+  def clustered(df: DataFrame, path: String, n: Int, cols: String*): Unit =
+    sources.Layout.clustered(df, path, n, cols: _*)
+
+  /** Compact a parquet directory into ~`targetMb` files at `dst` (the
+    * small-files repair). Returns the file count written. */
+  def compact(session: SparkSession, src: String, dst: String,
+      targetMb: Int = 512): Int =
+    sources.Layout.compact(session, src, dst, targetMb)
 
   // ----------------------------------------------------------- caches
 

@@ -50,6 +50,7 @@ object GraftExtensions {
     "graft_minhash" -> (es => MinHashSig(es.head)),
     "graft_simhash" -> (es => SimHashSig(es.head)),
     "graft_quantize" -> (es => QuantizeStats(es.head)),
+    "graft_zvalue" -> (es => ZValue(es.head, es(1))),
     "graft_cms" -> (es => CountMinAgg(es.head)),
     "graft_cms_est" -> (es => CmsEstimate(es.head, es(1))),
     "graft_vec_avg" -> (es => VectorAvgAgg(es.head)),

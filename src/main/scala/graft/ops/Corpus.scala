@@ -150,25 +150,31 @@ object Corpus {
     * source's share of the corpus (percent), and the deterministic
     * sampling rate that would flatten the mixture to uniform token mass
     * across sources — `min(1, (total/k) / source_tokens)`, the standard
-    * down-sample-the-big-domains rule. The global totals are a one-row
-    * aggregate broadcast back over the per-source frame (never a
-    * single-partition window), so the plan is two partial-aggregated
-    * shuffles at any corpus size. Ratios go through [[Det.r2]] — both
-    * engines run the identical IEEE-754 op sequence. */
+    * down-sample-the-big-domains rule. The corpus is scanned ONCE (one
+    * partial-aggregated shuffle to the per-shard frame); the global
+    * totals then come from a window over that k-row frame, bounded by
+    * shard cardinality, not corpus size. Ratios go through [[Det.r2]] —
+    * both engines run the identical IEEE-754 op sequence. */
   def mixWeights(rows: org.apache.spark.sql.DataFrame, shardCol: String,
       nTokCol: String): org.apache.spark.sql.DataFrame = {
     val per = rows
       .groupBy(shardCol)
       .agg(count(lit(1)).as("n_docs"), sum(nTokCol).as("n_tokens"))
-    val tot = per.agg(sum("n_tokens").as("t_total"),
-      count(lit(1)).as("n_sources"))
-    per.crossJoin(broadcast(tot))
-      .select(col(shardCol), col("n_docs"), col("n_tokens"),
-        Det.r2(col("n_tokens").cast("double") * lit(100.0) /
-          col("t_total").cast("double")).as("tok_share_pct"),
-        Det.r2(least(lit(1.0),
-          col("t_total").cast("double") / col("n_sources") /
-            col("n_tokens").cast("double"))).as("sample_rate"))
+    // The global totals come from a window over the ALREADY-AGGREGATED
+    // per-shard frame — one row per shard, bounded by shard cardinality,
+    // so the unpartitioned window is a k-row single task, NOT a corpus
+    // serialization. (A separate totals aggregate joined back would
+    // re-execute the whole per-shard subtree and scan the corpus twice.)
+    val w = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val tTotal = sum("n_tokens").over(w).cast("double")
+    val nShards = count(lit(1)).over(w)
+    per.select(col(shardCol), col("n_docs"), col("n_tokens"),
+      Det.r2(col("n_tokens").cast("double") * lit(100.0) / tTotal)
+        .as("tok_share_pct"),
+      Det.r2(least(lit(1.0),
+        tTotal / nShards / col("n_tokens").cast("double")))
+        .as("sample_rate"))
   }
 
   val qMixWeights = Q(

@@ -39,4 +39,42 @@ object Layout {
     df.write.mode("overwrite").format("parquet")
       .partitionBy(partCol)
       .save(path)
+
+  /** Range-cluster `df` on `cols` into `n` files: rows land in
+    * range-DISJOINT files, each sorted within, so parquet row-group
+    * min/max statistics answer range predicates on the clustering
+    * columns by skipping whole files/row groups at scan time — the
+    * single-dimension clustering story (sort your dominant filter
+    * column; multi-dimension needs an interleaved key, same write
+    * shape). Complements [[partitioned]]: directory partitioning prunes
+    * at PLANNING time on the partition column; clustering prunes at
+    * SCAN time inside each partition, without the small-files cost of
+    * over-partitioning. LayoutSpec pins the disjointness. */
+  def clustered(df: DataFrame, path: String, n: Int, cols: String*): Unit =
+    df.repartitionByRange(n, cols.map(df.col): _*)
+      .sortWithinPartitions(cols.map(df.col): _*)
+      .write.mode("overwrite").format("parquet").save(path)
+
+  /** Compact a parquet directory into ~`targetMb` files at `dst` — the
+    * small-files repair every long-lived ingest pipeline needs (a
+    * streaming sink or over-parallel writer leaves thousands of KB-size
+    * files; each costs a task + an open + a footer parse, so scan cost
+    * is dominated by file COUNT, not bytes). File count derives from
+    * the actual on-disk bytes. Returns the file count written.
+    * Destination is a separate path — compacting in place while reading
+    * would race the scan against the overwrite. */
+  def compact(spark: org.apache.spark.sql.SparkSession, src: String,
+      dst: String, targetMb: Int = 512): Int = {
+    require(new org.apache.hadoop.fs.Path(src).toUri.getPath !=
+      new org.apache.hadoop.fs.Path(dst).toUri.getPath,
+      "compact src and dst must differ (in-place would race the scan)")
+    val p = new org.apache.hadoop.fs.Path(src)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val n = math.max(1L, (bytes + targetMb.toLong * 1024 * 1024 - 1) /
+      (targetMb.toLong * 1024 * 1024)).toInt
+    spark.read.parquet(src).repartition(n)
+      .write.mode("overwrite").format("parquet").save(dst)
+    n
+  }
 }

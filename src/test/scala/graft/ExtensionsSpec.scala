@@ -39,6 +39,21 @@ class ExtensionsSpec extends SparkSpec {
     assert(sql.toSeq === api.toSeq)
   }
 
+  test("graft_zvalue works from SQL, interleaves bits, rejects negatives") {
+    ready
+    // 3 = 0b11 -> even positions 0b0101 = 5; y doubles into odd positions
+    val r = spark.sql(
+      "SELECT graft_zvalue(3, 0), graft_zvalue(0, 3), graft_zvalue(3, 3)")
+      .head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((5L, 10L, 15L)))
+    // full 32-bit inputs fill all 64 output bits — nothing truncated
+    assert(graft.functions.ZValue.interleave(0xffffffffL, 0xffffffffL)
+      === -1L)
+    intercept[Exception] {
+      spark.sql("SELECT graft_zvalue(-1, 2)").collect()
+    }
+  }
+
   test("text sketch functions work from SQL") {
     ready
     val row = spark.sql(

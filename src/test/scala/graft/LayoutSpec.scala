@@ -49,6 +49,81 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("clustered write produces range-disjoint sorted files") {
+    val s = spark
+    val tmp = java.nio.file.Files.createTempDirectory("layout_clus").toString
+    Layout.clustered(Tables.orders(s, sf), s"$tmp/orders_c", 4, "o_totalprice")
+    val files = new java.io.File(s"$tmp/orders_c").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    assert(files.length == 4)
+    // per-file [min, max] of the clustering column must not overlap —
+    // the property that lets parquet row-group stats skip whole files
+    // for a range predicate
+    val ranges = files.map { f =>
+      val r = s.read.parquet(f)
+        .agg(min("o_totalprice"), max("o_totalprice")).head()
+      (r.getDouble(0), r.getDouble(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi <= lo,
+        s"file ranges overlap: $hi > $lo")
+      case _ =>
+    }
+    // nothing lost in the rewrite
+    assert(s.read.parquet(s"$tmp/orders_c").count()
+      === Tables.orders(s, sf).count())
+  }
+
+  test("compact repairs a small-files table to the byte-derived count") {
+    val s = spark
+    val tmp = java.nio.file.Files.createTempDirectory("layout_cmp").toString
+    // simulate an over-parallel writer: 64 tiny files
+    Tables.orders(s, sf).repartition(64)
+      .write.mode("overwrite").parquet(s"$tmp/small")
+    val small = new java.io.File(s"$tmp/small").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(small === 64)
+    val n = Layout.compact(s, s"$tmp/small", s"$tmp/big", targetMb = 512)
+    assert(n === 1, s"sub-512MB table must compact to one file, got $n")
+    val big = new java.io.File(s"$tmp/big").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(big === 1)
+    assert(s.read.parquet(s"$tmp/big").count()
+      === Tables.orders(s, sf).count())
+    intercept[IllegalArgumentException] {
+      Layout.compact(s, s"$tmp/small", s"$tmp/small")
+    }
+  }
+
+  test("z-ordered clustering bounds BOTH dimensions per file; 1-d does not") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("layout_z").toString
+    // uniform 100x100 grid — two equally-selective dimensions
+    val grid = (0 until 10000).map(i => (i % 100, i / 100)).toDF("x", "y")
+    Layout.clustered(grid.withColumn("z",
+        graft.functions.ZValue.zvalue(col("x"), col("y"))),
+      s"$tmp/zc", 16, "z")
+    Layout.clustered(grid, s"$tmp/xc", 16, "x")
+    def hits(path: String, lo: Int, hi: Int, dim: String): Int =
+      new java.io.File(path).listFiles()
+        .filter(_.getName.endsWith(".parquet")).count { f =>
+          val r = s.read.parquet(f.getPath)
+            .agg(min(dim), max(dim)).head()
+          r.getInt(0) <= hi && lo <= r.getInt(1)
+        }
+    // a y-band predicate: the x-clustered layout leaves y unconstrained
+    // in every file (all 16 hit); the z-curve bounds y per file too
+    val zHits = hits(s"$tmp/zc", 10, 19, "y")
+    val xHits = hits(s"$tmp/xc", 10, 19, "y")
+    assert(xHits === 16, s"1-d layout should not bound y, hit $xHits")
+    assert(zHits <= 8, s"z layout should skip most files on y, hit $zHits")
+    // and the z layout still bounds x as well (no dimension sacrificed)
+    assert(hits(s"$tmp/zc", 10, 19, "x") <= 8)
+    // the curve is a reordering, not a filter
+    assert(s.read.parquet(s"$tmp/zc").count() === 10000)
+  }
+
   test("date-partitioned layout prunes to the queried day at planning time") {
     val s = spark
     val tmp = java.nio.file.Files.createTempDirectory("layout_part").toString

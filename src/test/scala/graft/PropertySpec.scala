@@ -208,4 +208,37 @@ class PropertySpec extends SparkSpec {
     assert(v.eval(new graft.functions.VectorAvgAgg.Buf(0L, Array.emptyDoubleArray))
       === null)
   }
+
+  test("packBins conserves docs/tokens and bins are contiguous chunks") {
+    val s = spark
+    import s.implicits._
+    val rowsGen = Gen.listOfN(24, for {
+      shard <- Gen.oneOf("s0", "s1", "s2")
+      n <- Gen.choose(1L, 120L)
+    } yield (shard, n))
+    check(Prop.forAllNoShrink(rowsGen) { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((sh, n), i) => (sh, i.toLong, n) }
+        .toDF("shard", "id", "n_tok")
+      val bins = ops.Corpus.packBins(df, "shard", "id", "n_tok", 100)
+        .collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // conservation: every row and token lands in exactly one bin
+      val byShard = rows.zipWithIndex.groupBy(_._1._1)
+      bins.groupBy(_._1).forall { case (sh, bs) =>
+        bs.map(_._3).sum == byShard(sh).size &&
+          bs.map(_._4).sum == byShard(sh).map(_._1._2).sum
+      } && {
+        // bin of each row = its running start offset / budget, computed
+        // independently; the grouped report must agree exactly
+        val expect = byShard.flatMap { case (sh, rs) =>
+          var off = 0L
+          rs.sortBy(_._2).map { case ((_, n), _) =>
+            val b = off / 100; off += n; (sh, b)
+          }.groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+        }
+        bins.map(b => (b._1, b._2) -> b._3).toMap == expect
+      }
+    })
+  }
 }
