@@ -106,6 +106,31 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "hashpartitioning") == 1, p)
   }
 
+  test("q_pack_sequences: the bin groupBy reuses the window's shard partitioning") {
+    val p = plan("q_pack_sequences")
+    // exchanges: the local single-split spread, the per-shard window,
+    // and the gate's final ORDER BY — the (shard, bin) aggregation must
+    // NOT add a fourth (HashPartitioning(source) satisfies clustering
+    // on (source, bin)); a regression here doubles the shuffle volume
+    assert(count(p, "\\(\\d+\\) Exchange") <= 3,
+      "bin aggregation added its own exchange:\n" + p)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
+  test("q_contamination: gram join is hash/merge, never a pair expansion") {
+    val p = plan("q_contamination")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    // the train side must collapse to a distinct gram set before the join
+    assert(p.contains("Generate"), p)
+    assert(count(p, "HashAggregate") >= 2, p)
+  }
+
+  test("q_mix_weights: one corpus scan, totals from the k-row frame") {
+    val p = plan("q_mix_weights")
+    assert(count(p, "\\(\\d+\\) Scan parquet") === 1,
+      "mix weights re-scans the corpus for its totals:\n" + p)
+  }
+
   test("q_unpivot: the melt is a map-side generator, not a self-union of scans") {
     val p = plan("q_unpivot")
     assert(count(p, """\(\d+\) Scan parquet""") == 1,
