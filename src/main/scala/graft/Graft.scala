@@ -55,6 +55,24 @@ object Graft {
       maxDf: Int = ops.Dedup.MaxPostingDf): DataFrame =
     ops.Dedup.pairsFromGroups(df, keys, maxDf)
 
+  /** Survivor selection: one row per `groupCol` group — the member with
+    * the highest `qualityCol` (ties to the smallest `idCol`) plus the
+    * group size. Feed it a cluster assignment (e.g.
+    * [[connectedComponents]] joined back to quality signals) to turn
+    * near-dup clusters into a keep list. Both windows share the group
+    * partition — ONE exchange. */
+  def survivors(df: DataFrame, groupCol: String, qualityCol: String,
+      idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val byQuality = Window.partitionBy(groupCol)
+      .orderBy(col(qualityCol).desc, col(idCol))
+    df.withColumn("graft_rn", row_number().over(byQuality))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(groupCol)))
+      .filter(col("graft_rn") === 1)
+      .drop("graft_rn")
+  }
+
   // ------------------------------------------------- corpus assembly
 
   /** Sequence-packing report: rows packed end-to-end in `orderCol`

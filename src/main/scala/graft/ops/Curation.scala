@@ -225,7 +225,56 @@ object Curation {
     },
     None)
 
+  /** Corpus-LM surprisal score — the perplexity-filter shape (score each
+    * document under a language model derived from the corpus itself;
+    * rare-token-heavy documents score high) with a deterministic twist:
+    * true `-log p` is float `ln`, and Java's `Math.log` disagrees with
+    * DuckDB/glibc by 1 ulp on ~6 of 300k integer inputs (measured), so
+    * the gate could flip. Instead each token scores its INTEGER
+    * surprisal `bitlength(total // cnt)` — a quantized -log2 p computed
+    * in exact integer space (`length(bin(x))` / `length(printf('%b', x))`
+    * are identical by construction). Per doc: token count, exact bits
+    * sum, 2dp mean.
+    *
+    * Scale shape: the unigram "model" is the vocab-sized count frame
+    * (one explode + groupBy(token)); the scalar total partial-aggregates
+    * from the VOCAB frame, not a second corpus pass, and broadcasts onto
+    * it; scoring is one equi-join keyed on the token and a doc_id
+    * aggregation. */
+  val qTextSurprisal = Q(
+    "q_text_surprisal",
+    (s, d) => {
+      val toks = T.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val total = vocab.agg(sum("cnt").as("total"))
+      val scored = vocab.crossJoin(broadcast(total))
+        .select(col("tok"),
+          length(bin(expr("total div cnt"))).cast("long").as("bits"))
+      toks.join(scored, "tok")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"), sum("bits").as("bits_sum"))
+        .select(col("doc_id"), col("n_tok"), col("bits_sum"),
+          r2(col("bits_sum").cast("double") / col("n_tok"))
+            .as("mean_bits"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                           FROM documents),
+             vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+             tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+             sc AS (SELECT tok,
+                      CAST(length(printf('%b', total // cnt)) AS BIGINT)
+                        AS bits
+                    FROM vocab, tot)
+           SELECT t.doc_id, count(*) AS n_tok,
+                  CAST(sum(sc.bits) AS BIGINT) AS bits_sum,
+                  ${sqlR2("CAST(sum(sc.bits) AS BIGINT)::DOUBLE / count(*)")}
+                    AS mean_bits
+           FROM toks t JOIN sc USING (tok)
+           GROUP BY t.doc_id ORDER BY t.doc_id"""))
+
   val all: Seq[Q] = Seq(
     qTextRepetition, qSampleHash, qSampleStratified, qAggHeavyHitters,
-    qTextPiiScrub, qSampleSplit, qAggHeavyHittersSketch)
+    qTextPiiScrub, qSampleSplit, qAggHeavyHittersSketch, qTextSurprisal)
 }

@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.{Q, Tables => T}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate **cluster assignment**: connected components over the
@@ -154,5 +155,55 @@ object Graph {
           SELECT sz, count(*) AS n_clusters FROM sizes
           GROUP BY sz ORDER BY sz"""))
 
-  val all: Seq[Q] = Seq(qDedupComponents, qDedupClusterSizes)
+  /** Survivor selection — the step a dedup run actually ships: per
+    * near-dup cluster, keep the HIGHEST-QUALITY member (here: most
+    * tokens, ties to the smallest doc_id), not the arbitrary min-id.
+    * One row per cluster: id, survivor, survivor's token count, size.
+    * Both windows share the (comp) partition, so selection and size ride
+    * ONE exchange; clusters are near-dup groups — small by construction —
+    * so the per-cluster window never skews a task. */
+  val qDedupSurvivors = Q(
+    "q_dedup_survivors",
+    (s, d) => {
+      val comp = componentsFor(s, d)
+      val assigned = T.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .join(comp, col("doc_id") === col("v"), "left")
+        .select(col("doc_id"), col("n_tok"),
+          coalesce(col("comp"), col("doc_id")).as("comp"))
+      val byQuality = Window.partitionBy("comp")
+        .orderBy(col("n_tok").desc, col("doc_id"))
+      val whole = Window.partitionBy("comp")
+      assigned
+        .withColumn("rn", row_number().over(byQuality))
+        .withColumn("sz", count(lit(1)).over(whole))
+        .filter(col("rn") === 1)
+        .select(col("comp"), col("doc_id").as("survivor"),
+          col("n_tok").as("survivor_tokens"), col("sz"))
+        .orderBy("comp")
+    },
+    Some(s"""WITH RECURSIVE ${Dedup.minhashPairsSqlCte},
+            e AS (SELECT a AS src, b AS dst FROM cand
+                  UNION ALL
+                  SELECT b AS src, a AS dst FROM cand),
+            reach(v, l) AS (
+              SELECT src, src FROM e
+              UNION
+              SELECT e.dst, r.l FROM reach r JOIN e ON e.src = r.v),
+            comp AS (SELECT v, min(l) AS comp FROM reach GROUP BY v),
+            assign AS (SELECT d.doc_id,
+                              CAST(len(string_split(d.text, ' ')) AS BIGINT)
+                                AS n_tok,
+                              coalesce(c.comp, d.doc_id) AS comp
+                       FROM documents d LEFT JOIN comp c ON d.doc_id = c.v),
+            ranked AS (SELECT comp, doc_id, n_tok,
+                              row_number() OVER (PARTITION BY comp
+                                ORDER BY n_tok DESC, doc_id) AS rn,
+                              count(*) OVER (PARTITION BY comp) AS sz
+                       FROM assign)
+          SELECT comp, doc_id AS survivor, n_tok AS survivor_tokens, sz
+          FROM ranked WHERE rn = 1 ORDER BY comp"""))
+
+  val all: Seq[Q] = Seq(qDedupComponents, qDedupClusterSizes, qDedupSurvivors)
 }

@@ -108,4 +108,28 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(bySplit("val").toDouble / n - 0.10) < 0.05, bySplit)
     assert(math.abs(bySplit("test").toDouble / n - 0.10) < 0.05, bySplit)
   }
+
+  test("q_text_surprisal: exact integer bit scores, rare docs score higher") {
+    val out = Curation.qTextSurprisal.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // recompute independently in plain Scala
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val all = docs.flatMap(_._2.split(" ", -1))
+    val cnt = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = all.length.toLong
+    def bits(tok: String): Long =
+      java.lang.Long.toBinaryString(total / cnt(tok)).length.toLong
+    val expect = docs.map { case (id, t) =>
+      val ts = t.split(" ", -1)
+      val bs = ts.map(bits).sum
+      (id, ts.length.toLong, bs,
+        math.floor(bs.toDouble / ts.length * 100 + 0.5) / 100)
+    }.sortBy(_._1)
+    assert(out.sortBy(_._1).toSeq === expect.toSeq)
+    // every token carries at least one bit; means sit inside [1, 64]
+    out.foreach { case (_, n, bs, m) =>
+      assert(bs >= n && m >= 1.0 && m <= 64.0)
+    }
+  }
 }

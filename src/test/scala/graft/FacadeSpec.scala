@@ -62,6 +62,17 @@ class FacadeSpec extends SparkSpec {
     assert(mix(0).getDouble(4) < 1.0 && mix(1).getDouble(4) === 1.0)
   }
 
+  test("survivors keeps the best-quality member and the group size") {
+    import spark.implicits._
+    val df = Seq((1L, 10L, 5L), (1L, 11L, 9L), (1L, 12L, 9L), (2L, 20L, 1L))
+      .toDF("comp", "id", "quality")
+    val got = Graft.survivors(df, "comp", "quality", "id")
+      .orderBy("comp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // comp 1: quality tie 11 vs 12 -> min id 11; size 3
+    assert(got.toSeq === Seq((1L, 11L, 9L, 3L), (2L, 20L, 1L, 1L)))
+  }
+
   test("clearCaches evicts memoized index artifacts and cached plans") {
     // memoized: two asks for the same (session, dataset, k, iters) hand
     // back the SAME frame instance...

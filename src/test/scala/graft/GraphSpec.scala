@@ -87,4 +87,25 @@ class GraphSpec extends SparkSpec {
     val nDocs = Tables.documents(spark, sf).count()
     assert(hist.map { case (sz, n) => sz * n }.sum === nDocs)
   }
+
+  test("q_dedup_survivors: one best-quality survivor per cluster, sizes conserve") {
+    val surv = Graph.qDedupSurvivors.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // sizes cover the whole corpus; one row per cluster
+    assert(surv.map(_._4).sum === Tables.documents(spark, sf).count())
+    assert(surv.map(_._1).distinct.length === surv.length)
+    // cross-check against the component assignment + token counts: the
+    // survivor is the member with the most tokens (ties -> min doc_id)
+    val comp = Graph.qDedupComponents.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val nTok = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = comp.groupBy(_._2).map { case (c, ms) =>
+      val members = ms.map(_._1)
+      c -> (members.maxBy(id => (nTok(id), -id)), members.size.toLong)
+    }
+    assert(surv.map(r => r._1 -> ((r._2, r._4))).toMap === expected)
+    surv.foreach { case (_, s, st, _) => assert(nTok(s) === st) }
+  }
 }
