@@ -56,22 +56,15 @@ object Graft {
     ops.Dedup.pairsFromGroups(df, keys, maxDf)
 
   /** Survivor selection: one row per `groupCol` group — the member with
-    * the highest `qualityCol` (ties to the smallest `idCol`) plus the
-    * group size. Feed it a cluster assignment (e.g.
+    * the highest `qualityCol` (ties to the smallest `idCol`) — with the
+    * group size appended as `graft_sz` (namespaced so it never clobbers
+    * a caller's column). Feed it a cluster assignment (e.g.
     * [[connectedComponents]] joined back to quality signals) to turn
     * near-dup clusters into a keep list. Both windows share the group
     * partition — ONE exchange. */
   def survivors(df: DataFrame, groupCol: String, qualityCol: String,
-      idCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.functions._
-    val byQuality = Window.partitionBy(groupCol)
-      .orderBy(col(qualityCol).desc, col(idCol))
-    df.withColumn("graft_rn", row_number().over(byQuality))
-      .withColumn("sz", count(lit(1)).over(Window.partitionBy(groupCol)))
-      .filter(col("graft_rn") === 1)
-      .drop("graft_rn")
-  }
+      idCol: String): DataFrame =
+    ops.Graph.bestPerGroup(df, groupCol, qualityCol, idCol)
 
   // ------------------------------------------------- corpus assembly
 
@@ -121,18 +114,25 @@ object Graft {
 
   // ----------------------------------------------------------- caches
 
-  /** Evict every session-lifetime artifact the library memoized for
-    * `session`: IVF index frames (unpersisted), connected-component
-    * assignments, dataset-dimension probes, and the operator-persisted
-    * frames (shingle/band caches) via the catalog. Index caches key on
+  /** Evict every session-lifetime artifact the library memoized:
+    * IVF index frames (unpersisted), connected-component assignments,
+    * dataset-dimension probes, and the operator-persisted frames
+    * (shingle/band/token caches) via the catalog. Index caches key on
     * (session, dataset path) and deliberately do NOT watch for in-place
     * rewrites of the path — call this when rewriting a dataset under the
-    * same path, or before pointing a long-lived session at a new corpus. */
+    * same path, or before pointing a long-lived session at a new corpus.
+    *
+    * Blast radius: `catalog.clearCache()` clears the CONTEXT-wide cache
+    * manager — every cached plan of every session sharing this
+    * SparkContext, including frames the caller persisted themselves
+    * (they recompute on next use; nothing is lost). The library's
+    * operator persists carry no table names to target individually, so
+    * a full clear is the only complete eviction — acceptable for the
+    * intended use (refresh between corpus versions), not a per-query
+    * cache tool. */
   def clearCaches(session: SparkSession): Unit = {
     ops.Similarity.clearSessionCaches(session)
     ops.Graph.clearSessionCaches(session)
-    // drops the persisted dedup shingle/band frames (and any other
-    // plan-level cache entries registered through this session)
     session.catalog.clearCache()
   }
 

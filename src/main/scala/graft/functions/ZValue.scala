@@ -74,10 +74,14 @@ object ZValue {
   /** Static so generated code calls it directly (stays in the
     * whole-stage-codegen span). */
   def interleave(x: Long, y: Long): Long = {
-    if (x < 0 || y < 0)
+    // out-of-range inputs must throw, not silently fold: a negative
+    // would invert the curve, and a value >= 2^32 would alias onto its
+    // low 32 bits — far-apart rows would share z-keys and the clustered
+    // files would silently stop bounding the source dimensions
+    if (x < 0 || y < 0 || x > 0xffffffffL || y > 0xffffffffL)
       throw new IllegalArgumentException(
-        s"graft_zvalue needs non-negative inputs, got ($x, $y) — " +
-          "rank/bucket-encode signed domains first")
+        s"graft_zvalue needs inputs in [0, 2^32), got ($x, $y) — " +
+          "rank/bucket-encode wider or signed domains first")
     dilate(x) | (dilate(y) << 1)
   }
 

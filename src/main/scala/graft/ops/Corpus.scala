@@ -28,7 +28,12 @@ object Corpus {
     * packing SHARD is the parallelism unit — exactly how packing runs in
     * production (each writer packs its own shard independently; a global
     * order would serialize the corpus and is deliberately absent). One
-    * exchange keyed on the shard, then one partial-aggregated groupBy. */
+    * exchange keyed on the shard, then one partial-aggregated groupBy.
+    *
+    * `orderCol` must be UNIQUE within each shard (a doc id, not a
+    * timestamp with ties): the running sum's ROWS frame gives tied rows
+    * partition-order-dependent offsets, which would break the bit-exact
+    * determinism every operator here guarantees. */
   def packBins(rows: org.apache.spark.sql.DataFrame, shardCol: String,
       orderCol: String, nTokCol: String, budget: Int): org.apache.spark.sql.DataFrame = {
     val w = Window.partitionBy(shardCol).orderBy(orderCol)

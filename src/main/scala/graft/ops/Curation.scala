@@ -240,12 +240,19 @@ object Curation {
     * (one explode + groupBy(token)); the scalar total partial-aggregates
     * from the VOCAB frame, not a second corpus pass, and broadcasts onto
     * it; scoring is one equi-join keyed on the token and a doc_id
-    * aggregation. */
+    * aggregation. The token stream feeds two consumers (vocab counts +
+    * the scoring join), so the compact per-doc token ARRAYS are
+    * persisted — scan+split runs once, each consumer re-explodes from
+    * memory (the exploded rows themselves are corpus-sized and are
+    * deliberately NOT cached). Evicted by [[graft.Graft.clearCaches]]. */
   val qTextSurprisal = Q(
     "q_text_surprisal",
     (s, d) => {
-      val toks = T.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val tokArrays = T.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val toks = tokArrays
+        .select(col("doc_id"), explode(col("tk")).as("tok"))
       val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
       val total = vocab.agg(sum("cnt").as("total"))
       val scored = vocab.crossJoin(broadcast(total))

@@ -155,13 +155,27 @@ object Graph {
           SELECT sz, count(*) AS n_clusters FROM sizes
           GROUP BY sz ORDER BY sz"""))
 
+  /** Generic survivor-selection core: one row per `groupCol` group —
+    * the member with the highest `qualityCol` (ties to the smallest
+    * `idCol`) — with the group size appended as `graft_sz` (namespaced
+    * so it can never clobber a caller's column). Both windows share the
+    * group partition, so selection and size ride ONE exchange; dedup
+    * clusters are small by construction, so the per-group window never
+    * skews a task. */
+  def bestPerGroup(df: DataFrame, groupCol: String, qualityCol: String,
+      idCol: String): DataFrame = {
+    val byQuality = Window.partitionBy(groupCol)
+      .orderBy(col(qualityCol).desc, col(idCol))
+    df.withColumn("graft_rn", row_number().over(byQuality))
+      .withColumn("graft_sz", count(lit(1)).over(Window.partitionBy(groupCol)))
+      .filter(col("graft_rn") === 1)
+      .drop("graft_rn")
+  }
+
   /** Survivor selection — the step a dedup run actually ships: per
     * near-dup cluster, keep the HIGHEST-QUALITY member (here: most
     * tokens, ties to the smallest doc_id), not the arbitrary min-id.
-    * One row per cluster: id, survivor, survivor's token count, size.
-    * Both windows share the (comp) partition, so selection and size ride
-    * ONE exchange; clusters are near-dup groups — small by construction —
-    * so the per-cluster window never skews a task. */
+    * One row per cluster: id, survivor, survivor's token count, size. */
   val qDedupSurvivors = Q(
     "q_dedup_survivors",
     (s, d) => {
@@ -172,15 +186,9 @@ object Graph {
         .join(comp, col("doc_id") === col("v"), "left")
         .select(col("doc_id"), col("n_tok"),
           coalesce(col("comp"), col("doc_id")).as("comp"))
-      val byQuality = Window.partitionBy("comp")
-        .orderBy(col("n_tok").desc, col("doc_id"))
-      val whole = Window.partitionBy("comp")
-      assigned
-        .withColumn("rn", row_number().over(byQuality))
-        .withColumn("sz", count(lit(1)).over(whole))
-        .filter(col("rn") === 1)
+      bestPerGroup(assigned, "comp", "n_tok", "doc_id")
         .select(col("comp"), col("doc_id").as("survivor"),
-          col("n_tok").as("survivor_tokens"), col("sz"))
+          col("n_tok").as("survivor_tokens"), col("graft_sz").as("sz"))
         .orderBy("comp")
     },
     Some(s"""WITH RECURSIVE ${Dedup.minhashPairsSqlCte},

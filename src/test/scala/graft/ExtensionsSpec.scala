@@ -52,6 +52,11 @@ class ExtensionsSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql("SELECT graft_zvalue(-1, 2)").collect()
     }
+    // >= 2^32 would alias onto the low 32 bits (far-apart rows sharing
+    // z-keys) — must throw, not silently truncate
+    intercept[Exception] {
+      graft.functions.ZValue.interleave(1L << 32, 0L)
+    }
   }
 
   test("text sketch functions work from SQL") {
