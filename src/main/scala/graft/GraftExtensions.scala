@@ -53,6 +53,8 @@ object GraftExtensions {
     "graft_zvalue" -> (es => ZValue(es.head, es(1))),
     "graft_cms" -> (es => CountMinAgg(es.head)),
     "graft_cms_est" -> (es => CmsEstimate(es.head, es(1))),
+    "graft_bloom" -> (es => BloomAgg(es.head)),
+    "graft_bloom_contains" -> (es => BloomMightContain(es.head, es(1))),
     "graft_vec_avg" -> (es => VectorAvgAgg(es.head)),
     "graft_histogram" -> (es =>
       HistogramAgg(es.head, foldedDouble(es(1), "histogram width"))),

@@ -89,19 +89,59 @@ object Corpus {
   def contaminationScan(probe: org.apache.spark.sql.DataFrame,
       corpus: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
-    def grams(df: org.apache.spark.sql.DataFrame) = df
-      .select(col(idCol), split(col(textCol), " ").as("tk"))
-      .filter(size(col("tk")) >= n)
-      .select(col(idCol), explode(expr(
-        s"""array_distinct(transform(sequence(1, size(tk) - ${n - 1}),
-            i -> concat_ws(' ', slice(tk, i, $n))))""")).as("g"))
     // corpus side collapses to a DISTINCT gram set (one shuffle keyed on
     // the gram); probe side equi-joins it — fan-out per probe gram is
     // exactly 1 because the right side is a set, so no quadratic pair
     // risk and no df cap needed
-    val hits = grams(probe)
-      .join(grams(corpus).select("g").distinct(), "g")
-      .groupBy(idCol).agg(count(lit(1)).as("n_shared"))
+    finishScan(probe, idCol,
+      grams(probe, idCol, textCol, n)
+        .join(grams(corpus, idCol, textCol, n).select("g").distinct(), "g"))
+  }
+
+  /** Bloom-pruned variant of [[contaminationScan]] — same result, built
+    * for the production asymmetry where the TRAIN corpus is ~100 TB and
+    * the eval set is thousandths of it. The exact scan shuffles EVERY
+    * distinct train gram to build the right side of the join, though
+    * almost none of them can match. Here the probe side (small by
+    * construction) aggregates into one fixed-size bloom row, that row
+    * broadcasts, and train grams drop MAP-SIDE unless the bloom admits
+    * them — so the train-gram distinct shuffle carries roughly
+    * |matching| + FPR·|train grams| rows instead of all of them. No false
+    * negatives means no true match is lost, and the exact equi-join that
+    * follows discards the false positives, so the output is bit-identical
+    * to the unpruned scan (the gate runs both against one oracle). The
+    * probe side is read twice (bloom build + join) — it is the small
+    * side; the corpus is still read once. */
+  def contaminationScanBloom(probe: org.apache.spark.sql.DataFrame,
+      corpus: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    import graft.functions.BloomFunctions
+    val probeGrams = grams(probe, idCol, textCol, n)
+    val bloomRow = probeGrams.agg(BloomFunctions.bloom(col("g")).as("bf"))
+    val prunedTrain = grams(corpus, idCol, textCol, n)
+      .crossJoin(broadcast(bloomRow))
+      .filter(BloomFunctions.mightContain(col("bf"), col("g")))
+      .select("g").distinct()
+    finishScan(probe, idCol, probeGrams.join(prunedTrain, "g"))
+  }
+
+  /** Distinct token n-grams per row: (idCol, g). Rows shorter than the
+    * window carry no grams (filtered before the transform — the
+    * sequence() bound would be negative). */
+  private def grams(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, n: Int): org.apache.spark.sql.DataFrame = df
+    .select(col(idCol), split(col(textCol), " ").as("tk"))
+    .filter(size(col("tk")) >= n)
+    .select(col(idCol), explode(expr(
+      s"""array_distinct(transform(sequence(1, size(tk) - ${n - 1}),
+          i -> concat_ws(' ', slice(tk, i, $n))))""")).as("g"))
+
+  /** Shared tail of both scan variants: count matched grams per probe
+    * row, restore gram-less rows with 0. */
+  private def finishScan(probe: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      matched: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val hits = matched.groupBy(idCol).agg(count(lit(1)).as("n_shared"))
     probe.select(idCol)
       .join(hits, Seq(idCol), "left")
       .select(col(idCol),
@@ -109,25 +149,33 @@ object Corpus {
         (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
   }
 
-  /** The declared scan: TEST split vs TRAIN split of `documents`, split
-    * by the same md5 hash ranges as [[Curation.qSampleSplit]] — the
-    * split this check exists to protect. */
-  val qContamination = Q(
-    "q_contamination",
-    (s, d) => {
-      val sp = T.documents(s, d)
-        .select(col("doc_id"), col("text"),
-          substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
-            .as("h"))
-        .withColumn("split",
-          when(col("h") < "cc", "train")
-            .when(col("h") < "e6", "val").otherwise("test"))
-      contaminationScan(
-        probe = sp.filter(col("split") === "test"),
-        corpus = sp.filter(col("split") === "train"),
-        idCol = "doc_id", textCol = "text", n = ContamNgram)
-        .orderBy("doc_id")
-    },
+  /** The md5-range split frame both contamination queries scan: the
+    * same hash ranges as [[Curation.qSampleSplit]] — the split this
+    * check exists to protect. */
+  private def splitDocs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    T.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+          .as("h"))
+      .withColumn("split",
+        when(col("h") < "cc", "train")
+          .when(col("h") < "e6", "val").otherwise("test"))
+
+  private def contaminationQuery(
+      scan: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        String, String, Int) => org.apache.spark.sql.DataFrame)(
+      s: org.apache.spark.sql.SparkSession, d: String) = {
+    val sp = splitDocs(s, d)
+    scan(sp.filter(col("split") === "test"),
+      sp.filter(col("split") === "train"),
+      "doc_id", "text", ContamNgram)
+      .orderBy("doc_id")
+  }
+
+  /** One oracle serves both scan variants — the bloom prune is exact by
+    * construction, and sharing the SQL string is how the gate proves it. */
+  private val contamOracle =
     Some(s"""WITH sp AS (SELECT doc_id, text,
                CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
                       THEN 'train'
@@ -149,7 +197,17 @@ object Corpus {
                   coalesce(h.n_shared, 0) AS n_shared,
                   coalesce(h.n_shared, 0) > 0 AS contaminated
            FROM sp t LEFT JOIN hits h ON t.doc_id = h.doc_id
-           WHERE t.split = 'test' ORDER BY t.doc_id"""))
+           WHERE t.split = 'test' ORDER BY t.doc_id""")
+
+  val qContamination = Q(
+    "q_contamination", contaminationQuery(contaminationScan), contamOracle)
+
+  /** Same scan through the bloom semi-join reduction; hash-matching the
+    * same oracle as q_contamination is the gate's proof that the prune
+    * is result-invisible. */
+  val qContaminationBloom = Q(
+    "q_contamination_bloom", contaminationQuery(contaminationScanBloom),
+    contamOracle)
 
   /** Domain-mixture report: per-source document/token inventory, each
     * source's share of the corpus (percent), and the deterministic
@@ -203,5 +261,6 @@ object Corpus {
                AS sample_rate
            FROM per, tot ORDER BY source"""))
 
-  val all: Seq[Q] = Seq(qPackSequences, qContamination, qMixWeights)
+  val all: Seq[Q] =
+    Seq(qPackSequences, qContamination, qContaminationBloom, qMixWeights)
 }

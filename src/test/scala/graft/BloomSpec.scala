@@ -1,0 +1,63 @@
+package graft
+
+import graft.functions.BloomFunctions
+import org.apache.spark.sql.functions._
+
+/** Bloom-filter semantics: the no-false-negative guarantee the exact
+  * downstream join relies on, a false-positive sanity bound, and the
+  * partitioning-invariance (OR-merge) property every sketch in the
+  * engine must satisfy. */
+class BloomSpec extends SparkSpec {
+
+  private val keys = (0 until 5000).map(i => s"member_$i")
+
+  test("no false negatives: every inserted key is contained") {
+    val s = spark
+    import s.implicits._
+    val df = keys.toDF("k").repartition(8)
+    val sketch = df.agg(BloomFunctions.bloom(col("k")).as("bf"))
+    val probed = df.crossJoin(broadcast(sketch))
+      .filter(BloomFunctions.mightContain(col("bf"), col("k")))
+    assert(probed.count() === keys.size.toLong)
+  }
+
+  test("false-positive rate on disjoint keys stays below 2%") {
+    val s = spark
+    import s.implicits._
+    val sketch = keys.toDF("k")
+      .agg(BloomFunctions.bloom(col("k")).as("bf"))
+    val outsiders = (0 until 20000).map(i => s"outsider_$i").toDF("k")
+    val fp = outsiders.crossJoin(broadcast(sketch))
+      .filter(BloomFunctions.mightContain(col("bf"), col("k")))
+      .count()
+    // 5k keys in 2^20 bits, k=5: theoretical FPR ~3e-7; 2% leaves three
+    // orders of magnitude of slack before the test gets flaky
+    assert(fp < 400, s"false-positive count $fp of 20000")
+  }
+
+  test("sketch is bit-identical under any partitioning (OR merge)") {
+    val s = spark
+    import s.implicits._
+    def build(parts: Int): Seq[Long] =
+      keys.toDF("k").repartition(parts)
+        .agg(BloomFunctions.bloom(col("k")).as("bf"))
+        .head().getSeq[Long](0)
+    assert(build(1) === build(7))
+  }
+
+  test("null keys are skipped, empty input yields the empty sketch") {
+    val s = spark
+    import s.implicits._
+    val withNulls = Seq(Some("a"), None, Some("b")).toDF("k")
+      .agg(BloomFunctions.bloom(col("k")).as("bf"))
+      .head().getSeq[Long](0)
+    val noNulls = Seq("a", "b").toDF("k")
+      .agg(BloomFunctions.bloom(col("k")).as("bf"))
+      .head().getSeq[Long](0)
+    assert(withNulls === noNulls)
+    val empty = Seq.empty[String].toDF("k")
+      .agg(BloomFunctions.bloom(col("k")).as("bf"))
+      .head().getSeq[Long](0)
+    assert(empty.forall(_ == 0L))
+  }
+}

@@ -81,6 +81,12 @@ class CorpusSpec extends SparkSpec {
     assert(out.exists(_.getBoolean(2)), "no contaminated doc found")
   }
 
+  test("bloom-pruned contamination scan is bit-identical to the exact scan") {
+    val exact = Corpus.qContamination.fn(spark, sf).collect().toSeq
+    val bloom = Corpus.qContaminationBloom.fn(spark, sf).collect().toSeq
+    assert(bloom === exact)
+  }
+
   test("q_mix_weights rates are in (0,1] and shares sum to ~100%") {
     val rows = Corpus.qMixWeights.fn(spark, sf).collect()
     val totalToks = rows.map(_.getLong(2)).sum

@@ -39,6 +39,17 @@ class ExtensionsSpec extends SparkSpec {
     assert(sql.toSeq === api.toSeq)
   }
 
+  test("graft_bloom / graft_bloom_contains work from SQL") {
+    ready
+    val r = spark.sql(
+      """WITH sk AS (SELECT graft_bloom(text) AS bf FROM ext_t)
+         SELECT graft_bloom_contains(bf, 'a b c a b'),
+                graft_bloom_contains(bf, 'definitely absent')
+         FROM sk""").head()
+    assert(r.getBoolean(0) === true)
+    assert(r.getBoolean(1) === false)
+  }
+
   test("graft_zvalue works from SQL, interleaves bits, rejects negatives") {
     ready
     // 3 = 0b11 -> even positions 0b0101 = 5; y doubles into odd positions

@@ -125,6 +125,21 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "HashAggregate") >= 2, p)
   }
 
+  test("q_contamination_bloom: bloom probe prunes train grams below their distinct exchange") {
+    val p = plan("q_contamination_bloom")
+    assert(!p.contains("CartesianProduct"), p)
+    // the sketch row arrives by broadcast (1-row nested-loop is the
+    // correct join for it), and the membership probe must run on the
+    // train-gram stream BEFORE its distinct aggregation — i.e. the
+    // filter sits under a partial HashAggregate, not after an exchange
+    assert(p.contains("graft_bloom_contains"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+    val filterLine = p.linesIterator.indexWhere(
+      _.contains("graft_bloom_contains"))
+    assert(filterLine >= 0, p)
+  }
+
   test("q_mix_weights: one corpus scan, totals from the k-row frame") {
     val p = plan("q_mix_weights")
     assert(count(p, "\\(\\d+\\) Scan parquet") === 1,
