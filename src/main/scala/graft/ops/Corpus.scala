@@ -261,6 +261,78 @@ object Corpus {
                AS sample_rate
            FROM per, tot ORDER BY source"""))
 
+  /** Snapshot-diff core — dataset versioning's primitive: classify every
+    * id across two corpus versions as added / removed / changed /
+    * unchanged. Change detection compares `fpCol` (pass a 128-bit text
+    * hash, NOT the body — the full-outer join then shuffles ids and
+    * 32-char keys, never documents; same rule as exact dedup).
+    * `carryCols` ride along from whichever side has the row. One
+    * full-outer equi-join keyed on the id; no other shuffle. */
+  def snapshotDiff(prev: org.apache.spark.sql.DataFrame,
+      cur: org.apache.spark.sql.DataFrame, idCol: String, fpCol: String,
+      carryCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    def side(df: org.apache.spark.sql.DataFrame, tag: String) =
+      df.select((Seq(col(idCol).as(s"${tag}_id"),
+        col(fpCol).as(s"${tag}_fp")) ++
+        carryCols.map(c => col(c).as(s"${tag}_$c"))): _*)
+    side(prev, "p").join(side(cur, "c"),
+        col("p_id") === col("c_id"), "full_outer")
+      .select((Seq(
+        coalesce(col("c_id"), col("p_id")).as(idCol),
+        when(col("p_id").isNull, "added")
+          .when(col("c_id").isNull, "removed")
+          .when(col("p_fp") =!= col("c_fp"), "changed")
+          .otherwise("unchanged").as("status")) ++
+        carryCols.map(c =>
+          coalesce(col(s"c_$c"), col(s"p_$c")).as(c))): _*)
+  }
+
+  /** The declared diff: two deterministic md5-derived "versions" of the
+    * documents table (v2 drops the top hash range, gains the bottom one,
+    * and rewrites the sixteenth of docs whose third hash digit is '7'),
+    * reported as per-(source, status) counts with id extents. */
+  val qSnapshotDiff = Q(
+    "q_snapshot_diff",
+    (s, d) => {
+      val base = T.documents(s, d)
+        .select(col("doc_id"), col("text"), col("source"),
+          md5(col("doc_id").cast("string").cast("binary")).as("hh"))
+      val v1 = base.filter(substring(col("hh"), 1, 2) >= "08")
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"),
+          col("source"))
+      val v2 = base.filter(substring(col("hh"), 1, 2) < "f8")
+        .select(col("doc_id"),
+          md5(when(substring(col("hh"), 3, 1) === "7",
+            concat(col("text"), lit(" v2"))).otherwise(col("text"))
+            .cast("binary")).as("fp"),
+          col("source"))
+      snapshotDiff(v1, v2, "doc_id", "fp", Seq("source"))
+        .groupBy("source", "status")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("min_doc"),
+          max("doc_id").as("max_doc"))
+        .orderBy("source", "status")
+    },
+    Some("""WITH d AS (SELECT doc_id, text, source,
+               md5(CAST(doc_id AS VARCHAR)) AS hh FROM documents),
+             v1 AS (SELECT doc_id, md5(text) AS fp, source FROM d
+                    WHERE substring(hh, 1, 2) >= '08'),
+             v2 AS (SELECT doc_id,
+                      md5(CASE WHEN substring(hh, 3, 1) = '7'
+                          THEN text || ' v2' ELSE text END) AS fp,
+                      source
+                    FROM d WHERE substring(hh, 1, 2) < 'f8'),
+             j AS (SELECT coalesce(c.doc_id, p.doc_id) AS doc_id,
+                     CASE WHEN p.doc_id IS NULL THEN 'added'
+                          WHEN c.doc_id IS NULL THEN 'removed'
+                          WHEN p.fp <> c.fp THEN 'changed'
+                          ELSE 'unchanged' END AS status,
+                     coalesce(c.source, p.source) AS source
+                   FROM v1 p FULL OUTER JOIN v2 c ON p.doc_id = c.doc_id)
+           SELECT source, status, count(*) AS n,
+                  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+           FROM j GROUP BY source, status ORDER BY source, status"""))
+
   val all: Seq[Q] =
-    Seq(qPackSequences, qContamination, qContaminationBloom, qMixWeights)
+    Seq(qPackSequences, qContamination, qContaminationBloom, qMixWeights,
+      qSnapshotDiff)
 }

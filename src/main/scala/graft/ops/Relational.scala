@@ -1002,8 +1002,40 @@ object Relational {
     },
     Some(sqlShippingPrioritySql))
 
+  /** TPC-H Q1 (pricing summary) through the SQL front-end, same
+    * single-spelling contract as [[qSqlShippingPriority]] — this one
+    * additionally runs the full Det aggregate battery (three scaled-
+    * decimal sums, three deterministic means) through BOTH parsers, so
+    * any drift in how either dialect folds the shared arithmetic fails
+    * the gate. sum_qty is integral: CAST inside the sum keeps Spark at
+    * BIGINT and the outer CAST collapses DuckDB's HUGEINT widening. */
+  val sqlPricingSummarySql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+          ${sqlDsum("l_extendedprice")} AS sum_base_price,
+          ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+          ${sqlDsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")}
+            AS sum_charge,
+          ${sqlDavg("l_quantity")} AS avg_qty,
+          ${sqlDavg("l_extendedprice")} AS avg_price,
+          ${sqlDavg("l_discount")} AS avg_disc,
+          count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus"""
+
+  val qSqlPricingSummary = Q(
+    "q_sql_pricing_summary",
+    (s, d) => {
+      T.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(sqlPricingSummarySql)
+    },
+    Some(sqlPricingSummarySql))
+
   val all: Seq[Q] = Seq(
     qAggStatsMoments, qJoinNullsafe, qSqlShippingPriority,
+    qSqlPricingSummary,
     qScanProject, qFilterPred,
     qJoinInner, qJoinBroadcast, qJoinLeft, qJoinFull, qJoinSemi, qJoinAnti,
     qJoinThetaRange, qJoinMultiway,

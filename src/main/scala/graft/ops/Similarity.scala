@@ -310,6 +310,37 @@ object Similarity {
                    AS q_l1
           FROM q ORDER BY vec_id"""))
 
+  /** Per-label positional embedding centroids — the class-prototype /
+    * cluster-summary aggregate an embedding pipeline reports (and the
+    * same quantity IVF's re-center step computes internally via
+    * [[graft.functions.VectorAvgAgg]]; here it is spelled relationally so
+    * DuckDB can oracle the arithmetic). Each vector posexplodes to
+    * (label, pos, value) and the mean per cell goes through Det's
+    * scaled-integer sum, so the result is bit-identical under any
+    * partitioning. Output cardinality is labels × dim — index metadata,
+    * never corpus-sized; the one shuffle is keyed (label, pos).
+    * float→double widening is exact in both engines, so the Det grid
+    * sees identical inputs. */
+  val qEmbedCentroids = Q(
+    "q_embed_centroids",
+    (s, d) =>
+      T.embeddings(s, d)
+        .select(col("label"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("label", "pos")
+        .agg(count(lit(1)).as("n_vecs"),
+          graft.util.Det.davg(col("v").cast("double")).as("mean_v"))
+        .select(col("label"), col("pos").cast("long").as("pos"),
+          col("n_vecs"), col("mean_v"))
+        .orderBy("label", "pos"),
+    Some(s"""WITH x AS (SELECT label,
+               unnest(range(0, len(embedding))) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+             FROM embeddings)
+           SELECT label, pos, count(*) AS n_vecs,
+                  ${graft.util.Det.sqlDavg("v")} AS mean_v
+           FROM x GROUP BY label, pos ORDER BY label, pos"""))
+
   val all: Seq[Q] = Seq(qSimCosineTopk, qSimLshBuckets, qSimLshTopk,
-    qSimIvfTopk, qVecQuantize)
+    qSimIvfTopk, qVecQuantize, qEmbedCentroids)
 }

@@ -318,8 +318,58 @@ object TextOps {
              AND CAST(length(text) AS DOUBLE) / len(toks) >= 3.0
            GROUP BY source ORDER BY source"""))
 
+  /** TF-IDF keyword extraction: each document's top-3 tokens by
+    * `tf × idf` where idf is the INTEGER `floor(log2(n_docs / df))`
+    * (`bitlength(n_docs // df) - 1` — same exact-integer-space trick as
+    * [[Curation.qTextSurprisal]], because float `ln` differs by 1 ulp
+    * between engines). A token in every document scores 0; rarity in
+    * fewer docs doubles up the bit count. Ties break on the token
+    * string, so top-3 is total-ordered.
+    *
+    * Scale shape: tf is the (doc, token) aggregation (one shuffle); df
+    * derives from the ALREADY-AGGREGATED tf frame (vocab-sized, no
+    * second corpus pass); the doc count broadcasts as a scalar; scoring
+    * joins tf to the vocab frame keyed on the token; top-3 is one
+    * row_number window keyed on doc_id. */
+  val qTextTfidf = Q(
+    "q_text_tfidf",
+    (s, d) => {
+      val docs = T.documents(s, d)
+      val tf = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val dfFrame = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfFrame, "tok").crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("tok"), col("tf"),
+          (col("tf") *
+            (length(bin(expr("n_docs div df"))).cast("long") - 1L))
+            .as("score"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("tok").asc)
+      scored
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 3)
+        .select("doc_id", "tok", "tf", "score", "rk")
+        .orderBy("doc_id", "rk")
+    },
+    Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                          FROM documents),
+             tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+                    GROUP BY doc_id, tok),
+             df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+             n AS (SELECT count(*) AS n_docs FROM documents),
+             sc AS (SELECT t.doc_id, t.tok, t.tf,
+                      t.tf * (length(printf('%b', n_docs // df)) - 1)
+                        AS score
+                    FROM tf t JOIN df USING (tok), n),
+             rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                      ORDER BY score DESC, tok) AS rk FROM sc)
+           SELECT doc_id, tok, tf, score, rk
+           FROM rk WHERE rk <= 3 ORDER BY doc_id, rk"""))
+
   val all: Seq[Q] =
     Seq(qArrayExplode, qTextStats, qTextTokens, qTextFingerprint,
       qTextLanguage, qTextLanguageNgram, qTextTokensRegex, qTextWinnowPairs,
-      qPipelineFilter, qScalarArray)
+      qPipelineFilter, qScalarArray, qTextTfidf)
 }

@@ -87,6 +87,29 @@ class CorpusSpec extends SparkSpec {
     assert(bloom === exact)
   }
 
+  test("q_snapshot_diff statuses partition both versions exactly") {
+    val rows = Corpus.qSnapshotDiff.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val byStatus = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    // recompute version membership independently
+    def hex(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(id.toString.getBytes).map("%02x".format(_)).mkString
+    }
+    val ids = Tables.documents(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0))
+    val v1 = ids.filter(id => hex(id).substring(0, 2) >= "08").toSet
+    val v2 = ids.filter(id => hex(id).substring(0, 2) < "f8").toSet
+    val changed = v2.filter(id => hex(id).charAt(2) == '7')
+    assert(byStatus.getOrElse("added", 0L) === (v2 -- v1).size.toLong)
+    assert(byStatus.getOrElse("removed", 0L) === (v1 -- v2).size.toLong)
+    assert(byStatus.getOrElse("changed", 0L) ===
+      (changed intersect v1).size.toLong)
+    assert(byStatus.values.sum === (v1 union v2).size.toLong)
+    // all four statuses must actually occur, or the gate is vacuous
+    assert(byStatus.keySet === Set("added", "removed", "changed", "unchanged"))
+  }
+
   test("q_mix_weights rates are in (0,1] and shares sum to ~100%") {
     val rows = Corpus.qMixWeights.fn(spark, sf).collect()
     val totalToks = rows.map(_.getLong(2)).sum

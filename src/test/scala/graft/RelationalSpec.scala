@@ -108,6 +108,25 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("sql pricing summary agrees with the DataFrame spelling") {
+    import org.apache.spark.sql.functions._
+    val got = Relational.qSqlPricingSummary.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(9), r.getDouble(3))))
+      .toMap
+    val api = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum(col("l_quantity").cast("long")).as("q"),
+        count(lit(1)).as("n"),
+        graft.util.Det.dsum(col("l_extendedprice")).as("bp"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(got === api && got.nonEmpty)
+  }
+
   test("deterministic moments agree with the native aggregates") {
     import org.apache.spark.sql.functions._
     val got = Relational.qAggStatsMoments.fn(spark, sf).collect()

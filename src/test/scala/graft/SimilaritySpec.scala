@@ -16,6 +16,31 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.forall { r => val s = r.getDouble(2); s >= -1.0 && s <= 1.0 })
   }
 
+  test("centroids: full (label, pos) grid, counts match, means bracket native avg") {
+    val rows = Similarity.qEmbedCentroids.fn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val perLabel = Tables.embeddings(spark, sf)
+      .groupBy("label").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val dim = Tables.embeddings(spark, sf)
+      .select(size(col("embedding"))).head().getInt(0)
+    assert(rows.length === perLabel.size * dim)
+    rows.foreach { case (label, pos, n, _) =>
+      assert(n === perLabel(label), s"label $label pos $pos")
+    }
+    // Det's mean differs from the native double avg only by the 1e-6
+    // quantization + 2dp rounding
+    val native = Tables.embeddings(spark, sf)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos").agg(avg(col("v").cast("double")).as("m"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1).toLong) -> r.getDouble(2)).toMap
+    rows.foreach { case (label, pos, _, m) =>
+      assert(math.abs(m - native((label, pos))) < 0.006,
+        s"label $label pos $pos: det $m vs native ${native((label, pos))}")
+    }
+  }
+
   test("precomputed SRP weights match the per-row md5 HOF spelling") {
     val e = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))

@@ -44,6 +44,32 @@ class TextSpec extends SparkSpec {
     assert(n >= 1)
   }
 
+  test("tfidf: scores replay the integer idf formula, top-3 total-ordered") {
+    val out = TextOps.qTextTfidf.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // independent replay in plain Scala
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val n = docs.length.toLong
+    val dfCount = docs.flatMap(_._2.distinct).groupBy(identity)
+      .map { case (t, xs) => t -> xs.length.toLong }
+    def idf(tok: String): Long =
+      java.lang.Long.toBinaryString(n / dfCount(tok)).length.toLong - 1
+    val expected = docs.flatMap { case (id, tks) =>
+      tks.groupBy(identity).toSeq
+        .map { case (t, xs) => (t, xs.length.toLong) }
+        .map { case (t, tf) => (id, t, tf, tf * idf(t)) }
+        .sortBy { case (_, t, _, sc) => (-sc, t) }
+        .take(3).zipWithIndex
+        .map { case ((i, t, tf, sc), k) => (i, t, tf, sc, k + 1L) }
+    }.sortBy(x => (x._1, x._5))
+    assert(out.toSeq === expected)
+    // the gate is non-vacuous only if some token is actually rare
+    assert(out.exists(_._4 > 0), "all idf scores zero")
+  }
+
   test("regex tokenization counts alpha runs, digit runs, punctuation") {
     val s = spark
     import s.implicits._
