@@ -113,7 +113,18 @@ object Bench {
       // dropDuplicatesWithinWatermark exercises the state-store dedup
       // path — the streaming twin of q_dedup_exact
       ("q_stream_dedup", "append",
-        df => graft.stream.Pipelines.dedupKeyed(df, Seq("user_id", "ts"))))
+        df => graft.stream.Pipelines.dedupKeyed(df, Seq("user_id", "ts"))),
+      // watermarked stream-stream time-range join — double the state
+      // stores plus the interval condition; the heaviest streaming shape
+      // the engine declares
+      ("q_stream_join", "append", df => {
+        val base = df.select(col("user_id").as("key"), col("ts"),
+          col("event_type"))
+        graft.stream.Pipelines.coincidence(
+          base.filter(col("event_type") === "click"),
+          base.filter(col("event_type") === "purchase"),
+          toleranceSec = 60, watermark = "1 hour")
+      }))
     val streaming: Seq[(String, Double, Boolean)] =
       streamDefs.filter { case (n, _, _) => only.forall(_.contains(n)) }
         .map { case (n, mode, tf) =>

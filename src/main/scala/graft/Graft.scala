@@ -83,11 +83,28 @@ object Graft {
       n: Int = ops.Corpus.ContamNgram): DataFrame =
     ops.Corpus.contaminationScan(probe, corpus, idCol, textCol, n)
 
+  /** [[contaminationScan]] through the bloom semi-join reduction: the
+    * probe side aggregates into one broadcast bloom row that prunes
+    * corpus grams map-side before their distinct shuffle. Bit-identical
+    * output (no false negatives + exact downstream join); use when the
+    * corpus dwarfs the probe — i.e. in production. */
+  def contaminationScanBloom(probe: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String,
+      n: Int = ops.Corpus.ContamNgram): DataFrame =
+    ops.Corpus.contaminationScanBloom(probe, corpus, idCol, textCol, n)
+
   /** Domain-mixture report per shard: document/token inventory, token
     * share (percent), and the uniform-target downsampling rate. */
   def mixWeights(rows: DataFrame, shardCol: String,
       nTokCol: String): DataFrame =
     ops.Corpus.mixWeights(rows, shardCol, nTokCol)
+
+  /** Snapshot diff across two corpus versions: per id, added / removed /
+    * changed / unchanged, comparing `fpCol` (pass a hash, not the body).
+    * One full-outer equi-join on the id. */
+  def snapshotDiff(prev: DataFrame, cur: DataFrame, idCol: String,
+      fpCol: String, carryCols: Seq[String] = Nil): DataFrame =
+    ops.Corpus.snapshotDiff(prev, cur, idCol, fpCol, carryCols)
 
   // ------------------------------------------------------------ layout
 

@@ -327,10 +327,14 @@ object TextOps {
     * string, so top-3 is total-ordered.
     *
     * Scale shape: tf is the (doc, token) aggregation (one shuffle); df
-    * derives from the ALREADY-AGGREGATED tf frame (vocab-sized, no
-    * second corpus pass); the doc count broadcasts as a scalar; scoring
-    * joins tf to the vocab frame keyed on the token; top-3 is one
-    * row_number window keyed on doc_id. */
+    * derives from the ALREADY-AGGREGATED tf frame (vocab-sized); the
+    * doc count broadcasts as a scalar; scoring joins tf to the vocab
+    * frame keyed on the token; top-3 is one row_number window keyed on
+    * doc_id. The tf frame feeds two consumers (df + the scoring join),
+    * and column pruning gives each a different subtree — defeating
+    * exchange reuse — so tf is PERSISTED: the corpus is scanned and
+    * exploded once, df reads the (smaller-than-input) cached aggregate.
+    * Evicted by [[graft.Graft.clearCaches]]. */
   val qTextTfidf = Q(
     "q_text_tfidf",
     (s, d) => {
@@ -338,6 +342,7 @@ object TextOps {
       val tf = docs
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dfFrame = tf.groupBy("tok").agg(count(lit(1)).as("df"))
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
       val scored = tf.join(dfFrame, "tok").crossJoin(broadcast(nDocs))

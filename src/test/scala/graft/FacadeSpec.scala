@@ -60,6 +60,20 @@ class FacadeSpec extends SparkSpec {
     // a holds 300/350 tokens (fair share 175) -> downsampled; b kept
     assert(mix.map(_.getString(0)).toSeq === Seq("a", "b"))
     assert(mix(0).getDouble(4) < 1.0 && mix(1).getDouble(4) === 1.0)
+
+    val bloomScan = Graft
+      .contaminationScanBloom(probe, corpus, "id", "text", 8)
+      .orderBy("id").collect()
+    assert(bloomScan.map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === Seq((1L, 2L), (2L, 0L)))
+
+    val diff = Graft.snapshotDiff(
+      Seq((1L, "h1"), (2L, "h2")).toDF("id", "fp"),
+      Seq((2L, "h2x"), (3L, "h3")).toDF("id", "fp"),
+      "id", "fp")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(diff.toSeq ===
+      Seq((1L, "removed"), (2L, "changed"), (3L, "added")))
   }
 
   test("survivors keeps the best-quality member and the group size") {

@@ -140,6 +140,45 @@ class PlanSpec extends SparkSpec {
     assert(filterLine >= 0, p)
   }
 
+  test("q_text_tfidf: df from the aggregated tf frame, no third corpus pass") {
+    val p = plan("q_text_tfidf")
+    // the tf frame must be served from cache to BOTH its consumers (df
+    // + the scoring join) — otherwise each re-explodes the corpus.
+    // (Counting Generate/Scan nodes instead is order-dependent: once an
+    // earlier suite materializes the cache, the formatted plan inlines
+    // the InMemoryRelation's stored plan and double-counts.)
+    assert(p.contains("InMemoryRelation"), "tf frame not cached:\n" + p)
+    assert(count(p, "InMemoryTableScan") >= 2,
+      "a tf consumer bypasses the cache and re-derives tf:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the scalar doc count arrives as a 1-row broadcast
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+  }
+
+  test("q_snapshot_diff: full-outer join keyed on the id, fingerprints not bodies") {
+    val p = plan("q_snapshot_diff")
+    assert(p.contains("FullOuter"), p)
+    // both version sides shuffle on their id (projection pushdown leaves
+    // only (id, fp, source) under the exchange — md5 is computed
+    // before the shuffle, the text column never crosses it)
+    assert(count(p, "hashpartitioning\\((p_id|c_id)") >= 2, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
+  test("q_embed_centroids: one posexplode, one aggregation exchange") {
+    val p = plan("q_embed_centroids")
+    assert(count(p, "\\(\\d+\\) Generate") === 1, p)
+    assert(count(p, "hashpartitioning") === 1, p)
+    assert(count(p, "HashAggregate") >= 2, p)
+  }
+
+  test("q_sql_pricing_summary: two-phase aggregation around one exchange") {
+    val p = plan("q_sql_pricing_summary")
+    assert(count(p, "HashAggregate") >= 2, p)
+    assert(count(p, "hashpartitioning") === 1, p)
+  }
+
   test("q_mix_weights: one corpus scan, totals from the k-row frame") {
     val p = plan("q_mix_weights")
     assert(count(p, "\\(\\d+\\) Scan parquet") === 1,
