@@ -348,7 +348,68 @@ object Dedup {
               AND x.rnb <= $MaxEmbeddingBlock AND y.rnb <= $MaxEmbeddingBlock)
            WHERE cos >= 0.9 ORDER BY a, b"""))
 
+  /** Incremental dedup — the shape production ingestion actually runs:
+    * an incoming BATCH deduped against the already-ingested corpus's
+    * fingerprint index, then within itself. The fingerprint is the md5
+    * of the FIRST 8 TOKENS — the cheap "pseudo-exact" key real
+    * pipelines use (CCNet-style prefix hashing) when near-identical
+    * documents vary at the tail; a full-body md5 would be vacuous on
+    * this corpus, whose planted duplicates are near- not byte-identical.
+    * Per incoming doc, exactly one verdict: `dup_of_corpus` (its
+    * fingerprint is already indexed), `dup_in_batch` (novel
+    * fingerprint, but a lower-doc_id batch row owns it), or `accepted`.
+    * Reported per (source, verdict).
+    *
+    * Scale shape: the corpus collapses to DISTINCT 32-char fingerprints
+    * — the dedup index a production system maintains incrementally, not
+    * a corpus rescan; the batch left-joins it keyed on the fingerprint
+    * and resolves in-batch ties with one fp-keyed window. Bodies never
+    * shuffle. At the production asymmetry (huge index, small batch) the
+    * join pairs naturally with [[graft.functions.BloomFunctions]] the
+    * way q_contamination_bloom does — prune index partitions by a bloom
+    * of the BATCH's fingerprints before the join. The streaming twin is
+    * `Pipelines.dedupKeyed` (dropDuplicatesWithinWatermark), which
+    * trades the unbounded index for a watermark horizon. */
+  val qDedupIncremental = Q(
+    "q_dedup_incremental",
+    (s, d) => {
+      val base = T.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+            .as("h"),
+          md5(concat_ws(" ", slice(split(col("text"), " "), 1, 8))
+            .cast("binary")).as("fp"))
+      val index = base.filter(col("h") < "e6").select("fp").distinct()
+      val batch = base.filter(col("h") >= "e6")
+      val w = Window.partitionBy("fp").orderBy("doc_id")
+      batch
+        .withColumn("rn", row_number().over(w))
+        .join(index.withColumn("in_corpus", lit(true)), Seq("fp"), "left")
+        .withColumn("verdict",
+          when(col("in_corpus"), "dup_of_corpus")
+            .when(col("rn") > 1, "dup_in_batch")
+            .otherwise("accepted"))
+        .groupBy("source", "verdict")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("source", "verdict")
+    },
+    Some("""WITH base AS (SELECT doc_id, source,
+               substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h,
+               md5(array_to_string(string_split(text, ' ')[1:8], ' '))
+                 AS fp FROM documents),
+             idx AS (SELECT DISTINCT fp FROM base WHERE h < 'e6'),
+             batch AS (SELECT *, row_number() OVER (PARTITION BY fp
+                 ORDER BY doc_id) AS rn
+               FROM base WHERE h >= 'e6')
+           SELECT source,
+             CASE WHEN fp IN (SELECT fp FROM idx) THEN 'dup_of_corpus'
+                  WHEN rn > 1 THEN 'dup_in_batch'
+                  ELSE 'accepted' END AS verdict,
+             count(*) AS n
+           FROM batch GROUP BY source, verdict
+           ORDER BY source, verdict"""))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupMinhash, qDedupNgramJaccard, qDedupSimhash,
-    qDedupEmbedding, qDedupEmbeddingLsh)
+    qDedupEmbedding, qDedupEmbeddingLsh, qDedupIncremental)
 }

@@ -1033,9 +1033,73 @@ object Relational {
     },
     Some(sqlPricingSummarySql))
 
+  /** TPC-H Q10 (returned-item customers) through the SQL front-end —
+    * the third single-spelling query, this one exercising a 4-table
+    * join + group + top-k through both parsers. */
+  val sqlReturnedCustomersSql: String =
+    s"""SELECT c_custkey, c_name,
+          ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS revenue,
+          n_name
+        FROM customer, orders, lineitem, nation
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND o_orderdate >= TIMESTAMP '1995-10-01'
+          AND o_orderdate <  TIMESTAMP '1996-01-01'
+          AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20"""
+
+  val qSqlReturnedCustomers = Q(
+    "q_sql_returned_customers",
+    (s, d) => {
+      T.customer(s, d).createOrReplaceTempView("customer")
+      T.orders(s, d).createOrReplaceTempView("orders")
+      T.lineitem(s, d).createOrReplaceTempView("lineitem")
+      T.nation(s, d).createOrReplaceTempView("nation")
+      s.sql(sqlReturnedCustomersSql)
+    },
+    Some(sqlReturnedCustomersSql))
+
+  /** Deterministic argmax/argmin per group: the orderkey carrying each
+    * returnflag's max (and min) extendedprice. Native `max_by` keeps
+    * whichever tied row a task saw first — partition-order-dependent —
+    * so the argmax is spelled `max(struct(price, -orderkey))`: Spark's
+    * struct ordering is lexicographic, making the tie-break (smallest
+    * orderkey) part of the VALUE. One two-phase aggregation; the oracle
+    * spells the same total order with ranked windows. */
+  val qAggArgmax = Q(
+    "q_agg_argmax",
+    (s, d) =>
+      li(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          max(struct(col("l_extendedprice").as("p"),
+            (-col("l_orderkey")).as("nk"))).as("mx"),
+          min(struct(col("l_extendedprice").as("p"),
+            col("l_orderkey").as("k"))).as("mn"))
+        .select(col("l_returnflag"),
+          (-col("mx.nk")).as("top_orderkey"), r2(col("mx.p")).as("top_price"),
+          col("mn.k").as("bottom_orderkey"), r2(col("mn.p")).as("bottom_price"))
+        .orderBy("l_returnflag"),
+    Some(s"""WITH rk AS (SELECT l_returnflag, l_orderkey, l_extendedprice,
+               row_number() OVER (PARTITION BY l_returnflag
+                 ORDER BY l_extendedprice DESC, l_orderkey ASC) AS ra,
+               row_number() OVER (PARTITION BY l_returnflag
+                 ORDER BY l_extendedprice ASC, l_orderkey ASC) AS rb
+             FROM lineitem)
+           SELECT t1.l_returnflag,
+                  t1.l_orderkey AS top_orderkey,
+                  ${sqlR2("t1.l_extendedprice")} AS top_price,
+                  t2.l_orderkey AS bottom_orderkey,
+                  ${sqlR2("t2.l_extendedprice")} AS bottom_price
+           FROM (SELECT * FROM rk WHERE ra = 1) t1
+           JOIN (SELECT * FROM rk WHERE rb = 1) t2
+             USING (l_returnflag)
+           ORDER BY l_returnflag"""))
+
   val all: Seq[Q] = Seq(
     qAggStatsMoments, qJoinNullsafe, qSqlShippingPriority,
-    qSqlPricingSummary,
+    qSqlPricingSummary, qSqlReturnedCustomers, qAggArgmax,
     qScanProject, qFilterPred,
     qJoinInner, qJoinBroadcast, qJoinLeft, qJoinFull, qJoinSemi, qJoinAnti,
     qJoinThetaRange, qJoinMultiway,

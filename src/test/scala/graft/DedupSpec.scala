@@ -94,6 +94,42 @@ class DedupSpec extends SparkSpec {
     assert(out.map(r => r.getString(0) -> r.getLong(1)).toMap === Map("en" -> 2L))
   }
 
+  test("incremental dedup verdicts partition the batch and replay in Scala") {
+    // sf0.01 — the gate's scale: the smoke corpus has no in-batch dups,
+    // which would leave the third verdict untested
+    val gateSf = "/root/testdata/sf0.01"
+    val got = Dedup.qDedupIncremental.fn(spark, gateSf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val rows = Tables.documents(spark, gateSf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def md5hex(s: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    def fpOf(text: String): String =
+      md5hex(text.split(" ", -1).take(8).mkString(" "))
+    val index = rows.filter(r => md5hex(r._1.toString).substring(0, 2) < "e6")
+      .map(r => fpOf(r._3)).toSet
+    val batch = rows.filter(r => md5hex(r._1.toString).substring(0, 2) >= "e6")
+    val firstOwner = batch.groupBy(r => fpOf(r._3))
+      .map { case (fp, xs) => fp -> xs.map(_._1).min }
+    val expected = batch.map { case (id, src, text) =>
+      val fp = fpOf(text)
+      val verdict =
+        if (index.contains(fp)) "dup_of_corpus"
+        else if (firstOwner(fp) != id) "dup_in_batch"
+        else "accepted"
+      (src, verdict)
+    }.groupBy(identity).map { case (k, xs) => k -> xs.length.toLong }
+    assert(got === expected)
+    // verdict totals must cover the whole batch
+    assert(got.values.sum === batch.length.toLong)
+    // all three verdicts occur (the corpus plants duplicates)
+    assert(got.keys.map(_._2).toSet ===
+      Set("accepted", "dup_of_corpus", "dup_in_batch"))
+  }
+
   test("minhash LSH: identical texts collide, disjoint texts do not") {
     docs(
       1L -> "alpha beta gamma delta epsilon zeta",

@@ -179,6 +179,23 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "hashpartitioning") === 1, p)
   }
 
+  test("q_agg_argmax: one two-phase aggregation, no window or join") {
+    val p = plan("q_agg_argmax")
+    assert(count(p, "HashAggregate") + count(p, "ObjectHashAggregate") +
+      count(p, "SortAggregate") >= 2, p)
+    assert(count(p, "hashpartitioning") === 1, p)
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+  }
+
+  test("q_dedup_incremental: fingerprints shuffle, bodies do not") {
+    val p = plan("q_dedup_incremental")
+    // every exchange is keyed on the md5 fingerprint (window + both join
+    // sides) or the final order; the text column exists only inside the
+    // scan/projection below the first exchange
+    assert(count(p, "hashpartitioning\\(fp") >= 2, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
   test("q_mix_weights: one corpus scan, totals from the k-row frame") {
     val p = plan("q_mix_weights")
     assert(count(p, "\\(\\d+\\) Scan parquet") === 1,

@@ -127,6 +127,20 @@ class RelationalSpec extends SparkSpec {
     assert(got === api && got.nonEmpty)
   }
 
+  test("argmax picks the extreme rows with the documented tie-break") {
+    val got = Relational.qAggArgmax.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    val rows = Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_orderkey", "l_extendedprice").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val expected = rows.groupBy(_._1).map { case (f, xs) =>
+      val top = xs.minBy(x => (-x._3, x._2))._2
+      val bottom = xs.minBy(x => (x._3, x._2))._2
+      f -> ((top, bottom))
+    }
+    assert(got === expected && got.nonEmpty)
+  }
+
   test("deterministic moments agree with the native aggregates") {
     import org.apache.spark.sql.functions._
     val got = Relational.qAggStatsMoments.fn(spark, sf).collect()
