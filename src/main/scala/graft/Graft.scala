@@ -37,6 +37,30 @@ object Graft {
   def hotKeys(df: DataFrame, key: String, n: Int = 10): DataFrame =
     ops.Skew.hotKeys(df, key, n)
 
+  /** Bloom-reduced left-semi join: row-identical to
+    * `big.join(small.select(key).distinct, key, "left_semi")`, with the
+    * small side first collapsed into one broadcast bloom row that drops
+    * non-matching big-side rows MAP-SIDE, before the join's shuffle.
+    * The generic form of the decontamination prune
+    * ([[contaminationScanBloom]]); worth it exactly when `big` dwarfs
+    * `small` — the bloom costs one small-side aggregation, the saving is
+    * the shuffle of every non-matching big-side row. No false negatives
+    * + the exact join downstream ⇒ never loses or invents a row. */
+  def bloomSemiJoin(big: DataFrame, small: DataFrame,
+      key: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import graft.functions.BloomFunctions
+    // the sketch hashes the key's string form so any key type works;
+    // the exact join below still compares raw values
+    val sketch = small
+      .agg(BloomFunctions.bloom(col(key).cast("string")).as("graft_bf"))
+    big.crossJoin(broadcast(sketch))
+      .filter(BloomFunctions.mightContain(
+        col("graft_bf"), col(key).cast("string")))
+      .drop("graft_bf")
+      .join(small.select(key).distinct(), Seq(key), "left_semi")
+  }
+
   // ------------------------------------------------------------- dedup
 
   /** Connected components of an undirected edge list `(a, b)` (both

@@ -1060,6 +1060,56 @@ object Relational {
     },
     Some(sqlReturnedCustomersSql))
 
+  /** TPC-H Q13 (customer order-count distribution) through the SQL
+    * front-end: left join under a join-condition filter, a grouped
+    * count, then a second aggregation OVER the first — pure integer
+    * output, single spelling in both engines. */
+  val sqlCustDistributionSql: String =
+    """SELECT c_count, count(*) AS custdist
+       FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+             FROM customer LEFT OUTER JOIN orders
+               ON c_custkey = o_custkey
+              AND o_orderpriority <> '3-MEDIUM'
+             GROUP BY c_custkey)
+       GROUP BY c_count
+       ORDER BY custdist DESC, c_count DESC"""
+
+  val qSqlCustDistribution = Q(
+    "q_sql_cust_distribution",
+    (s, d) => {
+      T.customer(s, d).createOrReplaceTempView("customer")
+      T.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(sqlCustDistributionSql)
+    },
+    Some(sqlCustDistributionSql))
+
+  /** TPC-H Q18 (large-volume customers) through the SQL front-end: an
+    * IN subquery with a grouped HAVING over the fact table, decorrelated
+    * by both engines — quantity sums are integral doubles (exact in any
+    * order), totalprice goes through Det. */
+  val sqlLargeVolumeSql: String =
+    s"""SELECT c_custkey, o_orderkey, o_orderdate,
+          ${sqlR2("o_totalprice")} AS totalprice,
+          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM customer, orders, lineitem
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                             GROUP BY l_orderkey
+                             HAVING sum(l_quantity) > 250)
+          AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 50"""
+
+  val qSqlLargeVolume = Q(
+    "q_sql_large_volume",
+    (s, d) => {
+      T.customer(s, d).createOrReplaceTempView("customer")
+      T.orders(s, d).createOrReplaceTempView("orders")
+      T.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(sqlLargeVolumeSql)
+    },
+    Some(sqlLargeVolumeSql))
+
   /** Deterministic argmax/argmin per group: the orderkey carrying each
     * returnflag's max (and min) extendedprice. Native `max_by` keeps
     * whichever tied row a task saw first — partition-order-dependent —
@@ -1099,7 +1149,8 @@ object Relational {
 
   val all: Seq[Q] = Seq(
     qAggStatsMoments, qJoinNullsafe, qSqlShippingPriority,
-    qSqlPricingSummary, qSqlReturnedCustomers, qAggArgmax,
+    qSqlPricingSummary, qSqlReturnedCustomers, qSqlCustDistribution,
+    qSqlLargeVolume, qAggArgmax,
     qScanProject, qFilterPred,
     qJoinInner, qJoinBroadcast, qJoinLeft, qJoinFull, qJoinSemi, qJoinAnti,
     qJoinThetaRange, qJoinMultiway,

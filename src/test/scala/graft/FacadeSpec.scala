@@ -76,6 +76,18 @@ class FacadeSpec extends SparkSpec {
       Seq((1L, "removed"), (2L, "changed"), (3L, "added")))
   }
 
+  test("bloomSemiJoin equals the plain left-semi join on any key type") {
+    import spark.implicits._
+    val big = (1L to 2000L).map(i => (i, s"row$i")).toDF("k", "v")
+    val small = Seq(5L, 500L, 1500L, 9999L).toDF("k")
+    val got = Graft.bloomSemiJoin(big, small, "k")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    val want = big.join(small.distinct(), Seq("k"), "left_semi")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq === want.toSeq)
+    assert(got.map(_._1).toSeq === Seq(5L, 500L, 1500L))
+  }
+
   test("survivors keeps the best-quality member and the group size") {
     import spark.implicits._
     val df = Seq((1L, 10L, 5L), (1L, 11L, 9L), (1L, 12L, 9L), (2L, 20L, 1L))

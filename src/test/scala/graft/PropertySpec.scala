@@ -241,4 +241,30 @@ class PropertySpec extends SparkSpec {
       }
     })
   }
+
+  test("snapshotDiff statuses replay set algebra for any two versions") {
+    val s = spark
+    import s.implicits._
+    val verGen = for {
+      prev <- Gen.listOf(Gen.choose(0L, 30L)).map(_.distinct)
+      cur <- Gen.listOf(Gen.choose(0L, 30L)).map(_.distinct)
+      flipped <- Gen.listOf(Gen.choose(0L, 30L)).map(_.toSet)
+    } yield (prev, cur, flipped)
+    check(Prop.forAllNoShrink(verGen) { case (prev, cur, flipped) =>
+      // fingerprint differs on `flipped` ids present in both versions
+      val p = prev.map(i => (i, s"fp$i")).toDF("id", "fp")
+      val c = cur.map(i =>
+        (i, if (flipped(i)) s"fp$i'" else s"fp$i")).toDF("id", "fp")
+      val got = Graft.snapshotDiff(p, c, "id", "fp")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val (ps, cs) = (prev.toSet, cur.toSet)
+      got.keySet == (ps union cs) &&
+        got.count(_._2 == "added") == (cs diff ps).size &&
+        got.count(_._2 == "removed") == (ps diff cs).size &&
+        got.count(_._2 == "changed") ==
+          (ps intersect cs intersect flipped).size &&
+        got.count(_._2 == "unchanged") ==
+          (ps intersect cs diff flipped).size
+    })
+  }
 }
