@@ -190,7 +190,62 @@ object Analytics {
            FROM grid LEFT JOIN perday USING (user_id, day)
            ORDER BY user_id, day"""))
 
+  /** Daily OHLC bars per user — the time-series downsample every
+    * monitoring/market pipeline runs: open/close are the values at the
+    * day's first/last event, high/low the extremes. First/last are
+    * argmin/argmax by (ms, event_id), expressed with the same
+    * lexicographic struct min/max as [[Relational.qAggArgmax]] so the
+    * tie-break lives in the VALUE and the whole bar is ONE two-phase
+    * aggregation — no window, no self-join; the oracle replays the
+    * order with ranked windows. event_id makes the order total, so the
+    * result is partition-invariant. */
+  val qEventsOhlc = Q(
+    "q_events_ohlc",
+    (s, d) => {
+      val e = T.events(s, d).select(
+        col("user_id"),
+        unix_millis(date_trunc("day", col("ts"))).as("day_ms"),
+        unix_millis(col("ts")).as("ms"),
+        col("event_id"), col("value"))
+      e.groupBy("user_id", "day_ms")
+        .agg(count(lit(1)).as("n_events"),
+          min(struct(col("ms").as("m"), col("event_id").as("e"),
+            col("value").as("v"))).as("fo"),
+          max(struct(col("ms").as("m"), col("event_id").as("e"),
+            col("value").as("v"))).as("fc"),
+          max(col("value")).as("hi"), min(col("value")).as("lo"))
+        .select(col("user_id"), col("day_ms"), col("n_events"),
+          graft.util.Det.r2(col("fo.v")).as("open"),
+          graft.util.Det.r2(col("hi")).as("high"),
+          graft.util.Det.r2(col("lo")).as("low"),
+          graft.util.Det.r2(col("fc.v")).as("close"))
+        .orderBy("user_id", "day_ms")
+    },
+    Some(s"""WITH e AS (SELECT user_id,
+               epoch_ms(date_trunc('day', ts)) AS day_ms,
+               epoch_ms(ts) AS ms, event_id, value FROM events),
+             rk AS (SELECT *,
+               row_number() OVER (PARTITION BY user_id, day_ms
+                 ORDER BY ms, event_id) AS ra,
+               row_number() OVER (PARTITION BY user_id, day_ms
+                 ORDER BY ms DESC, event_id DESC) AS rb
+               FROM e),
+             agg AS (SELECT user_id, day_ms, count(*) AS n_events,
+               max(value) AS hi, min(value) AS lo
+               FROM e GROUP BY 1, 2)
+           SELECT a.user_id, a.day_ms, a.n_events,
+             ${graft.util.Det.sqlR2("o.value")} AS open,
+             ${graft.util.Det.sqlR2("a.hi")} AS high,
+             ${graft.util.Det.sqlR2("a.lo")} AS low,
+             ${graft.util.Det.sqlR2("c.value")} AS close
+           FROM agg a
+           JOIN (SELECT * FROM rk WHERE ra = 1) o
+             USING (user_id, day_ms)
+           JOIN (SELECT * FROM rk WHERE rb = 1) c
+             USING (user_id, day_ms)
+           ORDER BY a.user_id, a.day_ms"""))
+
   val all: Seq[Q] = Seq(
     qEventsFunnel, qEventsCohort, qJoinIntervalBinned, qEventsTransitions,
-    qEventsGapfill)
+    qEventsGapfill, qEventsOhlc)
 }

@@ -281,7 +281,52 @@ object Curation {
            FROM toks t JOIN sc USING (tok)
            GROUP BY t.doc_id ORDER BY t.doc_id"""))
 
-  val all: Seq[Q] = Seq(
+  /** Table profiling — the data-quality audit every pipeline runs before
+    * training: per column, null count and exact distinct count, plus the
+    * table's row count. One aggregation pass over the table (count
+    * distinct expands internally; Catalyst plans the multi-distinct
+    * rewrite), then a map-side `stack` melt to one row per column — no
+    * per-column scans. `o_orderpriority` gets nulls PLANTED (nullif on
+    * one value) so the null-counting path is exercised — the fixture
+    * tables carry no organic nulls (same practice as the planted PII). */
+  val qProfileTable = Q(
+    "q_profile_table",
+    (s, d) => {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      val o = T.orders(s, d)
+        .withColumn("o_orderpriority",
+          nullif(col("o_orderpriority"), lit("3-MEDIUM")))
+      val aggs = cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c")))
+      o.agg(count(lit(1)).as("n_rows"), aggs: _*)
+        .select(expr(
+          s"stack(${cols.length}, " +
+            cols.map(c => s"'$c', nn_$c, nd_$c").mkString(", ") +
+            ") AS (col_name, n_nulls, n_distinct)"),
+          col("n_rows"))
+        .orderBy("col_name")
+    },
+    Some {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      val aggExprs = cols.map(c =>
+        s"""CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS nn_$c,
+           count(DISTINCT $c) AS nd_$c""").mkString(",\n")
+      val arms = cols.map(c =>
+        s"""SELECT '$c' AS col_name, nn_$c AS n_nulls,
+              nd_$c AS n_distinct, n_rows FROM a""").mkString("\nUNION ALL\n")
+      s"""WITH src AS (SELECT * REPLACE (
+              nullif(o_orderpriority, '3-MEDIUM') AS o_orderpriority)
+            FROM orders),
+          a AS (SELECT count(*) AS n_rows, $aggExprs FROM src)
+          SELECT col_name, n_nulls, n_distinct, n_rows FROM ($arms)
+          ORDER BY col_name"""
+    })
+
+  val all: Seq[Q] = Seq(qProfileTable,
     qTextRepetition, qSampleHash, qSampleStratified, qAggHeavyHitters,
     qTextPiiScrub, qSampleSplit, qAggHeavyHittersSketch, qTextSurprisal)
 }

@@ -43,6 +43,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === Map(1 -> 3L, 2 -> 2L, 3 -> 1L))
   }
 
+  test("OHLC bars replay the per-day event order and bracket extremes") {
+    val bars = Analytics.qEventsOhlc.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6))))
+      .toMap
+    val events = graft.Tables.events(spark, sf)
+      .select(col("user_id"),
+        unix_millis(date_trunc("day", col("ts"))).as("day_ms"),
+        unix_millis(col("ts")).as("ms"),
+        col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    def r2(x: Double): Double = math.floor(x * 100.0 + 0.5) / 100.0
+    val expected = events.groupBy(e => (e._1, e._2)).map { case (k, es) =>
+      val sorted = es.sortBy(e => (e._3, e._4))
+      k -> ((es.length.toLong, r2(sorted.head._5), r2(es.map(_._5).max),
+        r2(es.map(_._5).min), r2(sorted.last._5)))
+    }
+    assert(bars === expected && bars.nonEmpty)
+    bars.values.foreach { case (_, o, h, l, c) =>
+      assert(l <= o && o <= h && l <= c && c <= h)
+    }
+  }
+
   test("cohort retention offsets are whole weeks from the first-seen week") {
     val day = 86400L
     events(

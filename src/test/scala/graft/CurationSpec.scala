@@ -109,6 +109,27 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(bySplit("test").toDouble / n - 0.10) < 0.05, bySplit)
   }
 
+  test("profile rows cross-check against independent per-column queries") {
+    import org.apache.spark.sql.functions._
+    val prof = ops.Curation.qProfileTable.fn(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val o = Tables.orders(spark, sf)
+    val n = o.count()
+    assert(prof.values.forall(_._3 == n))
+    // planted nulls: exactly the '3-MEDIUM' rows of o_orderpriority
+    val medium = o.filter(col("o_orderpriority") === "3-MEDIUM").count()
+    assert(prof("o_orderpriority")._1 === medium && medium > 0)
+    assert(prof("o_orderkey") === ((0L, n, n)), "orderkey is a unique key")
+    val distinctStatus =
+      o.select("o_orderstatus").distinct().count()
+    assert(prof("o_orderstatus")._2 === distinctStatus)
+    // nullif removes one value from the distinct set, null not counted
+    val distinctPrio =
+      o.select("o_orderpriority").distinct().count() - 1
+    assert(prof("o_orderpriority")._2 === distinctPrio)
+  }
+
   test("q_text_surprisal: exact integer bit scores, rare docs score higher") {
     val out = Curation.qTextSurprisal.fn(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

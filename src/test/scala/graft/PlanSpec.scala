@@ -196,6 +196,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
   }
 
+  test("q_events_ohlc: the whole bar is one two-phase agg, no window or join") {
+    val p = plan("q_events_ohlc")
+    assert(count(p, "HashAggregate") + count(p, "ObjectHashAggregate") +
+      count(p, "SortAggregate") >= 2, p)
+    assert(count(p, "hashpartitioning") === 1, p)
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+  }
+
+  test("q_profile_table: one scan feeds every column's profile") {
+    val p = plan("q_profile_table")
+    assert(count(p, "\\(\\d+\\) Scan parquet") === 1,
+      "profiling re-scans the table per column:\n" + p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q_mix_weights: one corpus scan, totals from the k-row frame") {
     val p = plan("q_mix_weights")
     assert(count(p, "\\(\\d+\\) Scan parquet") === 1,
