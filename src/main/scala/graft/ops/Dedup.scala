@@ -409,7 +409,39 @@ object Dedup {
            FROM batch GROUP BY source, verdict
            ORDER BY source, verdict"""))
 
+  /** Edit-distance verification of the MinHash candidates — the "rescue
+    * pass" fuzzy dedup runs before deleting: LSH candidates are
+    * probabilistic, Levenshtein is ground truth. Both engines ship the
+    * same unit-cost dynamic program (`levenshtein`), so the distances
+    * hash-match exactly. Runs on the CANDIDATE PAIRS ONLY (df-capped,
+    * banded — never all pairs), which is what makes an O(len²)-per-pair
+    * kernel affordable: cost scales with the near-dup fraction, not the
+    * corpus. The two body joins are keyed on the doc id; pairs carry ids
+    * until the last moment. */
+  val qDedupEditdist = Q(
+    "q_dedup_editdist",
+    (s, d) => {
+      val docs = T.documents(s, d).select(col("doc_id"), col("text"))
+      minhashPairs(s, d)
+        .join(docs.select(col("doc_id").as("a"), col("text").as("ta")), "a")
+        .join(docs.select(col("doc_id").as("b"), col("text").as("tb")), "b")
+        .select(col("a"), col("b"),
+          levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"),
+          abs(length(col("ta")) - length(col("tb"))).cast("long")
+            .as("len_diff"))
+        .orderBy("a", "b")
+    },
+    Some(s"""WITH $minhashPairsSqlCte
+           SELECT c.a, c.b,
+                  CAST(levenshtein(x.text, y.text) AS BIGINT) AS edit_dist,
+                  CAST(abs(length(x.text) - length(y.text)) AS BIGINT)
+                    AS len_diff
+           FROM cand c
+           JOIN documents x ON x.doc_id = c.a
+           JOIN documents y ON y.doc_id = c.b
+           ORDER BY c.a, c.b"""))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupMinhash, qDedupNgramJaccard, qDedupSimhash,
-    qDedupEmbedding, qDedupEmbeddingLsh, qDedupIncremental)
+    qDedupEmbedding, qDedupEmbeddingLsh, qDedupIncremental, qDedupEditdist)
 }

@@ -373,8 +373,37 @@ object TextOps {
            SELECT doc_id, tok, tf, score, rk
            FROM rk WHERE rk <= 3 ORDER BY doc_id, rk"""))
 
+  /** Higher-order-function (lambda) parity matrix: `filter`,
+    * `transform` + `aggregate` (fold), and `exists` over token arrays,
+    * each against DuckDB's list_* lambda spellings — the declarative
+    * array-processing surface beyond [[qScalarArray]]'s point lookups.
+    * All outputs are integers/booleans, so parity is exact. (HOFs are
+    * interpreted per element — fine for a capability query; the
+    * engine's HOT array paths use the fused codegen expressions in
+    * graft.functions instead, by design.) */
+  val qScalarLambda = Q(
+    "q_scalar_lambda",
+    (s, d) =>
+      T.documents(s, d)
+        .withColumn("tk", split(col("text"), " "))
+        .select(col("doc_id"),
+          size(filter(col("tk"),
+            t => length(t) >= 5)).cast("long").as("n_long"),
+          aggregate(transform(col("tk"), t => length(t)),
+            lit(0), (acc, x) => acc + x).cast("long").as("chars_sum"),
+          exists(col("tk"), t => t === lit("the")).as("has_the"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '),
+               t -> length(t) >= 5)) AS BIGINT) AS n_long,
+             CAST(list_sum(list_transform(string_split(text, ' '),
+               t -> length(t))) AS BIGINT) AS chars_sum,
+             len(list_filter(string_split(text, ' '),
+               t -> t = 'the')) > 0 AS has_the
+           FROM documents ORDER BY doc_id"""))
+
   val all: Seq[Q] =
     Seq(qArrayExplode, qTextStats, qTextTokens, qTextFingerprint,
       qTextLanguage, qTextLanguageNgram, qTextTokensRegex, qTextWinnowPairs,
-      qPipelineFilter, qScalarArray, qTextTfidf)
+      qPipelineFilter, qScalarArray, qTextTfidf, qScalarLambda)
 }

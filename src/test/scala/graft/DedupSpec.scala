@@ -130,6 +130,33 @@ class DedupSpec extends SparkSpec {
       Set("accepted", "dup_of_corpus", "dup_in_batch"))
   }
 
+  test("edit distances replay a reference Levenshtein and bound len_diff") {
+    val out = Dedup.qDedupEditdist.fn(spark, SparkSpec.Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    val texts = Tables.documents(spark, SparkSpec.Sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def lev(a: String, b: String): Long = {
+      val dp = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = dp(0); dp(0) = i
+        for (j <- 1 to b.length) {
+          val cur = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(b.length).toLong
+    }
+    out.foreach { case (a, b, d, ld) =>
+      assert(ld === math.abs(texts(a).length - texts(b).length).toLong)
+      assert(d >= ld, s"edit dist below length diff for ($a,$b)")
+      assert(d === lev(texts(a), texts(b)), s"levenshtein mismatch ($a,$b)")
+    }
+  }
+
   test("minhash LSH: identical texts collide, disjoint texts do not") {
     docs(
       1L -> "alpha beta gamma delta epsilon zeta",

@@ -70,6 +70,20 @@ class TextSpec extends SparkSpec {
     assert(out.exists(_._4 > 0), "all idf scores zero")
   }
 
+  test("lambda matrix replays in plain Scala") {
+    val out = TextOps.qScalarLambda.fn(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    val expected = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val tk = r.getString(1).split(" ", -1)
+        r.getLong(0) -> ((tk.count(_.length >= 5).toLong,
+          tk.map(_.length).sum.toLong, tk.contains("the")))
+      }.toMap
+    assert(out === expected && out.nonEmpty)
+  }
+
   test("regex tokenization counts alpha runs, digit runs, punctuation") {
     val s = spark
     import s.implicits._
