@@ -39,6 +39,44 @@ class PartitioningSpec extends SparkSpec {
     assert(out.count() === 100)
   }
 
+  test("AQE splits a skewed shuffle-join partition at runtime") {
+    val s = spark
+    import s.implicits._
+    // ~3 MB on key 0 vs ~1 KB elsewhere: with the thresholds below, AQE
+    // must mark the join skewed and split the hot partition — the
+    // runtime complement to the explicit salting path (salting is for
+    // when you KNOW the key; AQE catches the ones you don't). Payloads
+    // are seeded-random so shuffle COMPRESSION cannot shrink the hot
+    // partition below the detection threshold (sizes are measured on
+    // compressed blocks; a constant payload compresses to ~nothing).
+    val rnd = new scala.util.Random(42)
+    val big = (0 until 6000)
+      .map(i => (if (i % 2 == 0) 0L else (i % 97).toLong,
+        rnd.alphanumeric.take(1024).mkString))
+      .toDF("k", "payload")
+    val small = (0L until 97L).map(k => (k, s"dim_$k")).toDF("k", "attr")
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "100KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    try {
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      val joined = big.join(small, Seq("k"))
+      // execute the frame itself — count() would plan a separate query
+      // and leave this one's adaptive plan unexecuted
+      assert(joined.collect().length === 6000)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        "AQE did not mark the skewed join:\n" + finalPlan)
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   test("bucketed tables sort-merge join with zero exchanges") {
     val s = spark
     import s.implicits._

@@ -242,6 +242,25 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("bloomSemiJoin equals the plain semi join for any key sets") {
+    val s = spark
+    import s.implicits._
+    val setsGen = for {
+      bigKeys <- Gen.listOf(Gen.choose(0L, 200L))
+      smallKeys <- Gen.listOf(Gen.choose(0L, 400L))
+    } yield (bigKeys, smallKeys)
+    check(Prop.forAllNoShrink(setsGen) { case (bigKeys, smallKeys) =>
+      val big = bigKeys.zipWithIndex.map { case (k, i) => (k, i.toLong) }
+        .toDF("k", "row")
+      val small = smallKeys.toDF("k")
+      val got = Graft.bloomSemiJoin(big, small, "k")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val want = big.join(small.distinct(), Seq("k"), "left_semi")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      got == want
+    })
+  }
+
   test("snapshotDiff statuses replay set algebra for any two versions") {
     val s = spark
     import s.implicits._
