@@ -183,4 +183,24 @@ object Graft {
     * observed span of `tsCol`, zero-filled. */
   def gapfillDaily(df: DataFrame, key: String, tsCol: String): DataFrame =
     ops.Analytics.gapfillDaily(df, key, tsCol)
+
+  /** OHLC bars per (key, `bucket`-truncated event time): open/close at
+    * the first/last (ts, idCol) — idCol must make the order total —
+    * high/low extremes; ONE two-phase aggregation, no window. */
+  def ohlcBars(events: DataFrame, key: String, tsCol: String,
+      idCol: String, valueCol: String, bucket: String = "day"): DataFrame =
+    ops.Analytics.ohlcBars(events, key, tsCol, idCol, valueCol, bucket)
+
+  // ----------------------------------------------------- text / quality
+
+  /** Top-`k` TF-IDF keywords per row of (idCol, textCol), integer
+    * floor(log2) idf, ties total-ordered on the token. */
+  def tfidfKeywords(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame =
+    ops.TextOps.tfidfKeywords(docs, idCol, textCol, k)
+
+  /** Data-profiling audit: per column, null + exact distinct counts
+    * plus the row count — one aggregation pass over the frame. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame =
+    ops.Curation.profile(df, cols)
 }

@@ -199,28 +199,36 @@ object Analytics {
     * aggregation — no window, no self-join; the oracle replays the
     * order with ranked windows. event_id makes the order total, so the
     * result is partition-invariant. */
+  /** OHLC core (see [[qEventsOhlc]] for the full rationale): one bar
+    * per (keyCol, `bucket`-truncated tsCol) — open/close at the
+    * first/last (ms, idCol), high/low extremes, all in one two-phase
+    * aggregation. `idCol` must make the event order total. */
+  def ohlcBars(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, bucket: String): DataFrame =
+    events
+      .select(col(keyCol),
+        unix_millis(date_trunc(bucket, col(tsCol))).as("bucket_ms"),
+        unix_millis(col(tsCol)).as("ms"), col(idCol).as("oid"),
+        col(valueCol).as("v"))
+      .groupBy(keyCol, "bucket_ms")
+      .agg(count(lit(1)).as("n_events"),
+        min(struct(col("ms").as("m"), col("oid").as("e"),
+          col("v"))).as("fo"),
+        max(struct(col("ms").as("m"), col("oid").as("e"),
+          col("v"))).as("fc"),
+        max(col("v")).as("hi"), min(col("v")).as("lo"))
+      .select(col(keyCol), col("bucket_ms"), col("n_events"),
+        graft.util.Det.r2(col("fo.v")).as("open"),
+        graft.util.Det.r2(col("hi")).as("high"),
+        graft.util.Det.r2(col("lo")).as("low"),
+        graft.util.Det.r2(col("fc.v")).as("close"))
+
   val qEventsOhlc = Q(
     "q_events_ohlc",
-    (s, d) => {
-      val e = T.events(s, d).select(
-        col("user_id"),
-        unix_millis(date_trunc("day", col("ts"))).as("day_ms"),
-        unix_millis(col("ts")).as("ms"),
-        col("event_id"), col("value"))
-      e.groupBy("user_id", "day_ms")
-        .agg(count(lit(1)).as("n_events"),
-          min(struct(col("ms").as("m"), col("event_id").as("e"),
-            col("value").as("v"))).as("fo"),
-          max(struct(col("ms").as("m"), col("event_id").as("e"),
-            col("value").as("v"))).as("fc"),
-          max(col("value")).as("hi"), min(col("value")).as("lo"))
-        .select(col("user_id"), col("day_ms"), col("n_events"),
-          graft.util.Det.r2(col("fo.v")).as("open"),
-          graft.util.Det.r2(col("hi")).as("high"),
-          graft.util.Det.r2(col("lo")).as("low"),
-          graft.util.Det.r2(col("fc.v")).as("close"))
-        .orderBy("user_id", "day_ms")
-    },
+    (s, d) =>
+      ohlcBars(T.events(s, d), "user_id", "ts", "event_id", "value", "day")
+        .withColumnRenamed("bucket_ms", "day_ms")
+        .orderBy("user_id", "day_ms"),
     Some(s"""WITH e AS (SELECT user_id,
                epoch_ms(date_trunc('day', ts)) AS day_ms,
                epoch_ms(ts) AS ms, event_id, value FROM events),

@@ -289,25 +289,31 @@ object Curation {
     * per-column scans. `o_orderpriority` gets nulls PLANTED (nullif on
     * one value) so the null-counting path is exercised — the fixture
     * tables carry no organic nulls (same practice as the planted PII). */
+  /** Profiling core (see [[qProfileTable]] for the full rationale):
+    * per column of `cols`, null + exact distinct counts plus the row
+    * count — one aggregation pass, melted map-side by `stack`. */
+  def profile(df: org.apache.spark.sql.DataFrame,
+      cols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val aggs = cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+      countDistinct(col(c)).as(s"nd_$c")))
+    df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+      .select(expr(
+        s"stack(${cols.length}, " +
+          cols.map(c => s"'$c', nn_$c, nd_$c").mkString(", ") +
+          ") AS (col_name, n_nulls, n_distinct)"),
+        col("n_rows"))
+  }
+
   val qProfileTable = Q(
     "q_profile_table",
-    (s, d) => {
-      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
-        "o_totalprice", "o_orderdate", "o_orderpriority")
-      val o = T.orders(s, d)
-        .withColumn("o_orderpriority",
-          nullif(col("o_orderpriority"), lit("3-MEDIUM")))
-      val aggs = cols.flatMap(c => Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
-        countDistinct(col(c)).as(s"nd_$c")))
-      o.agg(count(lit(1)).as("n_rows"), aggs: _*)
-        .select(expr(
-          s"stack(${cols.length}, " +
-            cols.map(c => s"'$c', nn_$c, nd_$c").mkString(", ") +
-            ") AS (col_name, n_nulls, n_distinct)"),
-          col("n_rows"))
-        .orderBy("col_name")
-    },
+    (s, d) =>
+      profile(
+        T.orders(s, d).withColumn("o_orderpriority",
+          nullif(col("o_orderpriority"), lit("3-MEDIUM"))),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_orderpriority"))
+        .orderBy("col_name"),
     Some {
       val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
         "o_totalprice", "o_orderdate", "o_orderpriority")

@@ -335,29 +335,35 @@ object TextOps {
     * exchange reuse — so tf is PERSISTED: the corpus is scanned and
     * exploded once, df reads the (smaller-than-input) cached aggregate.
     * Evicted by [[graft.Graft.clearCaches]]. */
+  /** TF-IDF keyword core (see [[qTextTfidf]] for the full rationale):
+    * top-`k` tokens per row of `(idCol, textCol)` by tf × integer
+    * floor(log2(n/df)) idf, ties total-ordered on the token. */
+  def tfidfKeywords(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .groupBy(idCol, "tok").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfFrame = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfFrame, "tok").crossJoin(broadcast(nDocs))
+      .select(col(idCol), col("tok"), col("tf"),
+        (col("tf") *
+          (length(bin(expr("n_docs div df"))).cast("long") - 1L))
+          .as("score"))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("score").desc, col("tok").asc)
+    scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(idCol, "tok", "tf", "score", "rk")
+  }
+
   val qTextTfidf = Q(
     "q_text_tfidf",
-    (s, d) => {
-      val docs = T.documents(s, d)
-      val tf = docs
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val dfFrame = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-      val scored = tf.join(dfFrame, "tok").crossJoin(broadcast(nDocs))
-        .select(col("doc_id"), col("tok"), col("tf"),
-          (col("tf") *
-            (length(bin(expr("n_docs div df"))).cast("long") - 1L))
-            .as("score"))
-      val w = Window.partitionBy("doc_id")
-        .orderBy(col("score").desc, col("tok").asc)
-      scored
-        .withColumn("rk", row_number().over(w).cast("long"))
-        .filter(col("rk") <= 3)
-        .select("doc_id", "tok", "tf", "score", "rk")
-        .orderBy("doc_id", "rk")
-    },
+    (s, d) =>
+      tfidfKeywords(T.documents(s, d), "doc_id", "text", 3)
+        .orderBy("doc_id", "rk"),
     Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
                           FROM documents),
              tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks

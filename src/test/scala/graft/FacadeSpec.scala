@@ -76,6 +76,38 @@ class FacadeSpec extends SparkSpec {
       Seq((1L, "removed"), (2L, "changed"), (3L, "added")))
   }
 
+  test("analytics and quality cores run on ad-hoc frames") {
+    import spark.implicits._
+    val ts = (h: Int, m: Int) =>
+      java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    val events = Seq(
+      (1L, ts(9, 0), 10L, 5.0), (1L, ts(9, 30), 11L, 9.0),
+      (1L, ts(10, 0), 12L, 2.0), (1L, ts(10, 5), 13L, 4.0))
+      .toDF("k", "ts", "id", "v")
+    val bars = Graft.ohlcBars(events, "k", "ts", "id", "v", "hour")
+      .orderBy("bucket_ms").collect()
+      .map(r => (r.getLong(2), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5), r.getDouble(6)))
+    assert(bars.toSeq === Seq(
+      (2L, 5.0, 9.0, 5.0, 9.0),   // 9h: open 5, high 9, low 5, close 9
+      (2L, 2.0, 4.0, 2.0, 4.0)))  // 10h: open 2, high 4, low 2, close 4
+
+    val kw = Graft.tfidfKeywords(
+      Seq((1L, "rare common common"), (2L, "common common other"))
+        .toDF("id", "text"), "id", "text", 1)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // "common" is in every doc (idf 0); the doc-unique token wins
+    assert(kw.toSeq === Seq((1L, "rare"), (2L, "other")))
+
+    val prof = Graft.profile(
+      Seq((Some(1), "a"), (None, "a"), (Some(3), "b"))
+        .toDF("num", "cat"), Seq("num", "cat"))
+      .orderBy("col_name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(prof.toSeq === Seq(("cat", 0L, 2L, 3L), ("num", 1L, 2L, 3L)))
+  }
+
   test("bloomSemiJoin equals the plain left-semi join on any key type") {
     import spark.implicits._
     val big = (1L to 2000L).map(i => (i, s"row$i")).toDF("k", "v")
