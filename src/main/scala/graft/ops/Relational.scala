@@ -1110,6 +1110,34 @@ object Relational {
     },
     Some(sqlLargeVolumeSql))
 
+  /** Deterministic mode per group: the most frequent l_quantity per
+    * returnflag (ties to the smallest value), via count-then-argmax —
+    * the same struct trick as [[qAggArgmax]] lifted one level: the
+    * frequency table is a tiny (group, value) aggregate, the mode is
+    * `max(struct(cnt, -value))` over it. Both aggregations two-phase;
+    * no window, no sort. (Spark's native `mode` is tie-arbitrary, like
+    * max_by — unusable under a hash gate.) */
+  val qAggMode = Q(
+    "q_agg_mode",
+    (s, d) =>
+      li(s, d)
+        .groupBy(col("l_returnflag"),
+          col("l_quantity").cast("long").as("qty"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("l_returnflag")
+        .agg(max(struct(col("cnt").as("c"), (-col("qty")).as("nq")))
+          .as("m"))
+        .select(col("l_returnflag"), (-col("m.nq")).as("mode_qty"),
+          col("m.c").as("n_occurrences"))
+        .orderBy("l_returnflag"),
+    Some("""WITH tf AS (SELECT l_returnflag,
+               CAST(l_quantity AS BIGINT) AS qty, count(*) AS cnt
+             FROM lineitem GROUP BY 1, 2),
+             rk AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag
+               ORDER BY cnt DESC, qty ASC) AS rn FROM tf)
+           SELECT l_returnflag, qty AS mode_qty, cnt AS n_occurrences
+           FROM rk WHERE rn = 1 ORDER BY l_returnflag"""))
+
   /** Deterministic argmax/argmin per group: the orderkey carrying each
     * returnflag's max (and min) extendedprice. Native `max_by` keeps
     * whichever tied row a task saw first — partition-order-dependent —
@@ -1150,7 +1178,7 @@ object Relational {
   val all: Seq[Q] = Seq(
     qAggStatsMoments, qJoinNullsafe, qSqlShippingPriority,
     qSqlPricingSummary, qSqlReturnedCustomers, qSqlCustDistribution,
-    qSqlLargeVolume, qAggArgmax,
+    qSqlLargeVolume, qAggArgmax, qAggMode,
     qScanProject, qFilterPred,
     qJoinInner, qJoinBroadcast, qJoinLeft, qJoinFull, qJoinSemi, qJoinAnti,
     qJoinThetaRange, qJoinMultiway,

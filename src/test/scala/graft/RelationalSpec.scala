@@ -127,6 +127,20 @@ class RelationalSpec extends SparkSpec {
     assert(got === api && got.nonEmpty)
   }
 
+  test("mode picks the most frequent quantity with smallest-value ties") {
+    val got = Relational.qAggMode.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val rows = Tables.lineitem(spark, sf)
+      .select("l_returnflag", "l_quantity").collect()
+      .map(r => (r.getString(0), r.getDouble(1).toLong))
+    val expected = rows.groupBy(_._1).map { case (f, xs) =>
+      val counts = xs.groupBy(_._2).view.mapValues(_.length.toLong)
+      val best = counts.toSeq.minBy { case (q, c) => (-c, q) }
+      f -> ((best._1, best._2))
+    }
+    assert(got === expected && got.nonEmpty)
+  }
+
   test("argmax picks the extreme rows with the documented tie-break") {
     val got = Relational.qAggArgmax.fn(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3)))).toMap
