@@ -65,6 +65,35 @@ class TdcReplaySourceSpec extends SparkSpec {
     assert(run() === 0L, "committed offsets were not honored on restart")
   }
 
+  test("EP2 -> EP1 end-to-end: replayed capture drives streaming occupancy") {
+    // the whole story on the real capture: DSv2 replay (EP2) -> orbit
+    // event time -> watermarked streaming occupancy (EP1's monitor)
+    val hits = spark.readStream.format("graft-tdc-replay")
+      .option("path", golden).option("rowsPerBatch", 20)
+      .load()
+      .withColumn("ts", graft.time.OrbitTime.orbitTimestamp(col("ORBIT_CNT")))
+    // complete mode: the capture spans ~40 ms of orbit time, so every
+    // hit lands in one open window that no later event ever closes —
+    // append mode would (correctly) emit nothing. Complete emits the
+    // full state each batch; the final table is the occupancy.
+    val q = Pipelines.occupancy(hits, windowLen = "1 second",
+        watermark = "5 seconds")
+      .writeStream.format("memory").queryName("replay_occ")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckptDir())
+      .start()
+    q.awaitTermination(60000)
+    val occ = spark.table("replay_occ")
+      .groupBy("FPGA", "TDC_CHANNEL")
+      .agg(sum("n_hits").as("n")).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val direct = Sources.hitsFromCsv(spark, golden)
+      .groupBy("FPGA", "TDC_CHANNEL").count().collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(occ === direct)
+  }
+
   test("batch twin reads the capture with parallel input partitions") {
     val df = spark.read.format("graft-tdc-replay")
       .option("path", golden).load()
