@@ -873,6 +873,35 @@ object Relational {
             count(*) AS n, ${sqlDsum("value")} AS total_value
             FROM events GROUP BY 1, 2 ORDER BY hour_ms, event_type"""))
 
+  /** The BUILT-IN `session_window` run in batch and gate-checked: one
+    * row per merged session, re-aggregated to per-user counts. The
+    * oracle replays Spark's exact gap rule relationally: an event at
+    * EXACTLY `last + gap` still MERGES (verified empirically in
+    * RelationalSpec — the windows behave closed at the merge boundary),
+    * so a new session starts only when the gap is strictly greater than
+    * the duration — the same `>` rule as [[qEventsSession]], now pinned
+    * against the primitive itself rather than assumed. */
+  val qEventsSessionWindow = Q(
+    "q_events_session_window",
+    (s, d) =>
+      T.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum("n").as("n_events"))
+        .orderBy("user_id"),
+    Some("""WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_id
+                       FROM events),
+             flags AS (SELECT user_id,
+               CASE WHEN lag(ms) OVER w IS NULL
+                      OR ms - lag(ms) OVER w > 1800000 THEN 1
+                    ELSE 0 END AS new_s
+               FROM e WINDOW w AS (PARTITION BY user_id
+                 ORDER BY ms, event_id))
+           SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions,
+                  count(*) AS n_events
+           FROM flags GROUP BY user_id ORDER BY user_id"""))
+
   /** Sessionization with a 30-minute inactivity gap, expressed relationally
     * (lag -> new-session flag -> per-user session count) so DuckDB can
     * oracle it; the streaming twin uses session_window (stream package). */
@@ -1192,5 +1221,5 @@ object Relational {
     qTopk, qUnion, qIntersect, qExcept,
     qScalarString, qScalarDate, qScalarMath, qScalarCase, qScalarNull,
     qMapJson,
-    qEventsTumbling, qEventsSession)
+    qEventsTumbling, qEventsSession, qEventsSessionWindow)
 }

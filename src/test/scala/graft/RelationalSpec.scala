@@ -155,6 +155,35 @@ class RelationalSpec extends SparkSpec {
     assert(got === expected && got.nonEmpty)
   }
 
+  test("batch session_window: an exact-gap event still MERGES (boundary pin)") {
+    val s = spark
+    import s.implicits._
+    import java.sql.Timestamp
+    // an event at exactly last + gap merges into the open session; only
+    // a strictly larger gap opens a new one. This pins the `>` rule the
+    // q_events_session_window oracle encodes (a >= spelling would
+    // silently diverge on the first exact-gap pair a corpus produces).
+    val df = Seq(
+      (1L, Timestamp.valueOf("2026-01-01 10:00:00")),
+      (1L, Timestamp.valueOf("2026-01-01 10:30:00")),   // == gap: merges
+      (2L, Timestamp.valueOf("2026-01-01 10:00:00")),
+      (2L, Timestamp.valueOf("2026-01-01 10:30:01")))   // > gap: splits
+      .toDF("user_id", "ts")
+    val sessions = df
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .count()
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sessions === Map(1L -> 1L, 2L -> 2L))
+    // and on the real events table the built-in agrees with the lag
+    // spelling end-to-end
+    val builtIn = Relational.qEventsSessionWindow.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val relational = Relational.qEventsSession.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(builtIn.toSeq === relational.toSeq)
+  }
+
   test("deterministic moments agree with the native aggregates") {
     import org.apache.spark.sql.functions._
     val got = Relational.qAggStatsMoments.fn(spark, sf).collect()
