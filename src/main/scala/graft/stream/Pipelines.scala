@@ -2,9 +2,9 @@ package graft.stream
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
 
 /** Event-time streaming pipelines (SURVEY.md §2b streaming row + §7.2
   * step 5). Each takes an unbounded DataFrame (from MemoryStream, rate,
@@ -111,6 +111,68 @@ object Pipelines {
           expired.reverse
             .map(s => SessionOut(user, s.start, s.end, s.n)).iterator
       }
+  }
+
+  /** The same interval-merge sessionization through Spark 4's
+    * `transformWithState` — the successor API to
+    * [[sessionsWithState]]'s flatMapGroupsWithState, with typed state
+    * handles and first-class event-time timers instead of the single
+    * GroupState blob. Kept semantically identical (same fold, same
+    * watermark-close rule) and asserted output-equal in StreamingSpec,
+    * so the engine carries both API generations side by side. Requires
+    * the RocksDB state store provider (transformWithState's backing
+    * store; rocksdbjni ships with Spark). */
+  class SessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, SessionInput, SessionOut] {
+    @transient private var open: org.apache.spark.sql.streaming.ValueState[SessionsState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[SessionsState]("open",
+        Encoders.product[SessionsState], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[SessionInput],
+        tv: TimerValues): Iterator[SessionOut] =
+      fold(user, rows.toList, tv.getCurrentWatermarkInMs())
+
+    override def handleExpiredTimer(user: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[SessionOut] =
+      fold(user, Nil, tv.getCurrentWatermarkInMs())
+
+    /** Identical merge fold to [[sessionsWithState]]: open sessions +
+      * batch events interval-merge; a session emits once the watermark
+      * passes its close. */
+    private def fold(user: Long, newRows: List[SessionInput],
+        wm: Long): Iterator[SessionOut] = {
+      val ivs: List[SessionState] =
+        ((if (open.exists()) open.get().open else Nil) ++
+          newRows.map(r => { val t = r.ts.getTime; SessionState(t, t, 1L) }))
+          .sortBy(v => (v.start, v.end))
+      val merged = ivs.foldLeft(List.empty[SessionState]) {
+        case (h :: tl, v) if v.start - h.end <= gapMs =>
+          SessionState(h.start, math.max(h.end, v.end), h.n + v.n) :: tl
+        case (acc, v) => v :: acc
+      }
+      val (stillOpen, expired) = merged.partition(s => s.end + gapMs > wm)
+      if (stillOpen.isEmpty) open.clear()
+      else {
+        open.update(SessionsState(stillOpen))
+        getHandle.registerTimer(
+          math.max(stillOpen.map(_.end).min + gapMs, wm + 1))
+      }
+      expired.reverse
+        .map(s => SessionOut(user, s.start, s.end, s.n)).iterator
+    }
+  }
+
+  /** [[sessionsWithState]] through the transformWithState API. */
+  def sessionsWithStateV2(events: Dataset[SessionInput],
+      gapMs: Long = 30L * 60 * 1000): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Stream-stream coincidence join — the streaming twin of the batch

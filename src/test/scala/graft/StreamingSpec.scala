@@ -93,6 +93,50 @@ class StreamingSpec extends SparkSpec {
       s"expected sessions {2 events, 1 event}, got $rows")
   }
 
+  test("transformWithState sessionization matches flatMapGroupsWithState") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    try {
+      // transformWithState is backed by the RocksDB state store
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val in = MemoryStream[Pipelines.SessionInput]
+      val q = Pipelines.sessionsWithStateV2(in.toDS(), gapMs = 30L * 60 * 1000)
+        .writeStream.format("memory").queryName("tws").outputMode("append")
+        .start()
+      // same scenario as the fMGWS test: two sessions for user 1, the
+      // second batch's far-future events advance the watermark past them
+      in.addData(
+        Pipelines.SessionInput(1L, ts("2026-01-01 09:00:00")),
+        Pipelines.SessionInput(1L, ts("2026-01-01 09:10:00")),
+        Pipelines.SessionInput(1L, ts("2026-01-01 11:00:00")))
+      q.processAllAvailable()
+      in.addData(Pipelines.SessionInput(9L, ts("2026-01-01 23:00:00")))
+      q.processAllAvailable()
+      in.addData(Pipelines.SessionInput(9L, ts("2026-01-02 10:00:00")))
+      runToCompletion(q)
+      val rows = s.sql(
+        "SELECT user_id, sess_start, sess_end, n_events FROM tws WHERE user_id = 1")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      // identical sessions to the fMGWS path: (09:00-09:10, 2 events)
+      // and (11:00-11:00, 1 event)
+      assert(rows === Set(
+        (1L, ts("2026-01-01 09:00:00").getTime,
+          ts("2026-01-01 09:10:00").getTime, 2L),
+        (1L, ts("2026-01-01 11:00:00").getTime,
+          ts("2026-01-01 11:00:00").getTime, 1L)), rows.toString)
+    } finally prev match {
+      case Some(v) =>
+        s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None =>
+        s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("out-of-order cross-batch event extends a session, never shrinks it") {
     val s = spark
     import s.implicits._
