@@ -51,13 +51,15 @@ object Graft {
     import org.apache.spark.sql.functions.{broadcast, col}
     import graft.functions.BloomFunctions
     // the sketch hashes the key's string form so any key type works;
-    // the exact join below still compares raw values
+    // the exact join below still compares raw values. The sketch column
+    // gets a name the caller's frame provably doesn't use.
+    val bf = Iterator.from(0).map(i => s"graft_bf_$i")
+      .find(n => !big.columns.contains(n)).get
     val sketch = small
-      .agg(BloomFunctions.bloom(col(key).cast("string")).as("graft_bf"))
+      .agg(BloomFunctions.bloom(col(key).cast("string")).as(bf))
     big.crossJoin(broadcast(sketch))
-      .filter(BloomFunctions.mightContain(
-        col("graft_bf"), col(key).cast("string")))
-      .drop("graft_bf")
+      .filter(BloomFunctions.mightContain(col(bf), col(key).cast("string")))
+      .drop(bf)
       .join(small.select(key).distinct(), Seq(key), "left_semi")
   }
 

@@ -55,6 +55,7 @@ object GraftExtensions {
     "graft_cms_est" -> (es => CmsEstimate(es.head, es(1))),
     "graft_bloom" -> (es => BloomAgg(es.head)),
     "graft_bloom_contains" -> (es => BloomMightContain(es.head, es(1))),
+    // (k/numBits ride inside the sketch — no parameters to mismatch)
     "graft_vec_avg" -> (es => VectorAvgAgg(es.head)),
     "graft_histogram" -> (es =>
       HistogramAgg(es.head, foldedDouble(es(1), "histogram width"))),

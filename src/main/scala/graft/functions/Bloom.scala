@@ -39,6 +39,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * k=5 under a 1% false-positive rate; at 100 TB you'd size numBits to
   * the expected probe-side cardinality (the SMALL side — that is the
   * point), not the corpus.
+  *
+  * Self-describing output: the emitted array is `[k, word0, word1, ...]`
+  * — both the bit count (from the length) and the hash count ride in
+  * the sketch, so a probe can never run with a k that differs from the
+  * build's (which would silently break the no-false-negative
+  * guarantee).
   */
 case class BloomAgg(
     child: Expression,
@@ -80,7 +86,8 @@ case class BloomAgg(
     a
   }
 
-  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+  override def eval(buf: Array[Long]): Any =
+    new GenericArrayData(k.toLong +: buf)
 
   override def serialize(buf: Array[Long]): Array[Byte] = {
     val bb = ByteBuffer.allocate(buf.length * 8)
@@ -104,15 +111,15 @@ case class BloomAgg(
   override def prettyName: String = "graft_bloom"
 }
 
-/** Membership probe against a [[BloomAgg]] sketch. Unlike
-  * [[CmsEstimate]] (which runs on a handful of extraction rows), this
-  * sits in the corpus-stream hot path — one call per big-side row — so
-  * it generates a fused primitive loop and stays inside whole-stage
-  * codegen. */
+/** Membership probe against a [[BloomAgg]] sketch (k and numBits both
+  * read FROM the sketch — a probe cannot disagree with the build).
+  * Unlike [[CmsEstimate]] (which runs on a handful of extraction rows),
+  * this sits in the corpus-stream hot path — one call per big-side
+  * row — so it generates a fused primitive loop and stays inside
+  * whole-stage codegen. */
 case class BloomMightContain(
-    left: Expression,   // sketch: array<long>
-    right: Expression,  // key: string
-    k: Int = BloomFunctions.DefaultK)
+    left: Expression,   // sketch: array<long>, [k, words...]
+    right: Expression)  // key: string
     extends BinaryExpression {
 
   override def dataType: DataType = BooleanType
@@ -129,13 +136,13 @@ case class BloomMightContain(
   override def nullSafeEval(sk: Any, key: Any): Any =
     BloomFunctions.mightContain(
       sk.asInstanceOf[ArrayData],
-      key.asInstanceOf[UTF8String], k)
+      key.asInstanceOf[UTF8String])
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (sk, key) => {
       s"""
         |${ev.value} = graft.functions.BloomFunctions.mightContain(
-        |  $sk, $key, $k);
+        |  $sk, $key);
       """.stripMargin
     })
 
@@ -169,10 +176,12 @@ object BloomFunctions {
   }
 
   /** True iff all k bits for `key` are set (false-positive capable,
-    * false-negative free). Called from generated code — keep the
-    * signature JVM-primitive-friendly. */
-  def mightContain(words: ArrayData, key: UTF8String, k: Int): Boolean = {
-    val numBits = words.numElements() * 64
+    * false-negative free). `sketch` is `[k, words...]` as [[BloomAgg]]
+    * emits — both parameters of the build travel in the sketch. Called
+    * from generated code — keep the signature JVM-primitive-friendly. */
+  def mightContain(sketch: ArrayData, key: UTF8String): Boolean = {
+    val k = sketch.getLong(0).toInt
+    val numBits = (sketch.numElements() - 1) * 64
     val bytes = key.getBytes
     val h1 = h(bytes, 0)
     val h2 = h(bytes, 1)
@@ -180,7 +189,8 @@ object BloomFunctions {
     while (i < k) {
       val bit = java.lang.Math.floorMod(
         h1.toLong + i.toLong * h2.toLong, numBits.toLong).toInt
-      if ((words.getLong(bit >>> 6) & (1L << (bit & 63))) == 0L) return false
+      if ((sketch.getLong(1 + (bit >>> 6)) & (1L << (bit & 63))) == 0L)
+        return false
       i += 1
     }
     true
@@ -190,10 +200,7 @@ object BloomFunctions {
     Bridge.column(
       BloomAgg(Bridge.expression(c), numBits, k).toAggregateExpression())
 
-  def mightContain(sketch: Column, key: Column, k: Int): Column =
-    Bridge.column(BloomMightContain(
-      Bridge.expression(sketch), Bridge.expression(key), k))
-
   def mightContain(sketch: Column, key: Column): Column =
-    mightContain(sketch, key, DefaultK)
+    Bridge.column(BloomMightContain(
+      Bridge.expression(sketch), Bridge.expression(key)))
 }

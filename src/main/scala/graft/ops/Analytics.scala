@@ -190,15 +190,6 @@ object Analytics {
            FROM grid LEFT JOIN perday USING (user_id, day)
            ORDER BY user_id, day"""))
 
-  /** Daily OHLC bars per user — the time-series downsample every
-    * monitoring/market pipeline runs: open/close are the values at the
-    * day's first/last event, high/low the extremes. First/last are
-    * argmin/argmax by (ms, event_id), expressed with the same
-    * lexicographic struct min/max as [[Relational.qAggArgmax]] so the
-    * tie-break lives in the VALUE and the whole bar is ONE two-phase
-    * aggregation — no window, no self-join; the oracle replays the
-    * order with ranked windows. event_id makes the order total, so the
-    * result is partition-invariant. */
   /** OHLC core (see [[qEventsOhlc]] for the full rationale): one bar
     * per (keyCol, `bucket`-truncated tsCol) — open/close at the
     * first/last (ms, idCol), high/low extremes, all in one two-phase
@@ -223,6 +214,15 @@ object Analytics {
         graft.util.Det.r2(col("lo")).as("low"),
         graft.util.Det.r2(col("fc.v")).as("close"))
 
+  /** Daily OHLC bars per user — the time-series downsample every
+    * monitoring/market pipeline runs: open/close are the values at the
+    * day's first/last event, high/low the extremes. First/last are
+    * argmin/argmax by (ms, event_id), expressed with the same
+    * lexicographic struct min/max as [[Relational.qAggArgmax]] so the
+    * tie-break lives in the VALUE and the whole bar is ONE two-phase
+    * aggregation — no window, no self-join; the oracle replays the
+    * order with ranked windows. event_id makes the order total, so the
+    * result is partition-invariant. */
   val qEventsOhlc = Q(
     "q_events_ohlc",
     (s, d) =>

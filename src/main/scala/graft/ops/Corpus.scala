@@ -281,7 +281,10 @@ object Corpus {
         coalesce(col("c_id"), col("p_id")).as(idCol),
         when(col("p_id").isNull, "added")
           .when(col("c_id").isNull, "removed")
-          .when(col("p_fp") =!= col("c_fp"), "changed")
+          // null-SAFE compare: =!= yields NULL (not true) when one
+          // fingerprint is NULL, which would fall through to
+          // "unchanged" — a changed row reported unchanged
+          .when(!(col("p_fp") <=> col("c_fp")), "changed")
           .otherwise("unchanged").as("status")) ++
         carryCols.map(c =>
           coalesce(col(s"c_$c"), col(s"p_$c")).as(c))): _*)
@@ -324,7 +327,7 @@ object Corpus {
              j AS (SELECT coalesce(c.doc_id, p.doc_id) AS doc_id,
                      CASE WHEN p.doc_id IS NULL THEN 'added'
                           WHEN c.doc_id IS NULL THEN 'removed'
-                          WHEN p.fp <> c.fp THEN 'changed'
+                          WHEN p.fp IS DISTINCT FROM c.fp THEN 'changed'
                           ELSE 'unchanged' END AS status,
                      coalesce(c.source, p.source) AS source
                    FROM v1 p FULL OUTER JOIN v2 c ON p.doc_id = c.doc_id)

@@ -281,14 +281,6 @@ object Curation {
            FROM toks t JOIN sc USING (tok)
            GROUP BY t.doc_id ORDER BY t.doc_id"""))
 
-  /** Table profiling — the data-quality audit every pipeline runs before
-    * training: per column, null count and exact distinct count, plus the
-    * table's row count. One aggregation pass over the table (count
-    * distinct expands internally; Catalyst plans the multi-distinct
-    * rewrite), then a map-side `stack` melt to one row per column — no
-    * per-column scans. `o_orderpriority` gets nulls PLANTED (nullif on
-    * one value) so the null-counting path is exercised — the fixture
-    * tables carry no organic nulls (same practice as the planted PII). */
   /** Profiling core (see [[qProfileTable]] for the full rationale):
     * per column of `cols`, null + exact distinct counts plus the row
     * count — one aggregation pass, melted map-side by `stack`. */
@@ -305,6 +297,14 @@ object Curation {
         col("n_rows"))
   }
 
+  /** Table profiling — the data-quality audit every pipeline runs before
+    * training: per column, null count and exact distinct count, plus the
+    * table's row count. One aggregation pass over the table (count
+    * distinct expands internally; Catalyst plans the multi-distinct
+    * rewrite), then a map-side `stack` melt to one row per column — no
+    * per-column scans. `o_orderpriority` gets nulls PLANTED (nullif on
+    * one value) so the null-counting path is exercised — the fixture
+    * tables carry no organic nulls (same practice as the planted PII). */
   val qProfileTable = Q(
     "q_profile_table",
     (s, d) =>

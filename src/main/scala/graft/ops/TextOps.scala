@@ -318,26 +318,15 @@ object TextOps {
              AND CAST(length(text) AS DOUBLE) / len(toks) >= 3.0
            GROUP BY source ORDER BY source"""))
 
-  /** TF-IDF keyword extraction: each document's top-3 tokens by
-    * `tf × idf` where idf is the INTEGER `floor(log2(n_docs / df))`
-    * (`bitlength(n_docs // df) - 1` — same exact-integer-space trick as
-    * [[Curation.qTextSurprisal]], because float `ln` differs by 1 ulp
-    * between engines). A token in every document scores 0; rarity in
-    * fewer docs doubles up the bit count. Ties break on the token
-    * string, so top-3 is total-ordered.
-    *
-    * Scale shape: tf is the (doc, token) aggregation (one shuffle); df
-    * derives from the ALREADY-AGGREGATED tf frame (vocab-sized); the
-    * doc count broadcasts as a scalar; scoring joins tf to the vocab
-    * frame keyed on the token; top-3 is one row_number window keyed on
-    * doc_id. The tf frame feeds two consumers (df + the scoring join),
-    * and column pruning gives each a different subtree — defeating
-    * exchange reuse — so tf is PERSISTED: the corpus is scanned and
-    * exploded once, df reads the (smaller-than-input) cached aggregate.
-    * Evicted by [[graft.Graft.clearCaches]]. */
   /** TF-IDF keyword core (see [[qTextTfidf]] for the full rationale):
     * top-`k` tokens per row of `(idCol, textCol)` by tf × integer
-    * floor(log2(n/df)) idf, ties total-ordered on the token. */
+    * floor(log2(n/df)) idf, ties total-ordered on the token.
+    *
+    * Caching policy (same as every operator cache in the library):
+    * the persisted tf frame is deduplicated by Spark's CacheManager —
+    * repeated calls over the SAME input hold one cached aggregate, not
+    * one per call; distinct corpora hold one each, evicted by
+    * [[graft.Graft.clearCaches]]. */
   def tfidfKeywords(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
     val tf = docs
@@ -359,6 +348,23 @@ object TextOps {
       .select(idCol, "tok", "tf", "score", "rk")
   }
 
+  /** TF-IDF keyword extraction: each document's top-3 tokens by
+    * `tf × idf` where idf is the INTEGER `floor(log2(n_docs / df))`
+    * (`bitlength(n_docs // df) - 1` — same exact-integer-space trick as
+    * [[Curation.qTextSurprisal]], because float `ln` differs by 1 ulp
+    * between engines). A token in every document scores 0; rarity in
+    * fewer docs doubles up the bit count. Ties break on the token
+    * string, so top-3 is total-ordered.
+    *
+    * Scale shape: tf is the (doc, token) aggregation (one shuffle); df
+    * derives from the ALREADY-AGGREGATED tf frame (vocab-sized); the
+    * doc count broadcasts as a scalar; scoring joins tf to the vocab
+    * frame keyed on the token; top-3 is one row_number window keyed on
+    * doc_id. The tf frame feeds two consumers (df + the scoring join),
+    * and column pruning gives each a different subtree — defeating
+    * exchange reuse — so tf is PERSISTED: the corpus is scanned and
+    * exploded once, df reads the (smaller-than-input) cached aggregate.
+    * Evicted by [[graft.Graft.clearCaches]]. */
   val qTextTfidf = Q(
     "q_text_tfidf",
     (s, d) =>

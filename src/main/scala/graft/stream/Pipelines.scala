@@ -153,6 +153,12 @@ object Pipelines {
         case (acc, v) => v :: acc
       }
       val (stillOpen, expired) = merged.partition(s => s.end + gapMs > wm)
+      // registerTimer ADDS a timer (unlike GroupState's
+      // setTimeoutTimestamp, which replaces) — drop the stale wake-ups
+      // first or an active key accumulates one pending timer per batch
+      // and replays a cascade of no-op expirations
+      getHandle.listTimers().foreach(t =>
+        getHandle.deleteTimer(t.asInstanceOf[Long]))
       if (stillOpen.isEmpty) open.clear()
       else {
         open.update(SessionsState(stillOpen))

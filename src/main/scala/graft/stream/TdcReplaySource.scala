@@ -49,11 +49,19 @@ class TdcReplaySource extends TableProvider with DataSourceRegister {
     TdcHit.schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: JMap[String, String]): Table =
-    new TdcReplayTable(
-      properties.get("path"),
-      Option(properties.get("rowsPerBatch")).map(_.toInt)
-        .getOrElse(TdcReplaySource.DefaultRowsPerBatch))
+      properties: JMap[String, String]): Table = {
+    // DSv2 options are case-insensitive by convention (.option("PATH")
+    // works on every built-in source) — wrap the raw map accordingly
+    val opts = new CaseInsensitiveStringMap(properties)
+    val perBatch =
+      try opts.getInt("rowsPerBatch", TdcReplaySource.DefaultRowsPerBatch)
+      catch {
+        case e: NumberFormatException => throw new IllegalArgumentException(
+          s"graft-tdc-replay option 'rowsPerBatch' must be an integer: " +
+            s"'${opts.get("rowsPerBatch")}'", e)
+      }
+    new TdcReplayTable(opts.get("path"), perBatch)
+  }
 }
 
 object TdcReplaySource {

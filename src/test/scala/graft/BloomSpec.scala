@@ -58,6 +58,21 @@ class BloomSpec extends SparkSpec {
     val empty = Seq.empty[String].toDF("k")
       .agg(BloomFunctions.bloom(col("k")).as("bf"))
       .head().getSeq[Long](0)
-    assert(empty.forall(_ == 0L))
+    // word 0 is the self-describing k header; the bit words are clear
+    assert(empty.head === BloomFunctions.DefaultK.toLong)
+    assert(empty.tail.forall(_ == 0L))
+  }
+
+  test("k rides in the sketch: a non-default build probes correctly") {
+    val s = spark
+    import s.implicits._
+    // build with k=3; the probe has no k parameter to get wrong — it
+    // reads the build's k from the sketch header
+    val sketch = keys.toDF("k")
+      .agg(BloomFunctions.bloom(col("k"), 1 << 16, 3).as("bf"))
+    val found = keys.toDF("k").crossJoin(broadcast(sketch))
+      .filter(BloomFunctions.mightContain(col("bf"), col("k")))
+      .count()
+    assert(found === keys.size.toLong)
   }
 }

@@ -74,6 +74,16 @@ class FacadeSpec extends SparkSpec {
       .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
     assert(diff.toSeq ===
       Seq((1L, "removed"), (2L, "changed"), (3L, "added")))
+
+    // a NULL fingerprint on one side is a CHANGE (null-safe compare),
+    // and null == null is unchanged
+    val nullDiff = Graft.snapshotDiff(
+      Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+        .toDF("id", "fp"),
+      Seq((1L, Some("h1")), (2L, Option.empty[String])).toDF("id", "fp"),
+      "id", "fp")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(nullDiff.toSeq === Seq((1L, "changed"), (2L, "unchanged")))
   }
 
   test("analytics and quality cores run on ad-hoc frames") {
