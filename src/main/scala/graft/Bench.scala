@@ -124,6 +124,18 @@ object Bench {
           base.filter(col("event_type") === "click"),
           base.filter(col("event_type") === "purchase"),
           toleranceSec = 60, watermark = "1 hour")
+      }),
+      // transformWithState sessionization on the RocksDB store — the
+      // Spark 4 state-API path. LAST probe: the provider conf applies to
+      // every stream started after it, and the bench session ends here.
+      ("q_stream_sessions_tws", "append", df => {
+        val s = df.sparkSession
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        import s.implicits._
+        graft.stream.Pipelines.sessionsWithStateV2(
+          df.select(col("user_id"), col("ts"))
+            .as[graft.stream.Pipelines.SessionInput]).toDF()
       }))
     val streaming: Seq[(String, Double, Boolean)] =
       streamDefs.filter { case (n, _, _) => only.forall(_.contains(n)) }
