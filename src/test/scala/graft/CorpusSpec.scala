@@ -87,6 +87,20 @@ class CorpusSpec extends SparkSpec {
     assert(bloom === exact)
   }
 
+  test("bloom prune stays exact when nothing can be pruned (probe == corpus)") {
+    // pathological for the OPTIMIZATION (every train gram passes the
+    // bloom, zero shuffle saved) — the result must still be exact
+    val docs = Tables.documents(spark, sf).limit(50)
+    val exact = Corpus.contaminationScan(docs, docs, "doc_id", "text",
+      Corpus.ContamNgram).orderBy("doc_id").collect().toSeq
+    val bloom = Corpus.contaminationScanBloom(docs, docs, "doc_id", "text",
+      Corpus.ContamNgram).orderBy("doc_id").collect().toSeq
+    assert(bloom === exact)
+    // self-scan: every doc with >= n tokens shares all its grams with
+    // itself, so every such doc is contaminated
+    assert(exact.forall(r => r.getBoolean(2) || r.getLong(1) == 0L))
+  }
+
   test("q_snapshot_diff statuses partition both versions exactly") {
     val rows = Corpus.qSnapshotDiff.fn(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
