@@ -124,6 +124,30 @@ class LayoutSpec extends SparkSpec {
     assert(s.read.parquet(s"$tmp/zc").count() === 10000)
   }
 
+  test("schema evolution: mergeSchema unions columns across file generations") {
+    val s = spark
+    import s.implicits._
+    // generation 1 writes (id, text); generation 2 adds a quality score
+    // — the corpus-versioning reality every long-lived dataset hits.
+    // mergeSchema must union the columns, null-filling the old files.
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    Seq((1L, "old doc")).toDF("id", "text")
+      .write.mode("append").parquet(dir)
+    Seq((2L, "new doc", 0.9)).toDF("id", "text", "quality")
+      .write.mode("append").parquet(dir)
+    val merged = s.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq === Seq("id", "quality", "text"))
+    val rows = merged.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(rows.toSeq === Seq(
+      (1L, "old doc", None), (2L, "new doc", Some(0.9))))
+    // without mergeSchema the footer of one file wins — the pitfall the
+    // option exists for: the quality column may silently vanish
+    val unmergedCols = s.read.parquet(dir).columns.length
+    assert(unmergedCols <= 3)
+  }
+
   test("date-partitioned layout prunes to the queried day at planning time") {
     val s = spark
     val tmp = java.nio.file.Files.createTempDirectory("layout_part").toString

@@ -261,6 +261,39 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("ohlcBars replays the per-bucket order for any event set") {
+    val s = spark
+    import s.implicits._
+    val evGen = Gen.listOfN(40, for {
+      key <- Gen.choose(1L, 3L)
+      // seconds offset inside one hour, so "minute" bucketing yields
+      // several buckets with multiple events each
+      sec <- Gen.choose(0L, 3599L)
+      v <- Gen.choose(-100, 100).map(_.toDouble / 4.0)
+    } yield (key, sec, v))
+    check(Prop.forAllNoShrink(evGen) { evs =>
+      val rows = evs.zipWithIndex.map { case ((k, sec, v), i) =>
+        (k, new java.sql.Timestamp(1767225600000L + sec * 1000L),
+          i.toLong, v)
+      }
+      val got = Graft.ohlcBars(rows.toDF("k", "ts", "id", "v"),
+          "k", "ts", "id", "v", "minute")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+            r.getDouble(6)))).toMap
+      def r2(x: Double) = math.floor(x * 100.0 + 0.5) / 100.0
+      val expected = rows.groupBy { case (k, ts, _, _) =>
+        (k, ts.getTime / 60000L * 60000L)
+      }.map { case (key, es) =>
+        val sorted = es.sortBy(e => (e._2.getTime, e._3))
+        key -> ((es.size.toLong, r2(sorted.head._4),
+          r2(es.map(_._4).max), r2(es.map(_._4).min), r2(sorted.last._4)))
+      }
+      got == expected
+    })
+  }
+
   test("snapshotDiff statuses replay set algebra for any two versions") {
     val s = spark
     import s.implicits._
