@@ -179,6 +179,20 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "hashpartitioning") === 1, p)
   }
 
+  test("q_agg_mode: two chained two-phase aggs, no window or join") {
+    val p = plan("q_agg_mode")
+    assert(count(p, "HashAggregate") >= 4, p)
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+  }
+
+  test("SQL front-end joins decorrelate: no nested loops in Q13/Q18") {
+    Seq("q_sql_cust_distribution", "q_sql_large_volume").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+  }
+
   test("q_agg_argmax: one two-phase aggregation, no window or join") {
     val p = plan("q_agg_argmax")
     assert(count(p, "HashAggregate") + count(p, "ObjectHashAggregate") +
