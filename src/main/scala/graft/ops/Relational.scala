@@ -1139,6 +1139,37 @@ object Relational {
     },
     Some(sqlLargeVolumeSql))
 
+  /** TPC-H Q15 (top supplier) through the SQL front-end: a revenue CTE
+    * consumed twice — once as the join input, once under a scalar MAX
+    * subquery — the classic view-plus-aggregate-of-itself shape. The
+    * equality predicate compares Det-rounded revenues, which are
+    * bit-identical in both engines by construction, so a float-equality
+    * join is safe here (and only here — never compare raw float
+    * aggregates). */
+  val sqlTopSupplierSql: String =
+    s"""WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 ${sqlDsum("l_extendedprice * (1 - l_discount)")}
+                   AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier, revenue
+        WHERE s_suppkey = supplier_no
+          AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+        ORDER BY s_suppkey"""
+
+  val qSqlTopSupplier = Q(
+    "q_sql_top_supplier",
+    (s, d) => {
+      T.supplier(s, d).createOrReplaceTempView("supplier")
+      T.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(sqlTopSupplierSql)
+    },
+    Some(sqlTopSupplierSql))
+
   /** Deterministic mode per group: the most frequent l_quantity per
     * returnflag (ties to the smallest value), via count-then-argmax —
     * the same struct trick as [[qAggArgmax]] lifted one level: the
@@ -1207,7 +1238,7 @@ object Relational {
   val all: Seq[Q] = Seq(
     qAggStatsMoments, qJoinNullsafe, qSqlShippingPriority,
     qSqlPricingSummary, qSqlReturnedCustomers, qSqlCustDistribution,
-    qSqlLargeVolume, qAggArgmax, qAggMode,
+    qSqlLargeVolume, qSqlTopSupplier, qAggArgmax, qAggMode,
     qScanProject, qFilterPred,
     qJoinInner, qJoinBroadcast, qJoinLeft, qJoinFull, qJoinSemi, qJoinAnti,
     qJoinThetaRange, qJoinMultiway,
