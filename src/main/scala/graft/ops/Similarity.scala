@@ -341,6 +341,41 @@ object Similarity {
                   ${graft.util.Det.sqlDavg("v")} AS mean_v
            FROM x GROUP BY label, pos ORDER BY label, pos"""))
 
+  /** Cross-modal feature join — the enrichment step every embedding
+    * pipeline runs: text-side features (token counts) joined to
+    * vector-side features (L2 norms) on the shared document id,
+    * aggregated per label. The per-row norm runs through the fused
+    * [[graft.functions.VectorFunctions.dot]] codegen kernel, whose
+    * accumulation order matches DuckDB's sequential list_sum, so the
+    * norms are bit-identical and Det means stay exact. One equi-join
+    * keyed on the id, two table scans, one aggregation. */
+  val qJoinTextEmbedding = Q(
+    "q_join_text_embedding",
+    (s, d) => {
+      val docs = T.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val vecs = T.embeddings(s, d).select(col("vec_id"), col("label"),
+        sqrt(graft.functions.VectorFunctions.dot(
+          col("embedding").cast("array<double>"),
+          col("embedding").cast("array<double>"))).as("nrm"))
+      docs.join(vecs, col("doc_id") === col("vec_id"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_docs"),
+          graft.util.Det.davg(col("n_tok").cast("double")).as("avg_tokens"),
+          graft.util.Det.davg(col("nrm")).as("avg_norm"))
+        .orderBy("label")
+    },
+    Some(s"""WITH j AS (SELECT e.label,
+               len(string_split(d.text, ' ')) AS n_tok,
+               sqrt(list_sum(list_transform(
+                 CAST(e.embedding AS DOUBLE[]), x -> x * x))) AS nrm
+             FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id)
+           SELECT label, count(*) AS n_docs,
+             ${graft.util.Det.sqlDavg("CAST(n_tok AS DOUBLE)")} AS avg_tokens,
+             ${graft.util.Det.sqlDavg("nrm")} AS avg_norm
+           FROM j GROUP BY label ORDER BY label"""))
+
   val all: Seq[Q] = Seq(qSimCosineTopk, qSimLshBuckets, qSimLshTopk,
-    qSimIvfTopk, qVecQuantize, qEmbedCentroids)
+    qSimIvfTopk, qVecQuantize, qEmbedCentroids, qJoinTextEmbedding)
 }

@@ -41,6 +41,27 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("cross-modal join covers every vector once with sane feature means") {
+    val rows = Similarity.qJoinTextEmbedding.fn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val total = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_._2).sum === total, "every vector joins exactly once")
+    rows.foreach { case (label, n, avgTok, avgNorm) =>
+      assert(n > 0 && avgTok > 0 && avgNorm > 0, s"label $label")
+    }
+    // Det means track the native double means within quantization slack
+    val native = Tables.embeddings(spark, sf)
+      .select(col("label"),
+        sqrt(graft.functions.VectorFunctions.dot(
+          col("embedding").cast("array<double>"),
+          col("embedding").cast("array<double>"))).as("nrm"))
+      .groupBy("label").agg(avg("nrm").as("m")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (label, _, _, avgNorm) =>
+      assert(math.abs(avgNorm - native(label)) < 0.006, s"label $label")
+    }
+  }
+
   test("precomputed SRP weights match the per-row md5 HOF spelling") {
     val e = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
