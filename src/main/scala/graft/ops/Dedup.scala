@@ -441,7 +441,68 @@ object Dedup {
            JOIN documents y ON y.doc_id = c.b
            ORDER BY c.a, c.b"""))
 
+  /** Sketch-quality diagnostic — the calibration report an LSH index
+    * owner reads: per candidate pair, the MinHash agreement count
+    * (matching planes of 8 — the sketch's Jaccard estimate in eighths)
+    * next to the EXACT shingle intersection/union. Everything stays in
+    * integer space (counts, not ratios), so the gate pins the sketch
+    * arithmetic bit-for-bit; the estimate-vs-truth correlation is
+    * asserted in DedupSpec. Cost rides the candidate pair frame (df-
+    * capped), with two id-keyed joins back to signatures + shingles. */
+  val qDedupMinhashQuality = Q(
+    "q_dedup_minhash_quality",
+    (s, d) => {
+      val base = shingled(s, d).select(col("doc_id"),
+        array_distinct(col("sh")).as("shd"),
+        graft.functions.MinHashSig.minhash(col("sh")).as("sig"))
+      val ja = base.select(col("doc_id").as("a"), col("shd").as("sha"),
+        col("sig").as("siga"))
+      val jb = base.select(col("doc_id").as("b"), col("shd").as("shb"),
+        col("sig").as("sigb"))
+      minhashPairs(s, d)
+        .join(ja, "a").join(jb, "b")
+        .select(col("a"), col("b"),
+          expr("size(filter(zip_with(siga, sigb, (x, y) -> x = y), v -> v))")
+            .cast("long").as("n_match"),
+          size(array_intersect(col("sha"), col("shb"))).cast("long")
+            .as("n_inter"),
+          (size(col("sha")) + size(col("shb")) -
+            size(array_intersect(col("sha"), col("shb")))).cast("long")
+            .as("n_union"))
+        .orderBy("a", "b")
+    },
+    Some(s"""WITH $minhashPairsSqlCte,
+             sizes AS (SELECT doc_id, count(*) AS nsh FROM sh
+                       GROUP BY doc_id),
+             inter AS (SELECT x.doc_id AS a, y.doc_id AS b,
+                         count(*) AS n_inter
+                       FROM sh x JOIN sh y
+                         ON x.sh = y.sh AND x.doc_id < y.doc_id
+                       GROUP BY 1, 2)
+           SELECT c.a, c.b,
+             CAST(
+               (CASE WHEN m1.h0 = m2.h0 THEN 1 ELSE 0 END) +
+               (CASE WHEN m1.h1 = m2.h1 THEN 1 ELSE 0 END) +
+               (CASE WHEN m1.h2 = m2.h2 THEN 1 ELSE 0 END) +
+               (CASE WHEN m1.h3 = m2.h3 THEN 1 ELSE 0 END) +
+               (CASE WHEN m1.h4 = m2.h4 THEN 1 ELSE 0 END) +
+               (CASE WHEN m1.h5 = m2.h5 THEN 1 ELSE 0 END) +
+               (CASE WHEN m1.h6 = m2.h6 THEN 1 ELSE 0 END) +
+               (CASE WHEN m1.h7 = m2.h7 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_match,
+             CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
+             CAST(sa.nsh + sb.nsh - coalesce(i.n_inter, 0) AS BIGINT)
+               AS n_union
+           FROM cand c
+           JOIN mh m1 ON m1.doc_id = c.a
+           JOIN mh m2 ON m2.doc_id = c.b
+           JOIN sizes sa ON sa.doc_id = c.a
+           JOIN sizes sb ON sb.doc_id = c.b
+           LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+           ORDER BY c.a, c.b"""))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupMinhash, qDedupNgramJaccard, qDedupSimhash,
-    qDedupEmbedding, qDedupEmbeddingLsh, qDedupIncremental, qDedupEditdist)
+    qDedupEmbedding, qDedupEmbeddingLsh, qDedupIncremental, qDedupEditdist,
+    qDedupMinhashQuality)
 }

@@ -130,6 +130,29 @@ class DedupSpec extends SparkSpec {
       Set("accepted", "dup_of_corpus", "dup_in_batch"))
   }
 
+  test("minhash quality: estimates track exact Jaccard on candidate pairs") {
+    val rows = Dedup.qDedupMinhashQuality.fn(spark, SparkSpec.Sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, nMatch, nInter, nUnion) =>
+      assert(nMatch >= 0 && nMatch <= 8, s"($a,$b)")
+      assert(nInter >= 0 && nInter <= nUnion, s"($a,$b)")
+    }
+    // candidates with near-total overlap must agree on most planes, and
+    // the average estimate must sit within 25% of the average truth —
+    // the unbiasedness MinHash promises, coarse at 8 planes
+    val strong = rows.filter(r => r._4.toDouble / r._5 >= 0.9)
+    strong.foreach { case (a, b, nMatch, _, _) =>
+      assert(nMatch >= 6, s"high-overlap pair ($a,$b) matched $nMatch/8")
+    }
+    val estMean = rows.map(_._3.toDouble / 8).sum / rows.size
+    val truthMean = rows.map(r => r._4.toDouble / r._5).sum / rows.size
+    assert(math.abs(estMean - truthMean) < 0.25,
+      s"estimate mean $estMean vs truth mean $truthMean")
+  }
+
   test("edit distances replay a reference Levenshtein and bound len_diff") {
     val out = Dedup.qDedupEditdist.fn(spark, SparkSpec.Sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
