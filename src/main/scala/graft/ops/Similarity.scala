@@ -131,6 +131,27 @@ object Similarity {
     e.withColumn("bucket", bit.reduce(_ + _))
   }
 
+  /** The bucket histogram IS oracle-expressible after all: the
+    * hyperplane weights are ±1 literals (md5-parity), so each
+    * projection is a signed sequential SUM of the (exactly-widened)
+    * embedding values — the fused kernel's left-to-right accumulation
+    * and DuckDB's in-order list_sum run the identical IEEE-754 op
+    * sequence, making even the sign at the bucket boundary
+    * deterministic. The oracle inlines the 8 weight rows as literal
+    * arrays (dim 64 — the fixture embedding width, TESTDATA.md). */
+  private def lshBucketsOracle: String = {
+    val w = srpWeights(8, 64)
+    val planes = (0 until 8).map { p =>
+      val arr = w(p).map(x => if (x > 0) "1.0" else "-1.0").mkString(", ")
+      s"""(CASE WHEN list_sum(list_transform(range(1, 65),
+            i -> CAST(embedding[i] AS DOUBLE) * ([$arr]::DOUBLE[])[i]))
+            >= 0 THEN ${1L << p} ELSE 0 END)"""
+    }.mkString(" + ")
+    s"""SELECT bucket, count(*) AS n_vecs FROM (
+          SELECT CAST($planes AS BIGINT) AS bucket FROM embeddings)
+        GROUP BY bucket ORDER BY bucket"""
+  }
+
   val qSimLshBuckets = Q(
     "q_sim_lsh_buckets",
     (s, d) =>
@@ -138,7 +159,7 @@ object Similarity {
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_vecs"))
         .orderBy("bucket"),
-    None)
+    Some(lshBucketsOracle))
 
   /** Multi-probe LSH ANN top-k — the scale path. Probes the query's own
     * bucket plus every bucket within hamming distance 2 (37 probes over
