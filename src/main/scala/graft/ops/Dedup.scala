@@ -321,14 +321,43 @@ object Dedup {
       .limit(k)
   }
 
-  /** Declared form of the LSH embedding near-dup path. No SQL oracle
-    * (hyperplane layout is engine-specific); DedupSpec plants clusters
-    * of near-identical vectors and asserts they surface as the top
-    * candidates. */
+  /** Declared form of the LSH embedding near-dup path — DuckDB-oracled
+    * since the bucket oracle landed: the oracle replays the ±1-plane
+    * sign sums (bit-identical sequential arithmetic, see
+    * [[Similarity.qSimLshBuckets]]), the two 4-bit band splits, the
+    * hot-band cap as a QUALIFY, and the exact rescoring through
+    * `list_cosine_similarity` under the same 2dp rounding the blocked
+    * variant's oracle already proved engine-stable. DedupSpec
+    * additionally plants near-identical clusters and asserts they
+    * surface on top. */
   val qDedupEmbeddingLsh = Q(
     "q_dedup_embedding_lsh",
     (s, d) => embeddingLshTopPairs(s, d),
-    None)
+    Some {
+      val w = Similarity.srpWeights(8, 64)
+      val planes = (0 until 8).map { p =>
+        val arr = w(p).map(x => if (x > 0) "1.0" else "-1.0").mkString(", ")
+        s"""(CASE WHEN list_sum(list_transform(range(1, 65),
+              i -> CAST(embedding[i] AS DOUBLE) * ([$arr]::DOUBLE[])[i]))
+              >= 0 THEN ${1L << p} ELSE 0 END)"""
+      }.mkString(" + ")
+      s"""WITH bk AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               CAST($planes AS BIGINT) AS bucket FROM embeddings),
+           bands AS (SELECT vec_id, v, 0 AS band_no, bucket % 16 AS band
+                     FROM bk
+                     UNION ALL
+                     SELECT vec_id, v, 1, bucket // 16 FROM bk),
+           cold AS (SELECT vec_id, v, band_no, band FROM bands
+                    QUALIFY count(*) OVER (PARTITION BY band_no, band)
+                      <= $MaxPostingDf),
+           pairs AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b,
+                       ${sqlR2("list_cosine_similarity(x.v, y.v)")} AS cos
+                     FROM cold x JOIN cold y
+                       ON x.band_no = y.band_no AND x.band = y.band
+                      AND x.vec_id < y.vec_id)
+         SELECT a, b, cos FROM pairs
+         ORDER BY cos DESC, a, b LIMIT 10"""
+    })
 
   val qDedupEmbedding = Q(
     "q_dedup_embedding",
