@@ -139,7 +139,9 @@ object Similarity {
     * sequence, making even the sign at the bucket boundary
     * deterministic. The oracle inlines the 8 weight rows as literal
     * arrays (dim 64 — the fixture embedding width, TESTDATA.md). */
-  private def lshBucketsOracle: String = {
+  /** The 8-plane SRP bucket as a DuckDB expression over `embedding` —
+    * shared by every LSH oracle (buckets, embedding near-dup, topk). */
+  private[ops] def lshBucketSql: String = {
     val w = srpWeights(8, 64)
     val planes = (0 until 8).map { p =>
       val arr = w(p).map(x => if (x > 0) "1.0" else "-1.0").mkString(", ")
@@ -147,10 +149,13 @@ object Similarity {
             i -> CAST(embedding[i] AS DOUBLE) * ([$arr]::DOUBLE[])[i]))
             >= 0 THEN ${1L << p} ELSE 0 END)"""
     }.mkString(" + ")
-    s"""SELECT bucket, count(*) AS n_vecs FROM (
-          SELECT CAST($planes AS BIGINT) AS bucket FROM embeddings)
-        GROUP BY bucket ORDER BY bucket"""
+    s"CAST($planes AS BIGINT)"
   }
+
+  private def lshBucketsOracle: String =
+    s"""SELECT bucket, count(*) AS n_vecs FROM (
+          SELECT $lshBucketSql AS bucket FROM embeddings)
+        GROUP BY bucket ORDER BY bucket"""
 
   val qSimLshBuckets = Q(
     "q_sim_lsh_buckets",
@@ -194,7 +199,45 @@ object Similarity {
       .orderBy("qid", "vec_id")
   }
 
-  val qSimLshTopk = Q("q_sim_lsh_topk", (s, d) => srpTopk(s, d), None)
+  /** Multi-probe top-k, DuckDB-oracled: the probe set is pure XOR
+    * arithmetic over the (oracled) bucket, and the oracle's cosine
+    * spells the fused kernel's EXACT op sequence — three sequential
+    * list sums, then `dot / (sqrt(na) * sqrt(nb))` — so the raw-sim
+    * ranking (not just the rounded output) is bit-identical and the
+    * k-boundary cannot diverge between engines. */
+  private def lshTopkOracle: String = {
+    val flips: Seq[Long] = 0L +:
+      (0 until 8).map(i => 1L << i) ++:
+      (for { i <- 0 until 8; j <- (i + 1) until 8 }
+        yield (1L << i) | (1L << j))
+    s"""WITH bk AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             $lshBucketSql AS bucket FROM embeddings),
+         q AS (SELECT vec_id AS qid, v AS qv, bucket AS qb FROM bk
+               WHERE vec_id < 10),
+         probes AS (SELECT qid, qv, xor(qb, f.flip) AS probe
+                    FROM q CROSS JOIN (SELECT unnest(
+                      [${flips.mkString(", ")}]::BIGINT[]) AS flip) f),
+         cand AS (SELECT p.qid, p.qv, b.vec_id, b.v
+                  FROM probes p JOIN bk b
+                    ON b.bucket = p.probe AND b.vec_id <> p.qid),
+         sims AS (SELECT qid, vec_id,
+                    list_sum(list_transform(range(1, 65),
+                      i -> qv[i] * v[i]))
+                    / (sqrt(list_sum(list_transform(range(1, 65),
+                         i -> qv[i] * qv[i]))) *
+                       sqrt(list_sum(list_transform(range(1, 65),
+                         i -> v[i] * v[i])))) AS sim
+                  FROM cand),
+         rk AS (SELECT qid, vec_id, sim,
+                  row_number() OVER (PARTITION BY qid
+                    ORDER BY sim DESC, vec_id) AS rn
+                FROM sims)
+       SELECT qid, vec_id, ${sqlR2("sim")} AS sim FROM rk
+       WHERE rn <= 3 ORDER BY qid, vec_id"""
+  }
+
+  val qSimLshTopk =
+    Q("q_sim_lsh_topk", (s, d) => srpTopk(s, d), Some(lshTopkOracle))
 
   // ---------------------------------------------------------------- IVF
 
