@@ -332,7 +332,54 @@ object Curation {
           ORDER BY col_name"""
     })
 
-  val all: Seq[Q] = Seq(qProfileTable,
+  /** Deletion-propagation audit — the right-to-be-forgotten report a
+    * data platform runs BEFORE executing a purge: for a deletion set
+    * (here an md5 id-range, the same reproducible selector the sampling
+    * family uses), how many rows each derived table would lose, with
+    * totals and shares. Each table contributes one semi-join keyed on
+    * its id, unioned into a fixed-size report — per-table cost is one
+    * broadcast-or-shuffle semi join, never a scan of the deletion set
+    * per row. documents and embeddings share the id domain (the
+    * cross-modal join's contract), so a document purge must hit both. */
+  val qDeletionAudit = Q(
+    "q_deletion_audit",
+    (s, d) => {
+      def hh(c: org.apache.spark.sql.Column) =
+        substring(md5(c.cast("string").cast("binary")), 1, 2)
+      def audit(df: org.apache.spark.sql.DataFrame, idCol: String,
+          table: String) =
+        df.agg(
+          count(lit(1)).as("n_total"),
+          sum(when(hh(col(idCol)) >= "f0", 1L).otherwise(0L))
+            .as("n_affected"))
+          .select(lit(table).as("table_name"), col("n_affected"),
+            col("n_total"),
+            r2(col("n_affected").cast("double") * 100.0 / col("n_total"))
+              .as("pct"))
+      audit(T.documents(s, d), "doc_id", "documents")
+        .unionAll(audit(T.embeddings(s, d), "vec_id", "embeddings"))
+        .orderBy("table_name")
+    },
+    Some(s"""SELECT * FROM (
+             SELECT 'documents' AS table_name,
+               CAST(sum(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                 >= 'f0' THEN 1 ELSE 0 END) AS BIGINT) AS n_affected,
+               count(*) AS n_total,
+               ${sqlR2("""CAST(sum(CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                 >= 'f0' THEN 1 ELSE 0 END) AS DOUBLE) * 100.0 / count(*)""")}
+                 AS pct
+             FROM documents
+             UNION ALL
+             SELECT 'embeddings',
+               CAST(sum(CASE WHEN substring(md5(CAST(vec_id AS VARCHAR)), 1, 2)
+                 >= 'f0' THEN 1 ELSE 0 END) AS BIGINT),
+               count(*),
+               ${sqlR2("""CAST(sum(CASE WHEN substring(md5(CAST(vec_id AS VARCHAR)), 1, 2)
+                 >= 'f0' THEN 1 ELSE 0 END) AS DOUBLE) * 100.0 / count(*)""")}
+             FROM embeddings)
+           ORDER BY table_name"""))
+
+  val all: Seq[Q] = Seq(qProfileTable, qDeletionAudit,
     qTextRepetition, qSampleHash, qSampleStratified, qAggHeavyHitters,
     qTextPiiScrub, qSampleSplit, qAggHeavyHittersSketch, qTextSurprisal)
 }

@@ -130,6 +130,29 @@ class CurationSpec extends SparkSpec {
     assert(prof("o_orderpriority")._2 === distinctPrio)
   }
 
+  test("deletion audit replays the id-range selector per table") {
+    val got = ops.Curation.qDeletionAudit.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    def affected(ids: Array[Long]): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      ids.count { id =>
+        md.reset()
+        val hex = md.digest(id.toString.getBytes)
+          .map("%02x".format(_)).mkString
+        hex.substring(0, 2) >= "f0"
+      }.toLong
+    }
+    val docIds = Tables.documents(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0))
+    val vecIds = Tables.embeddings(spark, sf).select("vec_id").collect()
+      .map(_.getLong(0))
+    assert(got === Map(
+      "documents" -> ((affected(docIds), docIds.length.toLong)),
+      "embeddings" -> ((affected(vecIds), vecIds.length.toLong))))
+    // the selector must actually select something, or the audit is vacuous
+    assert(got.values.forall(_._1 > 0))
+  }
+
   test("q_text_surprisal: exact integer bit scores, rare docs score higher") {
     val out = Curation.qTextSurprisal.fn(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
