@@ -1170,6 +1170,28 @@ object Relational {
     },
     Some(sqlTopSupplierSql))
 
+  /** `cume_dist` — the one ranking function the rank-family query
+    * doesn't cover: the cumulative distribution of quantity within each
+    * returnflag. Tied rows share one cume_dist value by definition
+    * (rows ≤ current / total — order-within-tie never matters), so the
+    * per-distinct-value projection is deterministic without any
+    * tie-break machinery. */
+  val qWindowCumeDist = Q(
+    "q_window_cume_dist",
+    (s, d) =>
+      li(s, d)
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("long").as("qty"),
+          r2(cume_dist().over(
+            Window.partitionBy("l_returnflag")
+              .orderBy(col("l_quantity").cast("long")))).as("cd"))
+        .distinct()
+        .orderBy("l_returnflag", "qty"),
+    Some(s"""SELECT DISTINCT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+              ${sqlR2("""cume_dist() OVER (PARTITION BY l_returnflag
+                ORDER BY CAST(l_quantity AS BIGINT))""")} AS cd
+            FROM lineitem ORDER BY l_returnflag, qty"""))
+
   /** Deterministic mode per group: the most frequent l_quantity per
     * returnflag (ties to the smallest value), via count-then-argmax —
     * the same struct trick as [[qAggArgmax]] lifted one level: the
@@ -1245,7 +1267,7 @@ object Relational {
     qAggGroup, qAggDistinct, qAggRollup, qAggCube, qAggGroupingSets,
     qAggHistogram, qAggHistogramSketch, qAggApproxDistinct,
     qAggApproxPercentile,
-    qWindowRank, qWindowRankFamily, qWindowFirstLast, qWindowRunning, qWindowLag,
+    qWindowRank, qWindowRankFamily, qWindowCumeDist, qWindowFirstLast, qWindowRunning, qWindowLag,
     qWindowFrameRange, qAggPercentile, qAggPivot, qUnpivot, qAggConditional,
     qSubqueryScalar, qJoinCross,
     qExceptAll,
