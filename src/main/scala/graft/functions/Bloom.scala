@@ -180,7 +180,18 @@ object BloomFunctions {
     * emits — both parameters of the build travel in the sketch. Called
     * from generated code — keep the signature JVM-primitive-friendly. */
   def mightContain(sketch: ArrayData, key: UTF8String): Boolean = {
+    // The function is SQL-registered (graft_bloom_contains), so arbitrary
+    // array<long> values can reach it: fail descriptively on non-sketch
+    // input instead of reading out of bounds / modulo-zero crashing a task.
+    if (sketch.numElements() < 2)
+      throw new IllegalArgumentException(
+        s"graft_bloom_contains: sketch must be [k, words...] with >= 1 word, " +
+          s"got ${sketch.numElements()} element(s)")
     val k = sketch.getLong(0).toInt
+    if (k < 1 || k > 64)
+      throw new IllegalArgumentException(
+        s"graft_bloom_contains: hash count k=$k out of sane range [1, 64]; " +
+          "not a BloomAgg sketch?")
     val numBits = (sketch.numElements() - 1) * 64
     val bytes = key.getBytes
     val h1 = h(bytes, 0)

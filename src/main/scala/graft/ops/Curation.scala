@@ -286,14 +286,22 @@ object Curation {
     * count — one aggregation pass, melted map-side by `stack`. */
   def profile(df: org.apache.spark.sql.DataFrame,
       cols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    // Backtick-quote every identifier (doubling embedded backticks) so
+    // column names with dots/quotes/spaces resolve as-is instead of being
+    // parsed as nested-field paths; the melt itself is typed Columns
+    // (explode of structs — map-side generator, same shape as stack) so
+    // no name ever round-trips through the SQL parser.
+    def bq(n: String) = "`" + n.replace("`", "``") + "`"
     val aggs = cols.flatMap(c => Seq(
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
-      countDistinct(col(c)).as(s"nd_$c")))
+      sum(when(col(bq(c)).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+      countDistinct(col(bq(c))).as(s"nd_$c")))
     df.agg(count(lit(1)).as("n_rows"), aggs: _*)
-      .select(expr(
-        s"stack(${cols.length}, " +
-          cols.map(c => s"'$c', nn_$c, nd_$c").mkString(", ") +
-          ") AS (col_name, n_nulls, n_distinct)"),
+      .select(explode(array(cols.map(c => struct(
+          lit(c).as("col_name"),
+          col(bq(s"nn_$c")).as("n_nulls"),
+          col(bq(s"nd_$c")).as("n_distinct"))): _*)).as("m"),
+        col("n_rows"))
+      .select(col("m.col_name"), col("m.n_nulls"), col("m.n_distinct"),
         col("n_rows"))
   }
 

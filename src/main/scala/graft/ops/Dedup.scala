@@ -334,15 +334,10 @@ object Dedup {
     "q_dedup_embedding_lsh",
     (s, d) => embeddingLshTopPairs(s, d),
     Some {
-      val w = Similarity.srpWeights(8, 64)
-      val planes = (0 until 8).map { p =>
-        val arr = w(p).map(x => if (x > 0) "1.0" else "-1.0").mkString(", ")
-        s"""(CASE WHEN list_sum(list_transform(range(1, 65),
-              i -> CAST(embedding[i] AS DOUBLE) * ([$arr]::DOUBLE[])[i]))
-              >= 0 THEN ${1L << p} ELSE 0 END)"""
-      }.mkString(" + ")
+      // One spelling of the 8-plane SRP bucket for every LSH oracle —
+      // inlining a private copy here let the two drift silently (ADVICE r3).
       s"""WITH bk AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-               CAST($planes AS BIGINT) AS bucket FROM embeddings),
+               ${Similarity.lshBucketSql} AS bucket FROM embeddings),
            bands AS (SELECT vec_id, v, 0 AS band_no, bucket % 16 AS band
                      FROM bk
                      UNION ALL

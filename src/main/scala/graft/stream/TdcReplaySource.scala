@@ -145,6 +145,10 @@ private[stream] class TdcReplayStream(path: String, rowsPerBatch: Int)
     limit match {
       case rl: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
         RowOffset(math.min(s + rl.maxRows(), cap))
+      // Trigger.Once sends ReadAllAvailable: drain the capture in one
+      // batch rather than silently stopping after rowsPerBatch rows.
+      case _: org.apache.spark.sql.connector.read.streaming.ReadAllAvailable =>
+        RowOffset(cap)
       case _ => RowOffset(math.min(s + rowsPerBatch, cap))
     }
   }

@@ -75,4 +75,27 @@ class BloomSpec extends SparkSpec {
       .count()
     assert(found === keys.size.toLong)
   }
+
+  test("non-sketch inputs fail descriptively, not with a raw index crash") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val key = UTF8String.fromString("x")
+    // graft_bloom_contains is SQL-registered, so any array<long> can
+    // arrive: empty, header-only, and garbage-k all must raise the
+    // guard's message rather than out-of-bounds / modulo-zero in a task
+    for (bad <- Seq(Array.empty[Long], Array(5L), Array(-3L, 0L),
+        Array(999L, 0L))) {
+      val e = intercept[IllegalArgumentException] {
+        BloomFunctions.mightContain(new GenericArrayData(bad), key)
+      }
+      assert(e.getMessage.contains("graft_bloom_contains"), e.getMessage)
+    }
+    // the guard must not reject real sketches: round-trip still works
+    val s = spark
+    import s.implicits._
+    val sketch = Seq("a").toDF("k")
+      .agg(BloomFunctions.bloom(col("k")).as("bf")).head().getSeq[Long](0)
+    assert(BloomFunctions.mightContain(
+      new GenericArrayData(sketch.toArray), UTF8String.fromString("a")))
+  }
 }

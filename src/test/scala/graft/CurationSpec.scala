@@ -130,6 +130,26 @@ class CurationSpec extends SparkSpec {
     assert(prof("o_orderpriority")._2 === distinctPrio)
   }
 
+  test("profile survives column names needing escaping") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    // dots, spaces, hyphens, single quotes, even a backtick: names the
+    // old string-built stack() either mis-parsed or crashed on
+    val names = Seq("a.b", "with space", "has-hyphen", "it's", "tick`y")
+    val df = Seq((1, "x", "y", "z", "w"), (2, null, "y", "q", "w"))
+      .toDF(("id" +: names.tail): _*)
+      .withColumnRenamed("id", names.head)
+    val prof = ops.Curation.profile(df, names).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(prof.keySet === names.toSet)
+    assert(prof("a.b") === ((0L, 2L, 2L)))
+    assert(prof("with space") === ((1L, 1L, 2L)))
+    assert(prof("it's") === ((0L, 2L, 2L)))
+    assert(prof("tick`y") === ((0L, 1L, 2L)))
+  }
+
   test("deletion audit replays the id-range selector per table") {
     val got = ops.Curation.qDeletionAudit.fn(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap

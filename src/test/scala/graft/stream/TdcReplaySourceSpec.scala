@@ -106,4 +106,23 @@ class TdcReplaySourceSpec extends SparkSpec {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(viaSource === viaCsv)
   }
+
+  test("Trigger.Once (ReadAllAvailable) drains the capture in one batch") {
+    // rowsPerBatch=20 only paces rate-limited triggers; a ReadAllAvailable
+    // limit must admit the full 61-row capture at once, not one 20-row
+    // batch (the pre-fix behavior: the default case capped advancement)
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft-tdc-replay")
+      .option("path", golden).option("rowsPerBatch", 20)
+      .load()
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.synchronized { batches += df.count() }; ()
+      }
+      .trigger(Trigger.Once())
+      .option("checkpointLocation", ckptDir())
+      .start()
+    q.awaitTermination(60000)
+    assert(batches.toSeq === Seq(61L))
+  }
 }
