@@ -9,11 +9,16 @@ import org.apache.spark.sql.functions._
   * opaque `binary` columns with typed metadata, decode / feature-extract /
   * resize / frame-sample as partition-batched transforms.
   *
-  * The actual codec step is STUBBED — no image/audio libraries exist in
-  * this container — with a deterministic fake (`StubCodecs`): every byte
-  * path, schema, batch shape and partitioning decision is real Spark; only
-  * the pixel math inside the per-record function is fake. Swapping in a
-  * real codec is a one-function change.
+  * The codec step is REAL as of round 4: blobs are genuine PNG images
+  * (encoded and decoded through `javax.imageio.ImageIO`) and genuine WAV
+  * PCM audio (`javax.sound.sampled.AudioSystem`) — both public JVM APIs,
+  * no external libraries. "Video" is the one honest compromise: no
+  * container demuxer ships with the JVM, so videos are a trivial
+  * length-prefixed sequence of real PNG frames (`Codecs.VideoMagic`) —
+  * the per-frame codec work is real ImageIO, only the 12-byte framing is
+  * ours. The media fixture is synthesized deterministically from the
+  * `embeddings` table (no media files ship in testdata), so every blob
+  * round-trips encode -> bytes -> decode through the real codecs.
   *
   * Scale design: media blobs are the 100 TB driver. The rules encoded
   * here — (a) metadata travels in a struct column next to the blob so
@@ -37,28 +42,65 @@ object Multimodal {
   final case class MediaFeature(
       media_id: Long, kind: String, feature: Array[Float])
 
-  // ------------------------------------------------- deterministic stub
+  // ------------------------------------------------------- real codecs
 
-  /** Fake codecs: deterministic functions of the blob bytes ONLY — stand-ins
-    * for libjpeg/ffmpeg calls. Marked ??? -style on purpose; replace the
-    * bodies, keep the signatures. */
-  object StubCodecs {
-    /** "Decode" an image: fabricate a width*height gray buffer whose
-      * content hashes the input bytes. Real impl: ImageIO/libjpeg. */
-    def decodeImage(bytes: Array[Byte], meta: MediaMeta): Array[Byte] = {
-      val out = new Array[Byte](math.max(1, meta.width * meta.height))
-      var h = 1125899906842597L
-      var i = 0
-      while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
-      i = 0
-      while (i < out.length) { out(i) = ((h >>> (i % 57)) & 0xff).toByte; i += 1 }
-      out
+  /** Real JVM codecs (round-4 replacement for the former StubCodecs):
+    * PNG through `javax.imageio.ImageIO`, WAV PCM through
+    * `javax.sound.sampled.AudioSystem` — public platform APIs only.
+    * Rasters are 8-bit grayscale (`TYPE_BYTE_GRAY`); PNG is lossless, so
+    * encode -> decode round-trips pixels bit-exactly, which is what keeps
+    * the decode outputs deterministic and partition-invariant. */
+  object Codecs {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
+    // in-memory streams only: never spill ImageIO's scratch to /tmp files
+    ImageIO.setUseCache(false)
+
+    /** Our video framing: magic, frame count, then [len][png] per frame.
+      * The JVM ships no mp4/mkv demuxer; the frames inside are real PNG. */
+    val VideoMagic: Int = 0x47465631 // "GFV1"
+
+    /** Encode an 8-bit gray raster as a real PNG. */
+    def encodePng(px: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      require(w > 0 && h > 0 && px.length == w * h,
+        s"raster/geometry mismatch: ${px.length} bytes for ${w}x$h")
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+      img.getRaster.setDataElements(0, 0, w, h, px)
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
     }
 
-    /** "Resize": nearest-neighbour downsample of the fake gray buffer —
-      * the buffer arithmetic is real, the pixels are fake. */
+    /** Decode any ImageIO-supported image (PNG/JPEG/GIF/BMP) to an 8-bit
+      * gray raster. Returns (width, height, pixels). */
+    def decodeImage(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      require(img != null, "ImageIO could not decode the blob (not an image?)")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val gray =
+        if (img.getType == BufferedImage.TYPE_BYTE_GRAY) img
+        else {
+          // color sources: let the gray color model do the luminance map
+          val g = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+          val gr = g.createGraphics()
+          try gr.drawImage(img, 0, 0, null) finally gr.dispose()
+          g
+        }
+      val px = new Array[Byte](w * h)
+      gray.getRaster.getDataElements(0, 0, w, h, px)
+      (w, h, px)
+    }
+
+    /** Nearest-neighbour downsample of a decoded gray raster. Kept as
+      * explicit pixel math (not Graphics2D filtering) so the thumbnail
+      * bytes are deterministic across JVMs/render pipelines. */
     def resize(px: Array[Byte], w: Int, h: Int, w2: Int, h2: Int): Array[Byte] = {
       require(w > 0 && h > 0, s"resize needs a positive source raster, got ${w}x$h")
+      require(px.length == w * h,
+        s"raster/geometry mismatch: ${px.length} bytes for ${w}x$h")
       val out = new Array[Byte](math.max(1, w2 * h2))
       var y = 0
       while (y < h2) {
@@ -66,8 +108,7 @@ object Multimodal {
         while (x < w2) {
           val sx = math.min(w - 1, x * w / math.max(1, w2))
           val sy = math.min(h - 1, y * h / math.max(1, h2))
-          val idx = sy * w + sx
-          out(y * w2 + x) = if (idx < px.length) px(idx) else 0
+          out(y * w2 + x) = px(sy * w + sx)
           x += 1
         }
         y += 1
@@ -75,27 +116,78 @@ object Multimodal {
       out
     }
 
-    /** "Feature-extract": 16 floats summarizing the buffer (histogram-ish).
-      * Real impl: a vision model forward pass. */
+    /** Feature-extract: normalized 16-bin gray-level histogram over real
+      * decoded pixels (bin = value / 16, so bins are contiguous ranges). */
     def features(px: Array[Byte]): Array[Float] = {
       val f = new Array[Float](16)
       var i = 0
-      while (i < px.length) { f((px(i) & 0xff) % 16) += 1f; i += 1 }
+      while (i < px.length) { f((px(i) & 0xff) >>> 4) += 1f; i += 1 }
       if (px.length > 0) { var j = 0; while (j < 16) { f(j) /= px.length; j += 1 } }
       f
     }
 
-    /** Frame count a "video" carries: 1 frame / 100 ms of fake duration. */
+    /** Wrap the frame PNGs in the length-prefixed video container. */
+    def encodeVideo(frames: Seq[Array[Byte]]): Array[Byte] = {
+      val size = 8 + frames.map(4 + _.length).sum
+      val bb = java.nio.ByteBuffer.allocate(size)
+      bb.putInt(VideoMagic).putInt(frames.length)
+      frames.foreach { f => bb.putInt(f.length); bb.put(f) }
+      bb.array()
+    }
+
+    /** Split a video blob back into its frame PNGs (not yet decoded —
+      * callers decode only the frames they keep, so 1-in-N sampling skips
+      * the ImageIO work for dropped frames). */
+    def videoFramePngs(bytes: Array[Byte]): IndexedSeq[Array[Byte]] = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      require(bb.remaining >= 8 && bb.getInt() == VideoMagic,
+        "not a graft video container")
+      val n = bb.getInt()
+      (0 until n).map { _ =>
+        val len = bb.getInt()
+        val f = new Array[Byte](len)
+        bb.get(f)
+        f
+      }
+    }
+
+    /** Frame count a video carries: 1 frame / 100 ms of duration — the
+      * synthesis contract the frame-sample oracle replays in SQL. */
     def frameCount(meta: MediaMeta): Int =
       math.max(1, (meta.durationMs / 100L).toInt)
 
-    /** "Decode" audio to PCM-ish samples: 4 fake samples per input byte.
-      * Real impl: libsndfile/ffmpeg decode to float PCM. */
-    def decodeAudio(bytes: Array[Byte], meta: MediaMeta): Array[Float] = {
-      val out = new Array[Float](bytes.length * 4)
+    /** Encode signed 16-bit mono PCM as a real WAV (RIFF) blob. */
+    def encodeWav(samples: Array[Short], sampleRate: Float = 8000f): Array[Byte] = {
+      val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
+      val data = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        data(2 * i) = (samples(i) & 0xff).toByte
+        data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val ais = new AudioInputStream(
+        new ByteArrayInputStream(data), fmt, samples.length.toLong)
+      val out = new ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+
+    /** Decode a WAV blob to float PCM in [-1, 1). */
+    def decodeAudio(bytes: Array[Byte]): Array[Float] = {
+      val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"expected 16-bit mono PCM, got $fmt")
+      val raw = ais.readAllBytes()
+      val out = new Array[Float](raw.length / 2)
       var i = 0
       while (i < out.length) {
-        out(i) = ((bytes(i / 4) & 0xff) - 128) / 128f
+        val lo = raw(2 * i) & 0xff
+        val hi = raw(2 * i + 1).toInt
+        val s = if (fmt.isBigEndian) ((lo << 8) | (hi & 0xff)).toShort
+                else ((hi << 8) | lo).toShort
+        out(i) = s / 32768f
         i += 1
       }
       out
@@ -104,40 +196,73 @@ object Multimodal {
 
   // --------------------------------------------------------- operators
 
+  /** Deterministic gray raster for (id, frame): pixel values derive from
+    * the embedding float bits — the synthetic stand-in for "whatever was
+    * in the photo", chosen so every media_id gets distinct real content. */
+  private def synthRaster(id: Long, emb: Array[Float], frame: Int,
+      w: Int, h: Int): Array[Byte] = {
+    val px = new Array[Byte](w * h)
+    var i = 0
+    while (i < px.length) {
+      val bits = java.lang.Float.floatToIntBits(emb((i + frame) % emb.length))
+      px(i) = ((bits >>> ((i + id.toInt + frame) % 24)) & 0xff).toByte
+      i += 1
+    }
+    px
+  }
+
   /** Synthesize a deterministic media table from `embeddings` (no media
-    * fixture ships in testdata): blob bytes derive from the embedding
-    * floats, metadata from the label. Stands in for `read.format
-    * ("binaryFile")` / a parquet blob table at scale. */
+    * fixture ships in testdata) — but the blobs are REAL encoded media:
+    * images are PNG (ImageIO), audio is WAV PCM (javax.sound), video is
+    * the length-prefixed PNG-frame container. Content derives from the
+    * embedding floats, metadata from the label. Stands in for
+    * `read.format("binaryFile")` / a parquet blob table at scale. */
   def mediaTable(s: SparkSession, d: String): Dataset[Media] = {
     import s.implicits._
     T.embeddings(s, d).select(col("vec_id"), col("embedding"), col("label"))
       .as[(Long, Array[Float], Int)]
       .map { case (id, emb, label) =>
-        val bytes = new Array[Byte](64 + (id % 64).toInt)
-        var i = 0
-        while (i < bytes.length) {
-          bytes(i) = java.lang.Float.floatToIntBits(emb(i % emb.length)).toByte
-          i += 1
-        }
         val kind = (id % 3) match {
           case 0 => "video"
           case 1 => "audio"
           case _ => "image"
         }
-        Media(id, kind,
-          bytes,
-          MediaMeta(
-            mime = kind match {
-              case "video" => "video/mp4"
-              case "audio" => "audio/wav"
-              case _       => "image/jpeg"
-            },
-            width = if (kind == "audio") 0 else 16 + (label % 4) * 16,
-            height = if (kind == "audio") 0 else 16 + (label % 3) * 16,
-            durationMs =
-              if (kind == "video") 300L + (id % 10) * 100L
-              else if (kind == "audio") 1000L + (id % 5) * 500L
-              else 0L))
+        val meta = MediaMeta(
+          mime = kind match {
+            case "video" => "video/x-graft-png-seq"
+            case "audio" => "audio/wav"
+            case _       => "image/png"
+          },
+          width = if (kind == "audio") 0 else 16 + (label % 4) * 16,
+          height = if (kind == "audio") 0 else 16 + (label % 3) * 16,
+          durationMs =
+            if (kind == "video") 300L + (id % 10) * 100L
+            else if (kind == "audio") 1000L + (id % 5) * 500L
+            else 0L)
+        val bytes = kind match {
+          case "image" =>
+            Codecs.encodePng(
+              synthRaster(id, emb, 0, meta.width, meta.height),
+              meta.width, meta.height)
+          case "video" =>
+            Codecs.encodeVideo((0 until Codecs.frameCount(meta)).map(f =>
+              Codecs.encodePng(
+                synthRaster(id, emb, f, meta.width, meta.height),
+                meta.width, meta.height)))
+          case _ =>
+            // sample count contract the audio-stats oracle replays:
+            // (64 + id % 64) * 4 signed 16-bit samples
+            val n = (64 + (id % 64).toInt) * 4
+            val samples = new Array[Short](n)
+            var i = 0
+            while (i < n) {
+              val bits = java.lang.Float.floatToIntBits(emb(i % emb.length))
+              samples(i) = ((bits >>> (i % 17)) & 0xffff).toShort
+              i += 1
+            }
+            Codecs.encodeWav(samples)
+        }
+        Media(id, kind, bytes, meta)
       }
   }
 
@@ -156,50 +281,79 @@ object Multimodal {
     media.repartitionByRange(partitions,
       pmod(length(col("bytes")) + col("media_id"), lit(partitions.toLong)))
 
+  /** The first decodable raster of a blob: the image itself, or a
+    * video's frame 0. Real ImageIO decode either way. */
+  private def firstRaster(m: Media): (Int, Int, Array[Byte]) = m.kind match {
+    case "video" => Codecs.decodeImage(Codecs.videoFramePngs(m.bytes).head)
+    case _       => Codecs.decodeImage(m.bytes)
+  }
+
   /** Batched decode+featurize: one codec "instance" per partition, reused
     * across records — the mapPartitions analogue of a pandas/arrow batch
-    * UDF (state amortized over the batch, not per record). */
+    * UDF (state amortized over the batch, not per record). Features are
+    * modality-appropriate: gray histogram over real decoded pixels for
+    * image/video, a 16-bin amplitude histogram over real decoded PCM for
+    * audio. */
   def imageFeatures(media: Dataset[Media]): Dataset[MediaFeature] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // per-partition codec state would be initialized here (real codecs
-      // are expensive to construct; stub has none)
+      // ImageIO/AudioSystem plugin registries are JVM-global (loaded once
+      // per executor); per-record codec construction cost is stream setup
       it.map { m =>
-        val px = StubCodecs.decodeImage(m.bytes, m.meta)
-        MediaFeature(m.media_id, m.kind, StubCodecs.features(px))
+        val feature = m.kind match {
+          case "audio" =>
+            val pcm = Codecs.decodeAudio(m.bytes)
+            val f = new Array[Float](16)
+            var i = 0
+            while (i < pcm.length) {
+              f(math.min(15, (math.abs(pcm(i)) * 16).toInt)) += 1f
+              i += 1
+            }
+            if (pcm.length > 0) {
+              var j = 0; while (j < 16) { f(j) /= pcm.length; j += 1 }
+            }
+            f
+          case _ =>
+            Codecs.features(firstRaster(m)._3)
+        }
+        MediaFeature(m.media_id, m.kind, feature)
       }
     }
   }
 
   /** Decode + resize to thumbnails — visual kinds only (audio has no
-    * raster to resize). */
+    * raster to resize). Geometry comes from the DECODED raster, not the
+    * metadata — the codec is the source of truth once bytes are open. */
   def thumbnails(media: Dataset[Media], w2: Int = 8, h2: Int = 8): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.filter(m => m.kind == "image" || m.kind == "video").mapPartitions { it =>
       it.map { m =>
-        val px = StubCodecs.decodeImage(m.bytes, m.meta)
-        Frame(m.media_id, 0, w2, h2,
-          StubCodecs.resize(px, m.meta.width, m.meta.height, w2, h2))
+        val (w, h, px) = firstRaster(m)
+        Frame(m.media_id, 0, w2, h2, Codecs.resize(px, w, h, w2, h2))
       }
     }
   }
 
-  /** Frame sampling: videos explode into every `everyN`-th frame. flatMap
+  /** Frame sampling: videos explode into every `everyN`-th frame, each
+    * one a real PNG decode. Dropped frames never hit the codec — the
+    * container is split first, ImageIO runs only on kept frames. flatMap
     * keeps it streaming-shaped (no driver materialization). */
   def sampleFrames(media: Dataset[Media], everyN: Int = 2): Dataset[Frame] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { m =>
-      val px = StubCodecs.decodeImage(m.bytes, m.meta)
-      (0 until StubCodecs.frameCount(m.meta) by everyN).map { f =>
-        Frame(m.media_id, f, m.meta.width, m.meta.height, px)
+      val pngs = Codecs.videoFramePngs(m.bytes)
+      (0 until pngs.length by everyN).map { f =>
+        val (w, h, px) = Codecs.decodeImage(pngs(f))
+        Frame(m.media_id, f, w, h, px)
       }
     }
   }
 
   // ------------------------------------------------- declared queries
 
-  /** Decode+featurize rollup — deterministic stub output, engine-specific
-    * layout -> no SQL oracle; MultimodalSpec pins exact values. */
+  /** Decode+featurize rollup — real ImageIO/javax.sound decode per blob;
+    * pixel-derived output has no SQL spelling -> no oracle; MultimodalSpec
+    * pins exact values against an independent JVM-side decode. */
   val qMmFeatures = Q(
     "q_mm_features",
     (s, d) => {
@@ -245,16 +399,17 @@ object Multimodal {
            FROM embeddings
            GROUP BY 1, 2, 3 ORDER BY kind, width, height"""))
 
-  /** Audio decode accounting: stub PCM sample counts per audio blob.
-    * Sample count is metadata arithmetic (4 x blob length, blob length =
-    * 64 + id%64), so DuckDB oracles it without decoding. */
+  /** Audio decode accounting: REAL WAV decode per blob; the decoded
+    * sample count follows the synthesis contract ((64 + id%64) * 4
+    * samples), so DuckDB oracles it without decoding — the Spark side
+    * still earns the number by opening every RIFF header. */
   val qMmAudioStats = Q(
     "q_mm_audio_stats",
     (s, d) => {
       import s.implicits._
       mediaTable(s, d).filter(_.kind == "audio")
         .map(m => (m.media_id,
-          StubCodecs.decodeAudio(m.bytes, m.meta).length.toLong,
+          Codecs.decodeAudio(m.bytes).length.toLong,
           m.meta.durationMs))
         .toDF("media_id", "n_samples", "duration_ms")
         .orderBy("media_id")
