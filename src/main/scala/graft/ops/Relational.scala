@@ -190,6 +190,47 @@ object Relational {
             AND epoch_ms(b.ts) - epoch_ms(a.ts) <= 300000
            ORDER BY a.user_id, id1, id2"""))
 
+  /** The binned spelling of [[qJoinThetaRange]] — same result, skew-proof
+    * shuffle. The plain variant shuffles on user_id alone, so one zipf
+    * hot user concentrates its entire event history (and the quadratic
+    * pair enumeration over it) in a single task. Here both sides key on
+    * (user_id, 5-minute bin): with tolerance == bin width, a qualifying
+    * pair's later event lands in the earlier event's bin or the next one,
+    * so the left side explodes into exactly {bin, bin+1} (fan-out 2),
+    * the join is a plain equi-join on (user_id, bin), and a residual
+    * range filter restores exact semantics. Each matching pair meets in
+    * exactly one bin — the right event's — so no post-join dedup. Per-task
+    * work is now bounded by a user's events per 10 minutes, not per
+    * lifetime; the shape survives both hot keys and 100x growth (same
+    * trick as [[Analytics.qJoinIntervalBinned]]). */
+  val qJoinThetaRangeBinned = Q(
+    "q_join_theta_range_binned",
+    (s, d) => {
+      val tol = 300000L
+      val e = T.events(s, d)
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"))
+      val a = e.select(col("user_id"), col("event_id").as("id1"), col("ms").as("ms1"))
+        .withColumn("bin",
+          explode(array(floor(col("ms1") / tol), floor(col("ms1") / tol) + 1)))
+      val b = e.select(col("user_id").as("u2"), col("event_id").as("id2"),
+          col("ms").as("ms2"))
+        .withColumn("bin2", floor(col("ms2") / tol))
+      a.join(b,
+          col("user_id") === col("u2") && col("bin") === col("bin2") &&
+          col("ms2") > col("ms1") && col("ms2") - col("ms1") <= lit(tol))
+        .select(col("user_id"), col("id1"), col("id2"),
+                (col("ms2") - col("ms1")).as("delta_ms"))
+        .orderBy("user_id", "id1", "id2")
+    },
+    // identical semantics -> identical oracle to the plain variant
+    Some("""SELECT a.user_id, a.event_id AS id1, b.event_id AS id2,
+           epoch_ms(b.ts) - epoch_ms(a.ts) AS delta_ms
+           FROM events a JOIN events b
+             ON a.user_id = b.user_id
+            AND epoch_ms(b.ts) > epoch_ms(a.ts)
+            AND epoch_ms(b.ts) - epoch_ms(a.ts) <= 300000
+           ORDER BY a.user_id, id1, id2"""))
+
   /** TPC-H Q5 shape: 6-table join; Catalyst reorders, dims broadcast. */
   val qJoinMultiway = Q(
     "q_join_multiway",
@@ -1263,7 +1304,7 @@ object Relational {
     qSqlLargeVolume, qSqlTopSupplier, qAggArgmax, qAggMode,
     qScanProject, qFilterPred,
     qJoinInner, qJoinBroadcast, qJoinLeft, qJoinFull, qJoinSemi, qJoinAnti,
-    qJoinThetaRange, qJoinMultiway,
+    qJoinThetaRange, qJoinThetaRangeBinned, qJoinMultiway,
     qAggGroup, qAggDistinct, qAggRollup, qAggCube, qAggGroupingSets,
     qAggHistogram, qAggHistogramSketch, qAggApproxDistinct,
     qAggApproxPercentile,

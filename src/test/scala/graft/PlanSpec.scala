@@ -98,6 +98,26 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "HashJoin|SortMergeJoin") >= 1, p)
   }
 
+  test("q_join_theta_range_binned: equi-join carries the bin in its keys") {
+    // at sf0.001 the exploded side broadcasts (fine); the claim under
+    // test is the at-scale shape, where neither side fits in a broadcast
+    // — force it and assert the shuffle keys on (user_id, bin)
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("q_join_theta_range_binned")
+      assert(count(p, "NestedLoop") == 0 && count(p, "CartesianProduct") == 0,
+        "binned theta join fell back to a pair loop:\n" + p)
+      assert(count(p, "SortMergeJoin|ShuffledHashJoin") >= 1, p)
+      // the join's shuffle must key on (user_id, bin) — bin membership in
+      // the partitioning is exactly what bounds a hot user to 10-min slices
+      val parts = p.linesIterator.filter(_.contains("hashpartitioning"))
+        .mkString("\n")
+      assert(parts.contains("bin") && parts.contains("user_id"),
+        "join shuffle lost the bin key (hot-user blowup is back):\n" + p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+  }
+
   test("q_agg_stats_moments: all six moments in ONE two-phase aggregation") {
     val p = plan("q_agg_stats_moments")
     // one partial+final pair around ONE hash exchange — the moments all

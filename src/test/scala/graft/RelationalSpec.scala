@@ -207,4 +207,13 @@ class RelationalSpec extends SparkSpec {
       assert(math.abs(c - nc) < 0.02, s"$k corr $c vs native $nc")
     }
   }
+
+  test("binned theta-range join is row-identical to the plain spelling") {
+    val plain = ops.Relational.qJoinThetaRange.fn(spark, sf).collect()
+      .map(_.toSeq).toSeq
+    val binned = ops.Relational.qJoinThetaRangeBinned.fn(spark, sf).collect()
+      .map(_.toSeq).toSeq
+    assert(binned === plain, "the skew-proof rewrite changed the result")
+    assert(plain.nonEmpty, "vacuous: no qualifying pairs at this sf")
+  }
 }
