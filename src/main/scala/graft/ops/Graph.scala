@@ -21,10 +21,12 @@ import org.apache.spark.sql.functions._
   * as singletons by the final left join — so the iteration cost scales
   * with the (small) near-dup fraction of the corpus, not the corpus.
   * Lineage is cut with an eager localCheckpoint per round, otherwise
-  * the plan doubles each iteration. For adversarial long-chain graphs
-  * the alternating large-star/small-star variant bounds rounds at
-  * O(log n) with the same per-round shuffle shape; LSH pair graphs do
-  * not need it.
+  * the plan doubles each iteration. For adversarial graph shapes the
+  * alternating large-star/small-star variant
+  * ([[alternatingStarComponents]]) bounds rounds at O(log n) with the
+  * same per-round shuffle shape; [[connectedComponents]] falls back to
+  * it automatically if propagation ever hits its round cap, so no input
+  * shape can make the clustering fail.
   */
 object Graph {
 
@@ -37,8 +39,9 @@ object Graph {
     * the join is well-defined): jumping halves label-chain depth per
     * round, so convergence is O(log diameter) rounds, not O(diameter) —
     * a 2^25-diameter path converges inside the default cap. If the cap
-    * is ever hit unconverged the method THROWS rather than returning a
-    * silently-wrong clustering. */
+    * is ever hit unconverged the method falls back to
+    * [[alternatingStarComponents]] (theorem-bounded rounds) instead of
+    * returning a silently-wrong clustering or throwing. */
   def connectedComponents(
       edges: DataFrame, maxIters: Int = 25): DataFrame = {
     // Symmetrize once and materialize: every round re-reads this frame.
@@ -69,9 +72,90 @@ object Graph {
       labels = next
       i += 1
     }
-    require(changed == 0L,
-      s"connectedComponents did not converge in $maxIters rounds")
-    labels
+    if (changed != 0L) alternatingStarComponents(edges) else labels
+  }
+
+  /** Connected components by alternating large-star / small-star rounds
+    * (the MapReduce CC algorithm of Kiveris, Lattanzi, Mirrokni, Rastogi
+    * & Vassilvitskii, "Connected Components in MapReduce and Beyond",
+    * SoCC 2014 — public literature). Same output contract as
+    * [[connectedComponents]]: `(v, comp)` for every vertex appearing in
+    * an edge, comp = component minimum.
+    *
+    * Each round is two shuffles over the current edge frame:
+    *  - large-star(u): every neighbor LARGER than u re-attaches to the
+    *    minimum of u's closed neighborhood;
+    *  - small-star(u): u and its smaller neighbors all attach to their
+    *    minimum.
+    * Both preserve connectivity and strictly shrink the potential; the
+    * paper proves convergence in O(log n) alternations for ANY graph —
+    * long chains included — which is why this is the fallback that makes
+    * the propagation cap a performance knob rather than a correctness
+    * risk. The round cap here is derived from that theorem (4·log2(n)
+    * + 8 with n from a one-time count), so hitting it is impossible for
+    * any input the cluster could hold; it exists only to bound a
+    * hypothetical implementation bug, and convergence is verified by an
+    * exact edge-set fixed-point check (exceptAll both ways), not by
+    * trusting the cap. */
+  def alternatingStarComponents(edges: DataFrame): DataFrame = {
+    // canonical undirected edge frame: (a, b) with a > b, loops dropped
+    var e = edges
+      .select(greatest(col("a"), col("b")).as("a"),
+              least(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint()
+    // vertices that appear at all (self-loop-only vertices included) —
+    // they must come back as singletons, matching propagation's contract
+    val allV = edges.select(col("a").as("v"))
+      .union(edges.select(col("b").as("v")))
+      .distinct()
+      .localCheckpoint()
+    val n = allV.count()
+    val cap = 4 * (64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n))) + 8
+    var converged = false
+    var i = 0
+    while (!converged && i < cap && e.limit(1).count() > 0) {
+      // large-star: symmetrize, find the closed-neighborhood min per
+      // node, re-attach every strictly-larger neighbor to it
+      val sym = e.select(col("a").as("u"), col("b").as("w"))
+        .union(e.select(col("b").as("u"), col("a").as("w")))
+      val lsMin = sym.groupBy("u").agg(min("w").as("mw"))
+        .select(col("u"), least(col("u"), col("mw")).as("m"))
+      val ls = sym.join(lsMin, "u")
+        .filter(col("w") > col("u"))
+        .select(col("w").as("a"), col("m").as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+        .localCheckpoint()
+      // small-star: edges already point larger->smaller (a > b); per
+      // larger endpoint, attach it and all its smaller neighbors to
+      // the smallest of them
+      val ssMin = ls.groupBy("a").agg(min("b").as("m"))
+      val next = ls.join(ssMin, "a")
+        .select(col("b").as("na"), col("m").as("nb"))
+        .union(ssMin.select(col("a").as("na"), col("m").as("nb")))
+        .filter(col("na") =!= col("nb"))
+        .select(col("na").as("a"), col("nb").as("b"))
+        .distinct()
+        .localCheckpoint()
+      // exact fixed-point probe (not a checksum): both frames are
+      // candidate-pair scale, so two anti-join counts per round are cheap
+      converged =
+        next.exceptAll(e).limit(1).count() == 0L &&
+        e.exceptAll(next).limit(1).count() == 0L
+      e = next
+      i += 1
+    }
+    require(converged || e.limit(1).count() == 0L,
+      s"alternating-star did not reach its fixed point in $cap rounds " +
+        "(theorem bound exceeded - implementation bug)")
+    // converged edges are stars: (v, root) per non-root vertex. Roots
+    // label themselves; edge-less vertices (self-loop inputs) are their
+    // own component.
+    val stars = e.select(col("a").as("v"), col("b").as("comp"))
+    allV.join(stars, Seq("v"), "left")
+      .select(col("v"), coalesce(col("comp"), col("v")).as("comp"))
   }
 
   /** The component assignment is a dedup-pipeline *index artifact*

@@ -62,6 +62,73 @@ class GraphSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  private def ccStar(edges: (Long, Long)*): Map[Long, Long] = {
+    val s = spark
+    import s.implicits._
+    Graph.alternatingStarComponents(edges.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("alternating-star matches union-find on random graphs incl. paths") {
+    val params =
+      ScTest.Parameters.default.withMinSuccessfulTests(5).withMaxSize(40)
+    // half the cases are worst-shape long paths (shuffled ids so the
+    // component min is interior, not an endpoint), half random graphs
+    val pathGen: Gen[List[(Long, Long)]] = for {
+      n <- Gen.choose(5, 30)
+      off <- Gen.choose(0L, 100L)
+    } yield (0 until n).map(i =>
+      (((i * 7) % n + off, ((i + 1) * 7 % n) + off)) : (Long, Long)).toList
+    val randGen: Gen[List[(Long, Long)]] = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(1L, 25L), Gen.choose(1L, 25L)).suchThat(p => p._1 != p._2))
+    val prop = Prop.forAllNoShrink(Gen.oneOf(pathGen, randGen)) { es0 =>
+      val es = es0.filter { case (a, b) => a != b }
+      es.isEmpty || {
+        val got = ccStar(es: _*)
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        es.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val want = parent.keys.map(v => v -> find(v)).toMap
+        got == want
+      }
+    }
+    val res = ScTest.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("a 60-vertex path: alternating-star collapses it (log-round bound)") {
+    val edges = (1L until 60L).map(i => i -> (i + 1))
+    assert(ccStar(edges: _*) === (1L to 60L).map(_ -> 1L).toMap)
+  }
+
+  test("propagation cap-hit falls back to alternating-star, never throws") {
+    val s = spark
+    import s.implicits._
+    // diameter-39 chain with maxIters=2: propagation cannot converge in
+    // 2 rounds — pre-round-4 this threw; now it must fall back and
+    // return the correct clustering
+    val edges = (1L until 40L).map(i => i -> (i + 1)).toDF("a", "b")
+    val got = Graph.connectedComponents(edges, maxIters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (1L to 40L).map(_ -> 1L).toMap)
+  }
+
+  test("alternating-star equals propagation on the real LSH pair graph") {
+    val pairs = Dedup.minhashPairs(spark, sf)
+    val prop = Graph.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = Graph.alternatingStarComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star === prop)
+    assert(prop.nonEmpty, "vacuous: no candidate pairs at this sf")
+  }
+
   test("q_dedup_components: assignment is a fixed point over the pair graph") {
     val comp = Graph.qDedupComponents.fn(spark, sf)
     val pairs = Dedup.qDedupMinhash.fn(spark, sf)
