@@ -440,6 +440,37 @@ object Similarity {
              ${graft.util.Det.sqlDavg("nrm")} AS avg_norm
            FROM j GROUP BY label ORDER BY label"""))
 
+  /** ANN recall report — the index-quality diagnostic promoted from
+    * scalatest into the declared surface so a recall regression shows up
+    * in the round artifacts, not only in a test run. For each ANN method
+    * (multi-probe SRP-LSH, IVF), the (qid, neighbor) pairs it returns
+    * are scored against the brute-force cosine top-k truth set:
+    * `n_hits` of `n_pairs` proposed pairs are true top-k members.
+    * All-integer output (counts, never ratios) so the result is stable
+    * bit-for-bit; no SQL oracle — the candidates come from
+    * engine-internal index layouts (rows-only gate + SimilaritySpec
+    * thresholds). Cost: both ANN paths reuse their session-cached
+    * indexes, the truth set is 10 queries x 3 — diagnostic-sized. */
+  val qSimRecallReport = Q(
+    "q_sim_recall_report",
+    (s, d) => {
+      val truth = qSimCosineTopk.fn(s, d).select(col("qid"), col("vec_id"))
+        .withColumn("t", lit(1L))
+      def score(method: String, ann: DataFrame): DataFrame =
+        ann.select(col("qid"), col("vec_id"))
+          .join(truth, Seq("qid", "vec_id"), "left")
+          .agg(countDistinct(col("qid")).as("n_queries"),
+            count(lit(1)).as("n_pairs"),
+            coalesce(sum(col("t")), lit(0L)).as("n_hits"))
+          .select(lit(method).as("method"), col("n_queries"),
+            col("n_pairs"), col("n_hits"))
+      score("ivf", ivfTopk(s, d))
+        .unionAll(score("lsh", srpTopk(s, d)))
+        .orderBy("method")
+    },
+    None)
+
   val all: Seq[Q] = Seq(qSimCosineTopk, qSimLshBuckets, qSimLshTopk,
-    qSimIvfTopk, qVecQuantize, qEmbedCentroids, qJoinTextEmbedding)
+    qSimIvfTopk, qVecQuantize, qEmbedCentroids, qJoinTextEmbedding,
+    qSimRecallReport)
 }

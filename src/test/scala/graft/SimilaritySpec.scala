@@ -162,4 +162,26 @@ class SimilaritySpec extends SparkSpec {
         ((r.getDouble(1), r.getLong(2), r.getLong(3)))).toMap
     assert(fused === hof && fused.nonEmpty)
   }
+
+  test("q_sim_recall_report matches independently computed intersections") {
+    val report = Similarity.qSimRecallReport.fn(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(report.keySet === Set("ivf", "lsh"))
+    val truth = Similarity.qSimCosineTopk.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def expect(ann: Array[(Long, Long)]): (Long, Long, Long) =
+      (ann.map(_._1).distinct.length.toLong, ann.length.toLong,
+        ann.count(truth.contains).toLong)
+    assert(report("lsh") === expect(Similarity.srpTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))))
+    assert(report("ivf") === expect(Similarity.ivfTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))))
+    // the report must clear the same floors the recall tests pin, so a
+    // regression fails here too, not only in the artifact diff
+    val (_, lshPairs, lshHits) = report("lsh")
+    val (_, ivfPairs, ivfHits) = report("ivf")
+    assert(lshHits * 10 >= truth.size && lshPairs > 0)
+    assert(ivfHits * 4 >= truth.size && ivfPairs > 0)
+  }
 }
