@@ -24,7 +24,14 @@ object Relational {
 
   // ---------------------------------------------------------------- scans
 
-  /** Projection + per-row arithmetic; column pruning showcase. */
+  /** Projection + per-row arithmetic; column pruning showcase.
+    * The ORDER BY must be TOTAL over the projected columns:
+    * (l_orderkey, l_linenumber) is NOT unique in the fixture (118k dup
+    * pairs at sf0.1), so a two-key sort leaves tie order to each
+    * engine's sort stability — it happened to agree at sf<=0.1 and
+    * diverged at sf1. With all four output columns in the key, any
+    * remaining ties are fully identical rows, which no row-by-row
+    * compare can tell apart. */
   val qScanProject = Q(
     "q_scan_project",
     (s, d) =>
@@ -33,10 +40,11 @@ object Relational {
           col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           r2(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
             .as("revenue"))
-        .orderBy("l_orderkey", "l_linenumber"),
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "revenue"),
     Some(s"""SELECT l_orderkey, l_linenumber, l_quantity,
             ${sqlR2("l_extendedprice * (1 - l_discount)")} AS revenue
-            FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+            FROM lineitem
+            ORDER BY l_orderkey, l_linenumber, l_quantity, revenue"""))
 
   /** TPC-H Q6 shape: conjunctive predicates, pushed to the parquet scan. */
   val qFilterPred = Q(
