@@ -240,6 +240,80 @@ object Corpus {
         .as("sample_rate"))
   }
 
+  /** Temperature-scaled mixture weights — the multilingual/multi-domain
+    * sampling rule (weight_i ∝ n_i^alpha at alpha = 0.5, i.e. sqrt):
+    * up-weights small domains relative to proportional sampling without
+    * letting any domain dominate. Same one-scan shape as
+    * [[mixWeights]]: one partial-aggregated shuffle to the per-shard
+    * frame, totals from a window over those k rows. Determinism: sqrt
+    * is correctly rounded in both engines (IEEE 754), the denominator
+    * is a Det scaled-decimal sum (order-free), and the final percent
+    * goes through the shared r2 grid — bit-identical by construction. */
+  def mixTemperature(rows: org.apache.spark.sql.DataFrame, shardCol: String,
+      nTokCol: String): org.apache.spark.sql.DataFrame = {
+    val per = rows
+      .groupBy(shardCol)
+      .agg(sum(nTokCol).as("n_tokens"))
+    val w = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val sq = sqrt(col("n_tokens").cast("double"))
+    per.select(col(shardCol), col("n_tokens"),
+      Det.r2(sq * lit(100.0) / Det.dsumOver(sq, w)).as("w_pct"))
+  }
+
+  val qMixTemperature = Q(
+    "q_mix_temperature",
+    (s, d) =>
+      mixTemperature(
+        T.documents(s, d)
+          .select(col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_tok")),
+        "source", "n_tok")
+        .orderBy("source"),
+    Some(s"""WITH per AS (SELECT source,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+               FROM documents GROUP BY source),
+             tot AS (SELECT
+               ${Det.sqlDsum("sqrt(CAST(n_tokens AS DOUBLE))")} AS denom
+               FROM per)
+           SELECT source, n_tokens,
+             ${Det.sqlR2("sqrt(CAST(n_tokens AS DOUBLE)) * 100.0 / denom")}
+               AS w_pct
+           FROM per, tot ORDER BY source"""))
+
+  /** Global bigram frequency table, top 100 — the n-gram census every
+    * LM data audit runs (vocabulary coverage, boilerplate detection,
+    * eval-set leak scouting). Bigrams explode map-side with
+    * multiplicity (COUNTS, not the per-doc distinct sets the dedup
+    * shingles use), partial-aggregate before the one shuffle keyed on
+    * the gram, and the top-k lands in TakeOrderedAndProject — O(k) per
+    * partition, never a global sort. Deterministic order: count desc,
+    * gram asc. */
+  val qCorpusNgramCounts = Q(
+    "q_corpus_ngram_counts",
+    (s, d) => {
+      val tk = split(col("text"), " ")
+      T.documents(s, d)
+        .select(tk.as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(explode(transform(
+          sequence(lit(0), size(col("tk")) - 2),
+          i => concat_ws(" ",
+            element_at(col("tk"), i + 1),
+            element_at(col("tk"), i + 2)))).as("gram"))
+        .groupBy("gram")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("gram"))
+        .limit(100)
+    },
+    Some("""WITH toks AS (SELECT string_split(text, ' ') AS tk
+                          FROM documents),
+            g AS (SELECT unnest(list_transform(range(1, len(tk)),
+                    i -> array_to_string(tk[i:i+1], ' '))) AS gram
+                  FROM toks WHERE len(tk) >= 2)
+           SELECT gram, count(*) AS n FROM g
+           GROUP BY gram ORDER BY n DESC, gram LIMIT 100"""))
+
   val qMixWeights = Q(
     "q_mix_weights",
     (s, d) =>
@@ -337,5 +411,5 @@ object Corpus {
 
   val all: Seq[Q] =
     Seq(qPackSequences, qContamination, qContaminationBloom, qMixWeights,
-      qSnapshotDiff)
+      qMixTemperature, qCorpusNgramCounts, qSnapshotDiff)
 }

@@ -140,4 +140,38 @@ class CorpusSpec extends SparkSpec {
     }
     assert(math.abs(rows.map(_.getDouble(3)).sum - 100.0) < 0.5)
   }
+
+  test("q_mix_temperature: sqrt scaling up-weights small domains, sums to 100") {
+    val temp = ops.Corpus.qMixTemperature.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val total = temp.values.map(_._1).sum.toDouble
+    assert(math.abs(temp.values.map(_._2).sum - 100.0) < 0.5)
+    temp.foreach { case (src, (n, w)) =>
+      val prop = n / total * 100.0
+      // temperature alpha=0.5 compresses toward uniform: below-average
+      // domains gain weight vs proportional, above-average ones lose
+      if (prop < 100.0 / temp.size) assert(w > prop, s"$src: $w !> $prop")
+      else if (prop > 100.0 / temp.size) assert(w < prop, s"$src: $w !< $prop")
+      // replay the exact arithmetic locally
+      val denom = math.floor(temp.values.map(v =>
+        math.floor(math.sqrt(v._1.toDouble) * 1e6 + 0.5)).sum / 1e6 * 100 + 0.5) / 100
+      val want = math.floor(math.sqrt(n.toDouble) * 100.0 / denom * 100 + 0.5) / 100
+      assert(w === want, s"$src: $w != replayed $want")
+    }
+  }
+
+  test("q_corpus_ngram_counts: top-100 bigram census replays locally") {
+    val got = ops.Corpus.qCorpusNgramCounts.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val local = Tables.documents(spark, sf).select("text").collect()
+      .map(_.getString(0).split(" ", -1))
+      .filter(_.length >= 2)
+      .flatMap(tk => tk.sliding(2).map(_.mkString(" ")))
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .sortBy { case (g, n) => (-n, g) }
+      .take(100)
+    assert(got.toSeq === local)
+    // top-1 must be a genuinely frequent gram, not a tie artifact
+    assert(got.head._2 > got.last._2)
+  }
 }

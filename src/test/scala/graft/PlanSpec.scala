@@ -245,6 +245,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("q_corpus_ngram_counts: partial agg + TakeOrderedAndProject, no global sort") {
+    val p = plan("q_corpus_ngram_counts")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(count(p, "HashAggregate") >= 2, "bigram counts must partial-aggregate:\n" + p)
+    assert(count(p, "hashpartitioning") == 1, p)
+  }
+
   test("q_mix_weights: one corpus scan, totals from the k-row frame") {
     val p = plan("q_mix_weights")
     assert(count(p, "\\(\\d+\\) Scan parquet") === 1,
