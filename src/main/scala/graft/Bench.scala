@@ -166,9 +166,16 @@ object Bench {
     // The driver only keeps a 2000-char tail of stdout, which truncated
     // 61 of 121 entries (and the total) out of round 3's artifact. Persist
     // the full line to a file so the complete query map always survives.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (json + "\n").getBytes("UTF-8"))
+    // Default under localdata/ (gitignored): every bench run used to dirty
+    // the tracked tree by rewriting a committed BENCH_LAST.json (ADVICE
+    // r4) — closing snapshots are committed under BENCH_r{N}.json instead.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "localdata/BENCH_LAST.json")
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, (json + "\n").getBytes("UTF-8"))
+    }
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not persist $outPath: ${e.getMessage}")
     }

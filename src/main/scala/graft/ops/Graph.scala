@@ -88,15 +88,16 @@ object Graph {
     *  - small-star(u): u and its smaller neighbors all attach to their
     *    minimum.
     * Both preserve connectivity and strictly shrink the potential; the
-    * paper proves convergence in O(log n) alternations for ANY graph —
-    * long chains included — which is why this is the fallback that makes
-    * the propagation cap a performance knob rather than a correctness
-    * risk. The round cap here is derived from that theorem (4·log2(n)
-    * + 8 with n from a one-time count), so hitting it is impossible for
-    * any input the cluster could hold; it exists only to bound a
-    * hypothetical implementation bug, and convergence is verified by an
-    * exact edge-set fixed-point check (exceptAll both ways), not by
-    * trusting the cap. */
+    * paper PROVES convergence in O(log² n) alternations for ANY graph —
+    * long chains included — and reports O(log n) empirically, which is
+    * why this is the fallback that makes the propagation cap a
+    * performance knob rather than a correctness risk. The round cap here
+    * is sized to the PROVEN bound (4·log2(n)² + 16 with n from a
+    * one-time count — a generous constant over the theorem, not the
+    * empirical log n), so no input shape the cluster could hold can
+    * exhaust it; it exists only to bound a hypothetical implementation
+    * bug, and convergence is verified by an exact edge-set fixed-point
+    * check (exceptAll both ways), not by trusting the cap. */
   def alternatingStarComponents(edges: DataFrame): DataFrame = {
     // canonical undirected edge frame: (a, b) with a > b, loops dropped
     var e = edges
@@ -112,7 +113,11 @@ object Graph {
       .distinct()
       .localCheckpoint()
     val n = allV.count()
-    val cap = 4 * (64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n))) + 8
+    // proven bound is O(log^2 n) (Kiveris et al. SoCC 2014, Thm 4.1);
+    // the empirical behavior is ~log n rounds, but the cap must hold for
+    // adversarial graphs too, so it is sized to the theorem
+    val lg = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n))
+    val cap = 4 * lg * lg + 16
     var converged = false
     var i = 0
     while (!converged && i < cap && e.limit(1).count() > 0) {
@@ -149,7 +154,7 @@ object Graph {
     }
     require(converged || e.limit(1).count() == 0L,
       s"alternating-star did not reach its fixed point in $cap rounds " +
-        "(theorem bound exceeded - implementation bug)")
+        "(proven O(log^2 n) bound exceeded - implementation bug)")
     // converged edges are stars: (v, root) per non-root vertex. Roots
     // label themselves; edge-less vertices (self-loop inputs) are their
     // own component.

@@ -160,16 +160,24 @@ object Relational {
                          WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
            ORDER BY c_custkey"""))
 
-  /** Left-anti: customers with no orders at all. */
+  /** Left-anti: customers with no finished ('F') order — the exact
+    * complement of [[qJoinSemi]]. The filter on the right side is what
+    * makes the gate non-vacuous: every fixture customer has SOME order,
+    * so "no orders at all" returns 0 rows at every sf and a 0=0 hash
+    * match would prove nothing about anti-join semantics. Restricting
+    * the probe side to finished orders leaves a real survivor set. */
   val qJoinAnti = Q(
     "q_join_anti",
     (s, d) =>
       T.customer(s, d)
-        .join(T.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(
+          T.orders(s, d).filter(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey"),
     Some("""SELECT c_custkey, c_name FROM customer
-           WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+           WHERE NOT EXISTS (SELECT 1 FROM orders
+                             WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
            ORDER BY c_custkey"""))
 
   /** Theta/range self-join: same-user event pairs within 5 minutes
@@ -1221,20 +1229,29 @@ object Relational {
 
   /** `cume_dist` — the one ranking function the rank-family query
     * doesn't cover: the cumulative distribution of quantity within each
-    * returnflag. Tied rows share one cume_dist value by definition
-    * (rows ≤ current / total — order-within-tie never matters), so the
-    * per-distinct-value projection is deterministic without any
-    * tie-break machinery. */
+    * returnflag. Spelled aggregate-then-window (the [[qAggMode]] trick):
+    * a `Window.partitionBy(l_returnflag)` over the raw table would pour
+    * the whole corpus into 3 sort partitions — three tasks sorting 1/3
+    * of 100 TB each while the cluster idles. Instead the fully-parallel
+    * two-phase `groupBy(flag, qty).count()` collapses the table to the
+    * tiny (flag, qty) frequency frame, and cume_dist falls out of its
+    * own definition: running_sum(cnt) ordered by qty / total. Tied rows
+    * share one cume_dist value by definition (rows ≤ current / total —
+    * order-within-tie never matters), so the per-distinct-value
+    * projection is deterministic without any tie-break machinery, and
+    * the window sorts |distinct qty|×3 rows instead of the corpus. */
   val qWindowCumeDist = Q(
     "q_window_cume_dist",
     (s, d) =>
       li(s, d)
-        .select(col("l_returnflag"),
-          col("l_quantity").cast("long").as("qty"),
-          r2(cume_dist().over(
-            Window.partitionBy("l_returnflag")
-              .orderBy(col("l_quantity").cast("long")))).as("cd"))
-        .distinct()
+        .groupBy(col("l_returnflag"),
+          col("l_quantity").cast("long").as("qty"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("l_returnflag"), col("qty"),
+          r2(sum("cnt").over(
+              Window.partitionBy("l_returnflag").orderBy("qty"))
+            .cast("double") /
+            sum("cnt").over(Window.partitionBy("l_returnflag"))).as("cd"))
         .orderBy("l_returnflag", "qty"),
     Some(s"""SELECT DISTINCT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
               ${sqlR2("""cume_dist() OVER (PARTITION BY l_returnflag

@@ -457,7 +457,10 @@ object Similarity {
       val truth = qSimCosineTopk.fn(s, d).select(col("qid"), col("vec_id"))
         .withColumn("t", lit(1L))
       def score(method: String, ann: DataFrame): DataFrame =
-        ann.select(col("qid"), col("vec_id"))
+        // distinct BEFORE the join: if an ANN path ever emitted a
+        // duplicate (qid, vec_id) pair, both n_pairs and n_hits would
+        // inflate and the report would overstate recall (ADVICE r4)
+        ann.select(col("qid"), col("vec_id")).distinct()
           .join(truth, Seq("qid", "vec_id"), "left")
           .agg(countDistinct(col("qid")).as("n_queries"),
             count(lit(1)).as("n_pairs"),

@@ -258,6 +258,24 @@ class PlanSpec extends SparkSpec {
       "mix weights re-scans the corpus for its totals:\n" + p)
   }
 
+  test("q_window_cume_dist: the window consumes the aggregated frame, never the scan") {
+    // a Window.partitionBy(l_returnflag) directly over lineitem pours
+    // the whole corpus into 3 sort partitions — the last 100x
+    // scale-killer (VERDICT r4). The two-phase groupBy must collapse
+    // the table to the (flag, qty) frequency frame BEFORE any window:
+    // in the formatted tree (parents above children) Window must sit
+    // above a HashAggregate that sits above the scan.
+    val p = plan("q_window_cume_dist")
+    assert(count(p, "HashAggregate") >= 2, "no two-phase aggregation:\n" + p)
+    val tree = p.linesIterator.takeWhile(_.trim.nonEmpty).toVector
+    val wi = tree.indexWhere(_.contains("Window"))
+    val ai = tree.indexWhere(_.contains("HashAggregate"))
+    val si = tree.indexWhere(_.contains("Scan parquet"))
+    assert(wi >= 0 && ai >= 0 && si >= 0, p)
+    assert(wi < ai && ai < si,
+      "Window runs over the raw scan, not the frequency frame:\n" + p)
+  }
+
   test("q_unpivot: the melt is a map-side generator, not a self-union of scans") {
     val p = plan("q_unpivot")
     assert(count(p, """\(\d+\) Scan parquet""") == 1,

@@ -14,12 +14,11 @@ class RelationalSpec extends SparkSpec {
     val nCust = Tables.customer(spark, sf).count()
     val semi = Relational.qJoinSemi.fn(spark, sf).count()
     val anti = Relational.qJoinAnti.fn(spark, sf).count()
-    // semi is vs 'F' orders; anti is vs any order — recompute semi vs any
-    val semiAny = Tables.customer(spark, sf)
-      .join(Tables.orders(spark, sf),
-        col("c_custkey") === col("o_custkey"), "left_semi").count()
-    assert(semiAny + anti === nCust)
-    assert(semi <= semiAny)
+    // both run vs 'F'-status orders — exact complements over customers
+    assert(semi + anti === nCust)
+    // the VERDICT r4 de-vacuation: both sides must be non-empty, or the
+    // gate's 0=0 hash match proves nothing about the join semantics
+    assert(semi > 0 && anti > 0)
   }
 
   test("topk is the sorted prefix of the full sort") {
