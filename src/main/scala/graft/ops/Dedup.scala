@@ -539,8 +539,87 @@ object Dedup {
            LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
            ORDER BY c.a, c.b"""))
 
+  /** Span width (tokens) for exact-substring dedup. Lee et al. 2022 use
+    * 50 BPE tokens on web corpora; 10 keeps the window inside the
+    * fixture's 10-99-token documents so the sf0.01 gate output is
+    * non-empty (47 docs share at least one 10-token span). The operator
+    * shape is width-independent. */
+  val SubstrSpanTokens = 10
+
+  /** Exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better") — the span-level family the
+    * whole-document passes miss: a boilerplate paragraph pasted into a
+    * thousand otherwise-distinct pages survives every document hash but
+    * still memorizes. Every sliding [[SubstrSpanTokens]]-token window is
+    * a span; a span occurring in more than one document keeps exactly
+    * one copy, owned by the minimum doc_id (the deterministic survivor
+    * rule every dedup op here uses). Per document: distinct spans, spans
+    * it would cut under that rule, and whether it survives intact.
+    *
+    * The published implementation builds a corpus-wide suffix array — a
+    * sequential, memory-resident structure. The relational spelling
+    * trades the suffix array's arbitrary-length matches for fixed-width
+    * spans (as the paper itself does when chunking) and becomes pure
+    * equi-join algebra: spans explode map-side, the owner frame
+    * partial-aggregates on the span hash (a hot boilerplate span
+    * collapses to one row map-side — no posting-list cap needed, unlike
+    * pair generation, because the join fan-out per span is exactly 1),
+    * and only spans with df > 1 survive into the join's right side, so
+    * the frame joined back scales with the duplicated-span set — the
+    * near-dup fraction — not the corpus. Spans are md5-hashed before
+    * the shuffle: 32-char keys cross the wire, never 10-token text
+    * (same rule as [[qDedupExact]]). */
+  val qDedupSubstring = Q(
+    "q_dedup_substring",
+    (s, d) => {
+      val n = SubstrSpanTokens
+      val spans = T.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .filter(size(col("tk")) >= n)
+        .select(col("doc_id"), explode(expr(
+          s"""array_distinct(transform(sequence(1, size(tk) - ${n - 1}),
+              i -> md5(cast(concat_ws(' ', slice(tk, i, $n)) as binary))))"""))
+          .as("g"))
+      val owners = spans.groupBy("g")
+        .agg(min("doc_id").as("owner"), count(lit(1)).as("df"))
+        .filter(col("df") > 1)
+        .select("g", "owner")
+      val perDoc = spans.join(owners, Seq("g"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("owner") < col("doc_id"), 1L).otherwise(0L))
+            .as("n_cut"))
+      T.documents(s, d).select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("n_cut"), lit(0L)).as("n_cut"),
+          (coalesce(col("n_cut"), lit(0L)) === 0L).as("keep_full"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
+                           FROM documents),
+             sp AS (SELECT DISTINCT doc_id, unnest(list_transform(
+                      range(1, len(tk) - ${SubstrSpanTokens - 1} + 1),
+                      i -> md5(array_to_string(
+                        tk[i:i+${SubstrSpanTokens - 1}], ' ')))) AS g
+                    FROM toks WHERE len(tk) >= $SubstrSpanTokens),
+             own AS (SELECT g, min(doc_id) AS owner FROM sp
+                     GROUP BY g HAVING count(*) > 1),
+             st AS (SELECT s.doc_id, count(*) AS n_spans,
+                      sum(CASE WHEN o.owner < s.doc_id THEN 1 ELSE 0 END)
+                        AS n_cut
+                    FROM sp s LEFT JOIN own o USING (g)
+                    GROUP BY s.doc_id)
+           SELECT d.doc_id,
+                  CAST(coalesce(st.n_spans, 0) AS BIGINT) AS n_spans,
+                  CAST(coalesce(st.n_cut, 0) AS BIGINT) AS n_cut,
+                  coalesce(st.n_cut, 0) = 0 AS keep_full
+           FROM documents d LEFT JOIN st USING (doc_id)
+           ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupMinhash, qDedupNgramJaccard, qDedupSimhash,
     qDedupEmbedding, qDedupEmbeddingLsh, qDedupIncremental, qDedupEditdist,
-    qDedupMinhashQuality)
+    qDedupMinhashQuality, qDedupSubstring)
 }

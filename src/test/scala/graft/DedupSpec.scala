@@ -259,6 +259,37 @@ class DedupSpec extends SparkSpec {
         assert(c < 0.99, s"unplanted pair ($a,$b) scored $c") }
   }
 
+  test("exact-substring dedup: planted shared span cuts only the later doc") {
+    // A 10-token span planted in docs 1 and 2 (SubstrSpanTokens = 10).
+    val span = (1 to 10).map(i => s"s$i").mkString(" ")
+    docs(
+      1L -> s"$span p1 p2 p3",        // owner of the span (min doc_id)
+      2L -> s"a b c $span",           // same span, later doc -> cut
+      3L -> "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12", // unique, full windows
+      4L -> "short doc only")         // < 10 tokens -> no spans at all
+    val got = Dedup.qDedupSubstring.fn(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    // 13 tokens -> 4 sliding windows each for docs 1 and 2; 12 -> 3 for doc 3.
+    assert(got(1L) === ((4L, 0L, true)))  // owns the span, cuts nothing
+    assert(got(2L) === ((4L, 1L, false))) // exactly the planted span is cut
+    assert(got(3L) === ((3L, 0L, true)))
+    assert(got(4L) === ((0L, 0L, true)))
+  }
+
+  test("exact-substring dedup: repeated span inside one doc counts once") {
+    // The same span twice in a single document must not self-duplicate:
+    // spans are array_distinct per doc, and a df=1 span has no owner row.
+    val span = (1 to 10).map(i => s"r$i").mkString(" ")
+    docs(7L -> s"$span $span")
+    val got = Dedup.qDedupSubstring.fn(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    // 20 tokens -> 11 windows, but windows 1 and 11 are the same span:
+    // 10 distinct spans, none shared across docs -> nothing cut.
+    assert(got(7L) === ((10L, 0L, true)))
+  }
+
   test("cosine expression: self-similarity 1, orthogonal 0") {
     val s = spark
     import s.implicits._
