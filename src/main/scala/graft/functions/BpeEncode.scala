@@ -1,0 +1,179 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Subword (BPE) tokenization of a space-separated text against the
+  * fixed merge table in the companion — the token count a real training
+  * pipeline budgets with, as opposed to the whitespace/regex counts of
+  * q_text_tokens / q_text_tokens_regex. Returns the full token array so
+  * callers can count, distinct, or pack.
+  *
+  * Encoding algorithm: each word starts as its character sequence;
+  * merges apply in rank order, each merging its pair's occurrences
+  * left-to-right non-overlapping. For a well-formed merge table (every
+  * pair component is a single character or the output of an EARLIER
+  * merge — asserted at class-load below) this is exactly classic greedy
+  * lowest-rank-first BPE: when rank r is processed, every lower rank is
+  * fully applied and stays applied, because merging (a,b)->ab only
+  * creates adjacencies involving ab, and any pair containing ab must
+  * postdate rank r in a well-formed table. Rank-order application is
+  * also literally a chain of string replacements over a
+  * separator-guarded spelling of the token sequence, which is what makes
+  * the DuckDB oracle possible: the oracle replays the SAME merge list as
+  * nested `replace()` calls (see TextOps.qTextTokensBpe) and must match
+  * bit-for-bit.
+  *
+  * One pass per merge over each word's token buffer, all map-side inside
+  * whole-stage codegen (static call, same pattern as [[WordShingles]]).
+  * The merge table is a compiled-in constant — the analogue of
+  * broadcasting a vocab file to every executor, minus the I/O.
+  */
+case class BpeEncode(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "graft_bpe"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string column, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    BpeEncode.compute(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BpeEncode.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BpeEncode {
+  /** The merge table, in rank order (rank = index). A deterministic toy
+    * vocabulary over common English letter pairs — stands in for a real
+    * learned table; the ENCODER is what's under test, and it is
+    * table-independent. Well-formedness (components are single chars or
+    * earlier outputs) is required for the rank-order == greedy argument
+    * in the class doc and asserted below. */
+  val Merges: Vector[(String, String)] = Vector(
+    "t" -> "h", // th
+    "i" -> "n", // in
+    "a" -> "n", // an
+    "o" -> "n", // on
+    "e" -> "r", // er
+    "r" -> "e", // re
+    "th" -> "e", // the
+    "an" -> "d", // and
+    "in" -> "g", // ing
+    "e" -> "n", // en
+    "e" -> "s", // es
+    "o" -> "r", // or
+    "t" -> "i", // ti
+    "s" -> "t", // st
+    "a" -> "r", // ar
+    "a" -> "t", // at
+    "o" -> "u", // ou
+    "l" -> "e", // le
+    "er" -> "s", // ers
+    "ti" -> "on", // tion
+    "s" -> "e", // se
+    "d" -> "e", // de
+    "c" -> "o", // co
+    "r" -> "a", // ra
+    "l" -> "i", // li
+    "m" -> "e", // me
+    "ing" -> "s", // ings
+    "w" -> "h", // wh
+    "c" -> "h", // ch
+    "the" -> "r" // ther
+  )
+
+  // Well-formedness gate for the greedy-equivalence argument: every pair
+  // component must be a single character or the output of an earlier
+  // merge. A violating table would make rank-order application diverge
+  // from true greedy BPE (and from the oracle's replace chain).
+  {
+    val formed = scala.collection.mutable.Set.empty[String]
+    Merges.zipWithIndex.foreach { case ((a, b), i) =>
+      require((a.length == 1 || formed(a)) && (b.length == 1 || formed(b)),
+        s"merge $i ($a, $b) references a token no earlier merge produces")
+      formed += (a + b)
+    }
+  }
+
+  /** Encode one word (no spaces): chars, then merges in rank order, each
+    * applied left-to-right non-overlapping. */
+  private def encodeWord(w: String,
+      out: scala.collection.mutable.ArrayBuffer[Any]): Unit = {
+    var toks = new Array[String](w.length)
+    var i = 0
+    while (i < w.length) { toks(i) = String.valueOf(w.charAt(i)); i += 1 }
+    var n = toks.length
+    var m = 0
+    while (m < Merges.length && n > 1) {
+      val (a, b) = Merges(m)
+      var r = 0 // read
+      var k = 0 // write
+      while (r < n) {
+        if (r + 1 < n && toks(r) == a && toks(r + 1) == b) {
+          toks(k) = a + b; r += 2
+        } else {
+          toks(k) = toks(r); r += 1
+        }
+        k += 1
+      }
+      n = k
+      m += 1
+    }
+    i = 0
+    while (i < n) { out += UTF8String.fromString(toks(i)); i += 1 }
+  }
+
+  /** Whole-text encode: split on single spaces (empty words from
+    * consecutive separators contribute no tokens — mirrored by the
+    * oracle's list_filter), each word encoded independently, token
+    * arrays concatenated in document order. */
+  def compute(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val out = new scala.collection.mutable.ArrayBuffer[Any](s.length / 3 + 4)
+    var start = 0
+    var i = 0
+    while (i <= s.length) {
+      if (i == s.length || s.charAt(i) == ' ') {
+        if (i > start) encodeWord(s.substring(start, i), out)
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  def encode(c: Column): Column =
+    Bridge.column(BpeEncode(Bridge.expression(c)))
+
+  /** The DuckDB replay of the same encode, as SQL over a word column
+    * expression `wd`: the word spelled as `|c1||c2||...||cn|` (every
+    * token wrapped in `|`, so a merge (a,b) is the literal replacement
+    * of `|a||b|` by `|ab|` — boundary-proof because the pattern carries
+    * both tokens' full delimiters, and left-to-right non-overlapping
+    * `replace` is exactly the encoder's scan order). `|` never occurs in
+    * the corpus ([a-z0-9 ] only — asserted by TextSpec). The caller
+    * splits the result on `||` after stripping the outer delimiters. */
+  def oracleEncodeSql(wd: String): String = {
+    val seed = s"('|' || array_to_string(list_transform(" +
+      s"range(1, length($wd) + 1), i -> substring($wd, i, 1)), '||') || '|')"
+    Merges.foldLeft(seed) { case (acc, (a, b)) =>
+      s"replace($acc, '|$a||$b|', '|$a$b|')"
+    }
+  }
+}

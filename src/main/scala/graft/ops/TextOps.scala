@@ -174,6 +174,42 @@ object TextOps {
              AS n_bpe_vocab
            FROM documents ORDER BY doc_id"""))
 
+  /** Subword token counts via the [[graft.functions.BpeEncode]] codegen
+    * expression — the token budget a real training pipeline plans with
+    * (whitespace and regex counts under-count morphology; subword merges
+    * are what tokenizers actually do). `toks_sig` pins the exact token
+    * SEQUENCE, not just counts: the DuckDB oracle replays the identical
+    * merge table as a chain of delimiter-guarded `replace` calls
+    * (`BpeEncode.oracleEncodeSql`), so any divergence in merge order,
+    * overlap handling, or word splitting hash-mismatches at the gate.
+    * One map-side pass, no shuffle except the output sort. */
+  val qTextTokensBpe = Q(
+    "q_text_tokens_bpe",
+    (s, d) => {
+      val toks = graft.functions.BpeEncode.encode(col("text"))
+      T.documents(s, d)
+        .select(col("doc_id"), toks.as("tk"))
+        .select(
+          col("doc_id"),
+          size(col("tk")).as("n_tokens"),
+          size(array_distinct(col("tk"))).as("n_vocab"),
+          md5(concat_ws("|", col("tk")).cast("binary")).as("toks_sig"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val chain = graft.functions.BpeEncode.oracleEncodeSql("w")
+      s"""WITH e AS (SELECT doc_id,
+                flatten(list_transform(
+                  list_filter(string_split(text, ' '), w -> len(w) > 0),
+                  w -> string_split(trim($chain, '|'), '||'))) AS tk
+              FROM documents)
+         SELECT doc_id,
+                CAST(len(tk) AS INT) AS n_tokens,
+                CAST(len(list_distinct(tk)) AS INT) AS n_vocab,
+                md5(array_to_string(tk, '|')) AS toks_sig
+         FROM e ORDER BY doc_id"""
+    })
+
   /** Winnowed rolling-hash near-dup candidates: explode each document's
     * fingerprint set ([[graft.functions.Winnow]]), equi-join on the
     * fingerprint, keep pairs sharing >= 10 — same linear join shape as
@@ -416,6 +452,7 @@ object TextOps {
 
   val all: Seq[Q] =
     Seq(qArrayExplode, qTextStats, qTextTokens, qTextFingerprint,
-      qTextLanguage, qTextLanguageNgram, qTextTokensRegex, qTextWinnowPairs,
-      qPipelineFilter, qScalarArray, qTextTfidf, qScalarLambda)
+      qTextLanguage, qTextLanguageNgram, qTextTokensRegex, qTextTokensBpe,
+      qTextWinnowPairs, qPipelineFilter, qScalarArray, qTextTfidf,
+      qScalarLambda)
 }

@@ -97,4 +97,41 @@ class TextSpec extends SparkSpec {
     assert(out.getInt(1) === 5)
     assert(out.getInt(2) === 4)
   }
+
+  test("BPE encode matches hand-applied merges, word by word") {
+    val s = spark
+    import s.implicits._
+    // Hand-derivation against functions.BpeEncode.Merges (rank order):
+    //   the     -> th,e -> the
+    //   another -> a,n,o,th,e,r -> an,o,th,e,r -> an,o,th,er
+    //   testing -> t,e,s,t,in,g -> t,e,s,t,ing -> t,es,t,ing
+    //   sting   -> s,t,in,g -> s,t,ing -> st,ing
+    val got = Seq("the another testing sting", "a  b", "", "xyz")
+      .toDF("text")
+      .select(graft.functions.BpeEncode.encode(col("text")))
+      .collect().map(_.getSeq[String](0))
+    assert(got(0) === Seq("the", "an", "o", "th", "er",
+      "t", "es", "t", "ing", "st", "ing"))
+    assert(got(1) === Seq("a", "b")) // consecutive spaces: no empty word
+    assert(got(2) === Seq.empty)
+    assert(got(3) === Seq("x", "y", "z")) // no merge applies -> chars
+  }
+
+  test("BPE query counts the hand-derived sequence; corpus is |-free") {
+    val s = spark
+    import s.implicits._
+    val row = Seq((1L, "the another testing sting")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("u"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("textspec_bpe").toString
+    row.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.qTextTokensBpe.fn(spark, dir).head()
+    assert(out.getInt(1) === 11) // the|an|o|th|er|t|es|t|ing|st|ing
+    assert(out.getInt(2) === 9)  // t, ing repeat
+    // The oracle's replace chain delimits tokens with '|' — sound only
+    // while the corpus alphabet is [a-z0-9 ]. Pin that at the gate sf.
+    val offenders = Tables.documents(spark, "/root/testdata/sf0.01")
+      .filter(col("text").rlike("[^a-z0-9 ]")).count()
+    assert(offenders === 0L)
+  }
 }
