@@ -409,7 +409,98 @@ object Corpus {
                   min(doc_id) AS min_doc, max(doc_id) AS max_doc
            FROM j GROUP BY source, status ORDER BY source, status"""))
 
+  /** Corpus MERGE/upsert report — the versioning op between
+    * [[qSnapshotDiff]] (compare two finished versions) and
+    * [[Dedup.qDedupIncremental]] (admit a batch against a fingerprint
+    * index): APPLY an incoming batch of upserts and tombstones to a
+    * snapshot and account for every row. Actions: `inserted` (batch id
+    * absent from snapshot), `updated` (present, fingerprint differs),
+    * `upsert_noop` (present, identical), `deleted` (tombstone hits),
+    * `delete_noop` (tombstone misses), `kept` (snapshot row the batch
+    * never mentions). Alongside the per-action counts, every row carries
+    * the RESULTING version's size and fingerprint — an order-independent
+    * `bit_xor` of a 60-bit slice of md5(doc_id:fp) over the post-merge
+    * corpus, so two merges agree iff the resulting versions are
+    * identical, regardless of partitioning or arrival order.
+    *
+    * Scale: fingerprints are computed map-side BEFORE the merge join, so
+    * only (doc_id, 32-char fp, flag) triples shuffle — document bodies
+    * never cross the wire (same rule as [[qSnapshotDiff]]); one
+    * full-outer shuffle join on the id + two tiny aggregates. The
+    * snapshot/batch/tombstone/modified markers are md5 id-ranges
+    * (growth-stable, RNG-free, both-engine-identical — the
+    * [[Curation.qSampleHash]] discipline). */
+  val qCorpusUpsert = Q(
+    "q_corpus_upsert",
+    (s, d) => {
+      val base = T.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          md5(col("doc_id").cast("string").cast("binary")).as("hh"))
+      val snap = base
+        .filter(substring(col("hh"), 1, 2) >= "10" &&
+          substring(col("hh"), 1, 2) < "d0")
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+      val batch = base.filter(substring(col("hh"), 1, 2) < "40")
+        .select(col("doc_id"),
+          (substring(col("hh"), 3, 1) >= "c").as("tombstone"),
+          md5(when(substring(col("hh"), 4, 1) < "8",
+            concat(col("text"), lit(" v2"))).otherwise(col("text"))
+            .cast("binary")).as("bfp"))
+      val merged = snap.join(batch, Seq("doc_id"), "full")
+        .select(col("doc_id"),
+          when(col("tombstone").isNull, lit("kept"))
+            .when(col("tombstone") && col("fp").isNotNull, "deleted")
+            .when(col("tombstone"), "delete_noop")
+            .when(col("fp").isNull, "inserted")
+            .when(col("fp") === col("bfp"), "upsert_noop")
+            .otherwise("updated").as("action"),
+          when(col("tombstone").isNull, col("fp"))
+            .when(col("tombstone"), lit(null))
+            .otherwise(col("bfp")).as("rfp"))
+      val actions = merged.groupBy("action")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("min_doc"),
+          max("doc_id").as("max_doc"))
+      val result = merged.filter(col("rfp").isNotNull)
+        .select(expr(
+          """bit_xor(cast(conv(substring(
+             md5(cast(concat(cast(doc_id as string), ':', rfp) as binary)),
+             1, 15), 16, 10) as bigint))""").as("result_sig"),
+          count(lit(1)).as("result_rows"))
+      actions.crossJoin(result).orderBy("action")
+    },
+    Some("""WITH base AS (SELECT doc_id, text,
+                 md5(CAST(doc_id AS VARCHAR)) AS hh FROM documents),
+             snap AS (SELECT doc_id, md5(text) AS fp FROM base
+                      WHERE substring(hh, 1, 2) >= '10'
+                        AND substring(hh, 1, 2) < 'd0'),
+             batch AS (SELECT doc_id,
+                         substring(hh, 3, 1) >= 'c' AS tombstone,
+                         md5(CASE WHEN substring(hh, 4, 1) < '8'
+                             THEN text || ' v2' ELSE text END) AS bfp
+                       FROM base WHERE substring(hh, 1, 2) < '40'),
+             m AS (SELECT coalesce(s.doc_id, b.doc_id) AS doc_id,
+                     CASE WHEN b.tombstone IS NULL THEN 'kept'
+                          WHEN b.tombstone AND s.fp IS NOT NULL THEN 'deleted'
+                          WHEN b.tombstone THEN 'delete_noop'
+                          WHEN s.fp IS NULL THEN 'inserted'
+                          WHEN s.fp = b.bfp THEN 'upsert_noop'
+                          ELSE 'updated' END AS action,
+                     CASE WHEN b.tombstone IS NULL THEN s.fp
+                          WHEN b.tombstone THEN NULL
+                          ELSE b.bfp END AS rfp
+                   FROM snap s FULL OUTER JOIN batch b ON s.doc_id = b.doc_id),
+             a AS (SELECT action, count(*) AS n, min(doc_id) AS min_doc,
+                     max(doc_id) AS max_doc FROM m GROUP BY action),
+             r AS (SELECT bit_xor(CAST(('0x' || substring(
+                       md5(CAST(doc_id AS VARCHAR) || ':' || rfp),
+                       1, 15)) AS BIGINT)) AS result_sig,
+                     count(*) AS result_rows
+                   FROM m WHERE rfp IS NOT NULL)
+           SELECT a.action, a.n, a.min_doc, a.max_doc,
+                  r.result_sig, r.result_rows
+           FROM a CROSS JOIN r ORDER BY action"""))
+
   val all: Seq[Q] =
     Seq(qPackSequences, qContamination, qContaminationBloom, qMixWeights,
-      qMixTemperature, qCorpusNgramCounts, qSnapshotDiff)
+      qMixTemperature, qCorpusNgramCounts, qSnapshotDiff, qCorpusUpsert)
 }

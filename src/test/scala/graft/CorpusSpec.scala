@@ -174,4 +174,48 @@ class CorpusSpec extends SparkSpec {
     // top-1 must be a genuinely frequent gram, not a tie artifact
     assert(got.head._2 > got.last._2)
   }
+
+  test("q_corpus_upsert: actions replay in plain Scala, accounting closes") {
+    val gateSf = "/root/testdata/sf0.01"
+    val rows = Corpus.qCorpusUpsert.fn(spark, gateSf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def md5hex(s: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val docs = Tables.documents(spark, gateSf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val snap = docs.filter { case (id, _) =>
+      val p = md5hex(id.toString).substring(0, 2); p >= "10" && p < "d0" }
+      .map { case (id, t) => id -> md5hex(t) }.toMap
+    val expected = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    var mentioned = Set.empty[Long]
+    docs.foreach { case (id, t) =>
+      val hh = md5hex(id.toString)
+      if (hh.substring(0, 2) < "40") {
+        mentioned += id
+        val tomb = hh.charAt(2) >= 'c'
+        val bfp = md5hex(if (hh.charAt(3) < '8') t + " v2" else t)
+        val action =
+          if (tomb && snap.contains(id)) "deleted"
+          else if (tomb) "delete_noop"
+          else if (!snap.contains(id)) "inserted"
+          else if (snap(id) == bfp) "upsert_noop"
+          else "updated"
+        expected(action) += 1L
+      }
+    }
+    expected("kept") = snap.keysIterator.count(!mentioned.contains(_)).toLong
+    assert(rows === expected.toMap)
+    // the merge accounts for every row and the result size closes
+    val resultRows = Corpus.qCorpusUpsert.fn(spark, gateSf)
+      .select("result_rows").head().getLong(0)
+    assert(resultRows ===
+      rows("kept") + rows("updated") + rows("upsert_noop") + rows("inserted"))
+    // all six actions are exercised at the gate sf (non-vacuity)
+    assert(rows.keySet === Set("kept", "deleted", "delete_noop",
+      "inserted", "upsert_noop", "updated"))
+  }
 }
