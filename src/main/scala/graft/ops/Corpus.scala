@@ -429,7 +429,10 @@ object Corpus {
     * full-outer shuffle join on the id + two tiny aggregates. The
     * snapshot/batch/tombstone/modified markers are md5 id-ranges
     * (growth-stable, RNG-free, both-engine-identical — the
-    * [[Curation.qSampleHash]] discipline). */
+    * [[Curation.qSampleHash]] discipline). The merge join runs exactly
+    * ONCE (PlanSpec-pinned): per-action partial fingerprints ride the
+    * same aggregation as the counts and xor-combine in a window over
+    * the ≤6-row action frame. */
   val qCorpusUpsert = Q(
     "q_corpus_upsert",
     (s, d) => {
@@ -457,16 +460,25 @@ object Corpus {
           when(col("tombstone").isNull, col("fp"))
             .when(col("tombstone"), lit(null))
             .otherwise(col("bfp")).as("rfp"))
-      val actions = merged.groupBy("action")
+      // ONE aggregation over the merged frame: per-action stats plus
+      // per-action PARTIAL result fingerprints (bit_xor is associative,
+      // so the global sig is the xor of per-action parts). The global
+      // combine is an unpartitioned window — over the ≤6-row action
+      // frame, not the corpus — so the merge join runs exactly once.
+      val perAction = merged.groupBy("action")
         .agg(count(lit(1)).as("n"), min("doc_id").as("min_doc"),
-          max("doc_id").as("max_doc"))
-      val result = merged.filter(col("rfp").isNotNull)
-        .select(expr(
-          """bit_xor(cast(conv(substring(
+          max("doc_id").as("max_doc"),
+          expr("""bit_xor(cast(conv(substring(
              md5(cast(concat(cast(doc_id as string), ':', rfp) as binary)),
-             1, 15), 16, 10) as bigint))""").as("result_sig"),
-          count(lit(1)).as("result_rows"))
-      actions.crossJoin(result).orderBy("action")
+             1, 15), 16, 10) as bigint))""").as("sig_part"),
+          count(col("rfp")).as("rows_part"))
+      perAction
+        .withColumn("result_sig",
+          expr("bit_xor(sig_part) over ()"))
+        .withColumn("result_rows",
+          expr("sum(rows_part) over ()"))
+        .drop("sig_part", "rows_part")
+        .orderBy("action")
     },
     Some("""WITH base AS (SELECT doc_id, text,
                  md5(CAST(doc_id AS VARCHAR)) AS hh FROM documents),
@@ -490,15 +502,16 @@ object Corpus {
                           ELSE b.bfp END AS rfp
                    FROM snap s FULL OUTER JOIN batch b ON s.doc_id = b.doc_id),
              a AS (SELECT action, count(*) AS n, min(doc_id) AS min_doc,
-                     max(doc_id) AS max_doc FROM m GROUP BY action),
-             r AS (SELECT bit_xor(CAST(('0x' || substring(
+                     max(doc_id) AS max_doc,
+                     bit_xor(CAST(('0x' || substring(
                        md5(CAST(doc_id AS VARCHAR) || ':' || rfp),
-                       1, 15)) AS BIGINT)) AS result_sig,
-                     count(*) AS result_rows
-                   FROM m WHERE rfp IS NOT NULL)
-           SELECT a.action, a.n, a.min_doc, a.max_doc,
-                  r.result_sig, r.result_rows
-           FROM a CROSS JOIN r ORDER BY action"""))
+                       1, 15)) AS BIGINT)) AS sig_part,
+                     count(rfp) AS rows_part
+                   FROM m GROUP BY action)
+           SELECT action, n, min_doc, max_doc,
+                  bit_xor(sig_part) OVER () AS result_sig,
+                  CAST(sum(rows_part) OVER () AS BIGINT) AS result_rows
+           FROM a ORDER BY action"""))
 
   val all: Seq[Q] =
     Seq(qPackSequences, qContamination, qContaminationBloom, qMixWeights,

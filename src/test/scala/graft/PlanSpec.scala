@@ -282,4 +282,56 @@ class PlanSpec extends SparkSpec {
       "unpivot re-scans the table per measure:\n" + p)
     assert(count(p, """\(\d+\) Generate""") == 1, p)
   }
+
+  test("q_dedup_substring: span hashes shuffle, never the 10-token text") {
+    // spans md5 map-side; every exchange must key/carry the 32-char
+    // hash, not the token slices — at corpus scale the exploded span
+    // frame is ~90x the input, so shipping text through it dominates
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("q_dedup_substring")
+      assert(p.contains("md5("), p)
+      val exch = p.linesIterator
+        .filter(_.contains("hashpartitioning")).mkString("\n")
+      assert(!exch.contains("text#"), "exchange carries raw text:\n" + exch)
+      assert(!exch.contains("tk#"), "exchange carries token arrays:\n" + exch)
+      // owner frame is a two-phase agg (partial collapses hot spans
+      // map-side), and nothing pair-expands
+      assert(count(p, "HashAggregate") >= 2, p)
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+  }
+
+  test("q_text_tokens_bpe: one scan, one map-side pass, sort is the only shuffle") {
+    val p = plan("q_text_tokens_bpe")
+    assert(count(p, """\(\d+\) Scan parquet""") == 1, p)
+    assert(p.contains("graft_bpe"), p)
+    assert(count(p, "hashpartitioning") == 0,
+      "BPE count grew a hash shuffle:\n" + p)
+    assert(count(p, "rangepartitioning") == 1, p)
+    assert(!p.contains("Window") && !p.contains("Join"), p)
+  }
+
+  test("q_corpus_upsert: full-outer merge on the id, fingerprints not bodies") {
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("q_corpus_upsert")
+      // the merge join runs exactly ONCE: counts and the version
+      // fingerprint share one aggregation, globals combine in a window
+      // over the <=6-row action frame — a second FullOuter means the
+      // corpus-scale join is being recomputed for the summary columns
+      // formatted mode prints each node twice (tree + detail) — one
+      // join is exactly 2 mentions; 4 means it's being recomputed
+      assert(count(p, "FullOuter") == 2, "merge join recomputed:\n" + p)
+      // snapshot and batch sides both shuffle on doc_id with md5
+      // fingerprints computed BELOW the exchange — text never crosses
+      val exch = p.linesIterator
+        .filter(_.contains("hashpartitioning")).mkString("\n")
+      assert(exch.contains("doc_id"), p)
+      assert(!exch.contains("text#"), "merge shuffles document bodies:\n" + exch)
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+  }
 }
