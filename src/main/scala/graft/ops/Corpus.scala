@@ -69,6 +69,45 @@ object Corpus {
                   min(doc_id) AS first_doc
            FROM off GROUP BY source, bin ORDER BY source, bin"""))
 
+  /** [[qPackSequences]] re-based on SUBWORD counts: identical packing
+    * algebra, but `n_tok` is the [[graft.functions.BpeEncode]] token
+    * count — the number a training run actually budgets context windows
+    * with (whitespace counts under-state morphology-heavy text, so
+    * whitespace-packed bins overflow real tokenizers). Same per-shard
+    * no-global-order scale shape as the parent; the encode is one extra
+    * map-side codegen pass on the scan. The DuckDB oracle replays the
+    * merge table per word (the [[qTextTokensBpe]] chain) and then the
+    * parent's running-offset bin algebra. */
+  val qPackSequencesBpe = Q(
+    "q_pack_sequences_bpe",
+    (s, d) =>
+      packBins(
+        T.documents(s, d)
+          .select(col("source"), col("doc_id"),
+            size(graft.functions.BpeEncode.encode(col("text")))
+              .cast("long").as("n_tok")),
+        "source", "doc_id", "n_tok", PackBudget)
+        .withColumnRenamed("first_doc_id", "first_doc")
+        .orderBy("source", "bin"),
+    Some {
+      val chain = graft.functions.BpeEncode.oracleEncodeSql("w")
+      s"""WITH toks AS (SELECT source, doc_id,
+               len(flatten(list_transform(
+                 list_filter(string_split(text, ' '), w -> len(w) > 0),
+                 w -> string_split(trim($chain, '|'), '||')))) AS n_tok
+             FROM documents),
+           off AS (SELECT source, doc_id, n_tok,
+             coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+             FROM toks)
+         SELECT source,
+                CAST(floor(off / ${PackBudget.toDouble}) AS BIGINT) AS bin,
+                count(*) AS n_docs,
+                CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                min(doc_id) AS first_doc
+         FROM off GROUP BY source, bin ORDER BY source, bin"""
+    })
+
   /** Decontamination n-gram length: the industry-standard 8-gram window
     * (a 13-gram is common too; 8 keeps the gate non-vacuous at sf0.01's
     * 10-99-token documents). */
@@ -513,7 +552,95 @@ object Corpus {
                   CAST(sum(rows_part) OVER () AS BIGINT) AS result_rows
            FROM a ORDER BY action"""))
 
+  /** Token-distribution drift between two corpus versions — the audit
+    * run AFTER a merge ([[qCorpusUpsert]]) answers "what changed", this
+    * answers "did the LANGUAGE change": top-50 tokens by absolute
+    * parts-per-million frequency shift between version slices (same
+    * md5 id-range + '7'-salt version rule as [[qSnapshotDiff]], so the
+    * planted ' v2' edit surfaces as a real drift signal). A fine-tune
+    * mix that silently doubles one domain's boilerplate shows up here
+    * before it shows up in a trained model.
+    *
+    * Scale: tokens explode map-side with multiplicity and two-phase
+    * count on the token — ONE shuffle whose width is the vocabulary,
+    * not the corpus. Totals ride a separate scalar aggregation computed
+    * from per-doc counts (scan + project + 1-row agg, NO token shuffle)
+    * and broadcast back, so the heavy exploded frame is never
+    * recomputed; the top-50 is TakeOrderedAndProject, never a global
+    * sort. ppm spelled floor(1e6·n/T + 0.5) — identical IEEE doubles
+    * from identical integers in both engines. */
+  val qCorpusDrift = Q(
+    "q_corpus_drift",
+    (s, d) => {
+      val base = T.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          md5(col("doc_id").cast("string").cast("binary")).as("hh"))
+      val inV1 = substring(col("hh"), 1, 2) >= "08"
+      val inV2 = substring(col("hh"), 1, 2) < "f8"
+      val salted = substring(col("hh"), 3, 1) === "7"
+      val words = (t: org.apache.spark.sql.Column) =>
+        filter(split(t, " "), w => length(w) > 0)
+      val t1 = base.filter(inV1)
+        .select(explode(words(col("text"))).as("token"), lit(1).as("v"))
+      val t2 = base.filter(inV2)
+        .select(explode(words(when(salted,
+          concat(col("text"), lit(" v2"))).otherwise(col("text"))))
+          .as("token"), lit(2).as("v"))
+      val counts = t1.union(t2).groupBy("token")
+        .agg(sum(when(col("v") === 1, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("v") === 2, 1L).otherwise(0L)).as("n2"))
+      val totals = base
+        .select(col("hh"), size(words(col("text"))).cast("long").as("nb"))
+        .agg(sum(when(inV1, col("nb")).otherwise(0L)).as("t1"),
+          sum(when(inV2, col("nb") + when(salted, 1L).otherwise(0L))
+            .otherwise(0L)).as("t2"))
+      counts.crossJoin(broadcast(totals))
+        .select(col("token"), col("n1"), col("n2"),
+          floor(lit(1e6) * col("n1") / col("t1") + 0.5).cast("long")
+            .as("ppm1"),
+          floor(lit(1e6) * col("n2") / col("t2") + 0.5).cast("long")
+            .as("ppm2"))
+        .withColumn("drift", abs(col("ppm1") - col("ppm2")))
+        .orderBy(col("drift").desc, col("token"))
+        .limit(50)
+    },
+    Some("""WITH base AS (SELECT doc_id, text,
+                 md5(CAST(doc_id AS VARCHAR)) AS hh FROM documents),
+             tok AS (
+               SELECT 1 AS v, unnest(list_filter(string_split(text, ' '),
+                 w -> len(w) > 0)) AS token
+               FROM base WHERE substring(hh, 1, 2) >= '08'
+               UNION ALL
+               SELECT 2, unnest(list_filter(string_split(
+                 CASE WHEN substring(hh, 3, 1) = '7'
+                      THEN text || ' v2' ELSE text END, ' '),
+                 w -> len(w) > 0))
+               FROM base WHERE substring(hh, 1, 2) < 'f8'),
+             c AS (SELECT token,
+                     CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n1,
+                     CAST(sum(CASE WHEN v = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n2
+                   FROM tok GROUP BY token),
+             t AS (SELECT
+                     CAST(sum(CASE WHEN substring(hh, 1, 2) >= '08'
+                       THEN nb ELSE 0 END) AS BIGINT) AS t1,
+                     CAST(sum(CASE WHEN substring(hh, 1, 2) < 'f8'
+                       THEN nb + CASE WHEN substring(hh, 3, 1) = '7'
+                                  THEN 1 ELSE 0 END
+                       ELSE 0 END) AS BIGINT) AS t2
+                   FROM (SELECT hh, len(list_filter(string_split(text, ' '),
+                           w -> len(w) > 0)) AS nb FROM base))
+           SELECT token, n1, n2,
+                  CAST(floor(1e6 * n1 / t1 + 0.5) AS BIGINT) AS ppm1,
+                  CAST(floor(1e6 * n2 / t2 + 0.5) AS BIGINT) AS ppm2,
+                  abs(CAST(floor(1e6 * n1 / t1 + 0.5) AS BIGINT)
+                    - CAST(floor(1e6 * n2 / t2 + 0.5) AS BIGINT)) AS drift
+           FROM c CROSS JOIN t
+           ORDER BY drift DESC, token LIMIT 50"""))
+
   val all: Seq[Q] =
     Seq(qPackSequences, qContamination, qContaminationBloom, qMixWeights,
-      qMixTemperature, qCorpusNgramCounts, qSnapshotDiff, qCorpusUpsert)
+      qMixTemperature, qCorpusNgramCounts, qSnapshotDiff, qCorpusUpsert,
+      qPackSequencesBpe, qCorpusDrift)
 }

@@ -175,6 +175,73 @@ class CorpusSpec extends SparkSpec {
     assert(got.head._2 > got.last._2)
   }
 
+  test("q_pack_sequences_bpe conserves BPE tokens and docs per shard") {
+    val out = Corpus.qPackSequencesBpe.fn(spark, sf)
+    val packed = out.groupBy("source")
+      .agg(sum("n_docs").as("d"), sum("n_tokens").as("t"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val direct = Tables.documents(spark, sf)
+      .groupBy("source")
+      .agg(count(lit(1)).as("d"),
+        sum(size(graft.functions.BpeEncode.encode(col("text")))
+          .cast("long")).as("t"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(packed === direct)
+    // every group's bin equals the window of its running start offset —
+    // unlike the whitespace variant, bins may legitimately SKIP here (a
+    // >256-BPE-token doc spans a whole window, so no doc starts in it),
+    // but each emitted bin must still be exactly floor(prefix/budget)
+    val rows = out.select("source", "bin", "n_tokens").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    rows.foreach { case (src, rs) =>
+      var running = 0L
+      rs.sortBy(_._2).foreach { case (_, bin, nTok) =>
+        assert(bin === running / Corpus.PackBudget,
+          s"$src bin $bin at offset $running")
+        running += nTok
+      }
+    }
+  }
+
+  test("q_corpus_drift: ppm shifts replay in plain Scala; the planted edit tops") {
+    val gateSf = "/root/testdata/sf0.01"
+    val got = Corpus.qCorpusDrift.fn(spark, gateSf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    def md5hex(s: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val docs = Tables.documents(spark, gateSf)
+      .select("doc_id", "text").collect()
+      .map(r => (md5hex(r.getLong(0).toString), r.getString(1)))
+    def toks(t: String) = t.split(" ", -1).filter(_.nonEmpty).toSeq
+    val c1 = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val c2 = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    docs.foreach { case (hh, t) =>
+      if (hh.substring(0, 2) >= "08") toks(t).foreach(c1(_) += 1L)
+      if (hh.substring(0, 2) < "f8") {
+        val t2 = if (hh.charAt(2) == '7') t + " v2" else t
+        toks(t2).foreach(c2(_) += 1L)
+      }
+    }
+    val (t1, t2) = (c1.values.sum, c2.values.sum)
+    def ppm(n: Long, t: Long) = math.floor(1e6 * n / t + 0.5).toLong
+    val expected = (c1.keySet ++ c2.keySet).toSeq
+      .map { k =>
+        val (p1, p2) = (ppm(c1(k), t1), ppm(c2(k), t2))
+        (k, c1(k), c2(k), p1, p2, math.abs(p1 - p2))
+      }
+      .sortBy { case (k, _, _, _, _, d) => (-d, k) }
+      .take(50)
+    assert(got.toSeq === expected)
+    // the planted ' v2' edit is version-2-only and must top the report
+    assert(got.head._1 === "v2" && got.head._2 === 0L)
+  }
+
   test("q_corpus_upsert: actions replay in plain Scala, accounting closes") {
     val gateSf = "/root/testdata/sf0.01"
     val rows = Corpus.qCorpusUpsert.fn(spark, gateSf).collect()
