@@ -387,7 +387,58 @@ object Curation {
              FROM embeddings)
            ORDER BY table_name"""))
 
+  /** Feature-hash bucket count for [[qTextQualityClassifier]] (fastText
+    * uses 2M for word n-grams; 4096 keeps toy-table collisions frequent
+    * enough that the gate exercises them). */
+  val QualityBuckets = 4096L
+
+  /** Hashed-linear quality classifier scoring — the classifier-filter
+    * stage every production pipeline runs (CCNet's fastText LM filter,
+    * GPT-3's LR quality classifier): score = Σ_tokens w[h(token)], a
+    * linear model over hashed bag-of-words features. The weight table is
+    * a FORMULA, not a file — w = (h·2654435761 mod 1001) − 500, a
+    * Knuth-multiplicative spread over [−500, 500] standing in for
+    * learned weights (the scoring ENGINE is what's under test and is
+    * table-independent; a learned table would broadcast the same way
+    * the BPE merge table compiles in). All integer space end to end
+    * (md5-derived bucket, integer weights, integer sum), so the oracle
+    * is exact — no sigmoid needed for a filter: keep = score ≥ 0 is the
+    * same decision boundary, monotone in the score.
+    *
+    * Scale: one map-side codegen pass (nested HOFs — transform +
+    * aggregate fold), NO explode, no shuffle except the output sort;
+    * per-token cost is one md5 + integer ops, flat per input byte. */
+  val qTextQualityClassifier = Q(
+    "q_text_quality_classifier",
+    (s, d) =>
+      T.documents(s, d)
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), t -> length(t) > 0)").as("tk"))
+        .select(col("doc_id"),
+          size(col("tk")).as("n_tokens"),
+          expr(s"""aggregate(transform(tk, t ->
+              (cast(conv(substring(md5(cast(t as binary)), 1, 8), 16, 10)
+                 as bigint) % $QualityBuckets) * 2654435761 % 1001 - 500),
+              0L, (acc, x) -> acc + x)""").as("score"))
+        .withColumn("keep", col("score") >= 0L)
+        .orderBy("doc_id"),
+    Some(s"""SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '),
+               t -> len(t) > 0)) AS INT) AS n_tokens,
+             CAST(coalesce(list_sum(list_transform(
+               list_filter(string_split(text, ' '), t -> len(t) > 0),
+               t -> (CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT)
+                 % $QualityBuckets) * 2654435761 % 1001 - 500)), 0)
+               AS BIGINT) AS score,
+             coalesce(list_sum(list_transform(
+               list_filter(string_split(text, ' '), t -> len(t) > 0),
+               t -> (CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT)
+                 % $QualityBuckets) * 2654435761 % 1001 - 500)), 0) >= 0
+               AS keep
+           FROM documents ORDER BY doc_id"""))
+
   val all: Seq[Q] = Seq(qProfileTable, qDeletionAudit,
     qTextRepetition, qSampleHash, qSampleStratified, qAggHeavyHitters,
-    qTextPiiScrub, qSampleSplit, qAggHeavyHittersSketch, qTextSurprisal)
+    qTextPiiScrub, qSampleSplit, qAggHeavyHittersSketch, qTextSurprisal,
+    qTextQualityClassifier)
 }

@@ -196,4 +196,29 @@ class CurationSpec extends SparkSpec {
       assert(bs >= n && m >= 1.0 && m <= 64.0)
     }
   }
+
+  test("quality classifier score replays the hash-weight formula in plain Scala") {
+    val gateSf = "/root/testdata/sf0.01"
+    def md5hex(s: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    def weight(tok: String): Long = {
+      val h = java.lang.Long.parseLong(md5hex(tok).substring(0, 8), 16)
+      (h % Curation.QualityBuckets) * 2654435761L % 1001L - 500L
+    }
+    val docs = Tables.documents(spark, gateSf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.map { case (id, t) =>
+      val tk = t.split(" ", -1).filter(_.nonEmpty)
+      (id, tk.length, tk.map(weight).sum)
+    }.sortBy(_._1).toSeq
+    val got = Curation.qTextQualityClassifier.fn(spark, gateSf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    // the decision boundary splits the corpus — both classes non-vacuous
+    val keeps = expected.count(_._3 >= 0L)
+    assert(keeps > 0 && keeps < expected.length)
+  }
 }
