@@ -44,6 +44,46 @@ class AsOfSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("forward and nearest directions match brute force (property)") {
+    val params =
+      ScTest.Parameters.default.withMinSuccessfulTests(6).withMaxSize(40)
+    val leftGen = Gen.listOfN(20,
+      Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 50L)))
+    val rightGen = Gen.listOfN(15,
+      Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 50L)))
+    val prop = Prop.forAllNoShrink(leftGen, rightGen) { (lRaw, rRaw) =>
+      val s = spark
+      import s.implicits._
+      val lRows = lRaw.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+      val rRows = rRaw.distinct.map { case (k, t) => (k, t, t * 10 + k) }
+      val left = lRows.toDF("id", "k", "ts")
+      val right = rRows.toDF("k", "rts", "v")
+      def run(df: org.apache.spark.sql.DataFrame) = df
+        .select("id", "asof_rts", "asof_v").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))
+        .toSet
+      val gotF = run(AsOf.asofJoin(left, right, Seq("k"), "ts", "rts",
+        Seq("v"), direction = "forward"))
+      val wantF = lRows.map { case (id, k, t) =>
+        val m = rRows.filter(r => r._1 == k && r._2 >= t).sortBy(_._2).headOption
+        (id, m.map(_._2), m.map(_._3))
+      }.toSet
+      val gotN = run(AsOf.asofNearest(left, right, Seq("k"), "ts", "rts", Seq("v")))
+      val wantN = lRows.map { case (id, k, t) =>
+        // closest in |Δt|; exact tie -> backward (the documented rule)
+        val m = rRows.filter(_._1 == k)
+          .sortBy(r => (math.abs(r._2 - t), r._2 - t))
+          .headOption
+        (id, m.map(_._2), m.map(_._3))
+      }.toSet
+      gotF == wantF && gotN == wantN
+    }
+    val res = ScTest.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("asofJoin keeps every left row exactly once (left-outer cardinality)") {
     val s = spark
     import s.implicits._
