@@ -58,6 +58,42 @@ case class BpeEncode(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Adjacent within-word token pairs under a DYNAMIC merge table — the
+  * map-side half of BPE training ([[graft.ops.Corpus.learnBpeMerges]]):
+  * each learning round encodes with the merges learned so far and
+  * counts these pairs globally. The table rides codegen as a reference
+  * object (the learner's analogue of a broadcast variable — per-round
+  * state is k pairs of short strings, driver-side by the same argument
+  * as IVF centroids). */
+case class BpePairs(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  override def prettyName: String = "graft_bpe_pairs"
+
+  private lazy val flat: Array[String] =
+    merges.flatMap(m => Seq(m._1, m._2)).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string column, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    BpeEncode.pairsWith(input.asInstanceOf[UTF8String], flat)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeMerges", flat, "java.lang.String[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BpeEncode.pairsWith($c, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object BpeEncode {
   /** The merge table, in rank order (rank = index). A deterministic toy
     * vocabulary over common English letter pairs — stands in for a real
@@ -111,17 +147,24 @@ object BpeEncode {
     }
   }
 
-  /** Encode one word (no spaces): chars, then merges in rank order, each
-    * applied left-to-right non-overlapping. */
-  private def encodeWord(w: String,
-      out: scala.collection.mutable.ArrayBuffer[Any]): Unit = {
+  /** [[Merges]] as the flat [a0, b0, a1, b1, …] array the word encoder
+    * consumes (rank = index/2). */
+  private val MergesFlat: Array[String] =
+    Merges.flatMap(m => Seq(m._1, m._2)).toArray
+
+  /** Encode one word (no spaces) against a flat merge array: chars,
+    * then merges in rank order, each applied left-to-right
+    * non-overlapping. Returns the token buffer and its live length. */
+  private def encodeWordTokens(w: String,
+      merges: Array[String]): (Array[String], Int) = {
     var toks = new Array[String](w.length)
     var i = 0
     while (i < w.length) { toks(i) = String.valueOf(w.charAt(i)); i += 1 }
     var n = toks.length
     var m = 0
-    while (m < Merges.length && n > 1) {
-      val (a, b) = Merges(m)
+    while (m + 1 < merges.length && n > 1) {
+      val a = merges(m)
+      val b = merges(m + 1)
       var r = 0 // read
       var k = 0 // write
       while (r < n) {
@@ -133,10 +176,44 @@ object BpeEncode {
         k += 1
       }
       n = k
-      m += 1
+      m += 2
     }
-    i = 0
+    (toks, n)
+  }
+
+  private def encodeWord(w: String,
+      out: scala.collection.mutable.ArrayBuffer[Any]): Unit = {
+    val (toks, n) = encodeWordTokens(w, MergesFlat)
+    var i = 0
     while (i < n) { out += UTF8String.fromString(toks(i)); i += 1 }
+  }
+
+  /** Adjacent within-word token pairs ("a b", space-joined — tokens
+    * never contain a space) after applying `merges` (flat pairs array):
+    * the map-side unit of BPE LEARNING — counting these globally and
+    * taking the argmax is one training round. Word boundaries are
+    * respected (pairs never span words), which is why this exists
+    * beside [[compute]] (whose output concatenates words). */
+  def pairsWith(text: UTF8String, merges: Array[String]): ArrayData = {
+    val s = text.toString
+    val out = new scala.collection.mutable.ArrayBuffer[Any](s.length / 2 + 4)
+    var start = 0
+    var i = 0
+    while (i <= s.length) {
+      if (i == s.length || s.charAt(i) == ' ') {
+        if (i > start) {
+          val (toks, n) = encodeWordTokens(s.substring(start, i), merges)
+          var j = 0
+          while (j + 1 < n) {
+            out += UTF8String.fromString(toks(j) + " " + toks(j + 1))
+            j += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
   }
 
   /** Whole-text encode: split on single spaces (empty words from
@@ -160,6 +237,9 @@ object BpeEncode {
 
   def encode(c: Column): Column =
     Bridge.column(BpeEncode(Bridge.expression(c)))
+
+  def pairs(c: Column, merges: Seq[(String, String)]): Column =
+    Bridge.column(BpePairs(Bridge.expression(c), merges))
 
   /** The DuckDB replay of the same encode, as SQL over a word column
     * expression `wd`: the word spelled as `|c1||c2||...||cn|` (every

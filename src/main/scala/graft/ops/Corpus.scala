@@ -639,8 +639,79 @@ object Corpus {
            FROM c CROSS JOIN t
            ORDER BY drift DESC, token LIMIT 50"""))
 
+  /** BPE merge-table LEARNING over a corpus — the training half of the
+    * tokenizer story ([[graft.functions.BpeEncode]] is the inference
+    * half): round r encodes every word with the r−1 merges learned so
+    * far, counts adjacent within-word token pairs globally, and adopts
+    * the most frequent pair (ties: lexicographic — fully deterministic).
+    * Classic Sennrich et al. 2016 BPE, run as k aggregation passes.
+    *
+    * Scale shape: per round, pairs explode map-side under codegen
+    * ([[graft.functions.BpePairs]] carries the current table as a
+    * reference object — the broadcast-variable analogue) and two-phase
+    * count on the pair; the driver keeps only the argmax row per round
+    * (ONE collected row — bounded driver state by the same argument as
+    * IVF centroids, k·bytes total). k corpus passes is the textbook
+    * algorithm's shape; production trainers shard-sample first, which
+    * composes here (any DataFrame works as input). */
+  def learnBpeMerges(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      k: Int): Seq[(String, String, Long)] = {
+    var merges = Vector.empty[(String, String)]
+    var out = Vector.empty[(String, String, Long)]
+    var round = 0
+    var dry = false
+    while (round < k && !dry) {
+      val top = docs
+        .select(explode(graft.functions.BpeEncode.pairs(col(textCol), merges))
+          .as("p"))
+        .groupBy("p").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("p"))
+        .limit(1).collect()
+      if (top.isEmpty) dry = true
+      else {
+        val parts = top(0).getString(0).split(" ", 2)
+        merges :+= ((parts(0), parts(1)))
+        out :+= ((parts(0), parts(1), top(0).getLong(1)))
+      }
+      round += 1
+    }
+    out
+  }
+
+  /** Merges learned per declared run of [[qBpeLearn]]. */
+  val BpeLearnRounds = 8
+
+  /** The declared tokenizer-training query: learn [[BpeLearnRounds]]
+    * merges on `documents` and report (rank, a, b, n). No DuckDB oracle
+    * — each round's input tokenization depends on the previous round's
+    * data-dependent argmax, a driver-steered fixed point like IVF
+    * (CorpusSpec replays the whole algorithm in plain Scala at the gate
+    * sf instead, and pins well-formedness: every learned component is a
+    * single char or an earlier merge's output — the [[graft.functions
+    * .BpeEncode]] class-load invariant, emerging here by construction). */
+  val qBpeLearn = Q(
+    "q_bpe_learn",
+    (s, d) => {
+      val learned = learnBpeMerges(T.documents(s, d), "text", BpeLearnRounds)
+      import scala.jdk.CollectionConverters._
+      val rows = learned.zipWithIndex.map { case ((a, b, n), i) =>
+        org.apache.spark.sql.Row(i, a, b, n)
+      }
+      s.createDataFrame(rows.asJava, org.apache.spark.sql.types.StructType(
+        Seq(org.apache.spark.sql.types.StructField("rank",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("a",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("b",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+        .orderBy("rank")
+    },
+    None)
+
   val all: Seq[Q] =
     Seq(qPackSequences, qContamination, qContaminationBloom, qMixWeights,
       qMixTemperature, qCorpusNgramCounts, qSnapshotDiff, qCorpusUpsert,
-      qPackSequencesBpe, qCorpusDrift)
+      qPackSequencesBpe, qCorpusDrift, qBpeLearn)
 }

@@ -242,6 +242,59 @@ class CorpusSpec extends SparkSpec {
     assert(got.head._1 === "v2" && got.head._2 === 0L)
   }
 
+  test("q_bpe_learn replays Sennrich BPE training in plain Scala") {
+    val gateSf = "/root/testdata/sf0.001"
+    val got = Corpus.qBpeLearn.fn(spark, gateSf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    // local replay of the exact algorithm
+    val words = Tables.documents(spark, gateSf)
+      .select("text").collect().flatMap(_.getString(0).split(" ", -1))
+      .filter(_.nonEmpty).toSeq
+    def encode(w: String, merges: Seq[(String, String)]): Seq[String] = {
+      var toks = w.map(String.valueOf(_)).toVector
+      merges.foreach { case (a, b) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < toks.length) {
+          if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += toks(i); i += 1 }
+        }
+        toks = out.result()
+      }
+      toks
+    }
+    var merges = Vector.empty[(String, String)]
+    val expected = (0 until Corpus.BpeLearnRounds).map { rank =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      words.foreach { w =>
+        encode(w, merges).sliding(2).foreach {
+          case Seq(a, b) => counts((a, b)) += 1L
+          case _ =>
+        }
+      }
+      val ((a, b), n) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+      merges :+= ((a, b))
+      (rank, a, b, n)
+    }
+    assert(got === expected)
+    // learned tables are well-formed by construction: every component is
+    // a single char or an earlier merge's output (the BpeEncode invariant)
+    val formed = scala.collection.mutable.Set.empty[String]
+    got.foreach { case (_, a, b, _) =>
+      assert(a.length == 1 || formed(a), s"unformed left $a")
+      assert(b.length == 1 || formed(b), s"unformed right $b")
+      formed += (a + b)
+    }
+    // the counts are genuinely decreasing-or-equal over rounds (greedy)
+    got.sliding(2).foreach {
+      case Seq((_, _, _, n1), (_, _, _, n2)) => assert(n1 >= n2)
+      case _ =>
+    }
+  }
+
   test("q_corpus_upsert: actions replay in plain Scala, accounting closes") {
     val gateSf = "/root/testdata/sf0.01"
     val rows = Corpus.qCorpusUpsert.fn(spark, gateSf).collect()
