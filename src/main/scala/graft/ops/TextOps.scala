@@ -210,6 +210,56 @@ object TextOps {
          FROM e ORDER BY doc_id"""
     })
 
+  /** Tokenizer fertility by domain — the metric a tokenizer is JUDGED
+    * by after training ([[graft.ops.Corpus.qBpeLearn]] is the trainer):
+    * subword tokens per word and per 100 characters, per source. High
+    * fertility on a domain means its text fragments into many subwords
+    * — under-represented in the merge table, over-billed in the token
+    * budget. One map-side encode pass feeding a two-phase aggregation
+    * on the (low-cardinality) source key; ratios Det-rounded. */
+  val qTextFertility = Q(
+    "q_text_fertility",
+    (s, d) => {
+      import graft.util.Det.r2
+      val toks = graft.functions.BpeEncode.encode(col("text"))
+      T.documents(s, d)
+        .select(col("source"),
+          size(toks).cast("long").as("nb"),
+          expr("size(filter(split(text, ' '), w -> length(w) > 0))")
+            .cast("long").as("nw"),
+          length(col("text")).cast("long").as("nc"))
+        .groupBy("source")
+        .agg(sum("nb").as("n_bpe"), sum("nw").as("n_words"),
+          sum("nc").as("n_chars"))
+        .select(col("source"), col("n_bpe"), col("n_words"),
+          r2(col("n_bpe").cast("double") / col("n_words"))
+            .as("tok_per_word"),
+          r2(col("n_bpe").cast("double") * 100.0 / col("n_chars"))
+            .as("tok_per_100c"))
+        .orderBy("source")
+    },
+    Some {
+      val chain = graft.functions.BpeEncode.oracleEncodeSql("w")
+      import graft.util.Det.sqlR2
+      s"""WITH e AS (SELECT source,
+               len(flatten(list_transform(
+                 list_filter(string_split(text, ' '), w -> len(w) > 0),
+                 w -> string_split(trim($chain, '|'), '||')))) AS nb,
+               len(list_filter(string_split(text, ' '), w -> len(w) > 0))
+                 AS nw,
+               length(text) AS nc
+             FROM documents),
+           a AS (SELECT source, CAST(sum(nb) AS BIGINT) AS n_bpe,
+                   CAST(sum(nw) AS BIGINT) AS n_words,
+                   CAST(sum(nc) AS BIGINT) AS n_chars
+                 FROM e GROUP BY source)
+         SELECT source, n_bpe, n_words,
+                ${sqlR2("CAST(n_bpe AS DOUBLE) / n_words")} AS tok_per_word,
+                ${sqlR2("CAST(n_bpe AS DOUBLE) * 100.0 / n_chars")}
+                  AS tok_per_100c
+         FROM a ORDER BY source"""
+    })
+
   /** Winnowed rolling-hash near-dup candidates: explode each document's
     * fingerprint set ([[graft.functions.Winnow]]), equi-join on the
     * fingerprint, keep pairs sharing >= 10 — same linear join shape as
@@ -453,6 +503,6 @@ object TextOps {
   val all: Seq[Q] =
     Seq(qArrayExplode, qTextStats, qTextTokens, qTextFingerprint,
       qTextLanguage, qTextLanguageNgram, qTextTokensRegex, qTextTokensBpe,
-      qTextWinnowPairs, qPipelineFilter, qScalarArray, qTextTfidf,
-      qScalarLambda)
+      qTextFertility, qTextWinnowPairs, qPipelineFilter, qScalarArray,
+      qTextTfidf, qScalarLambda)
 }

@@ -117,6 +117,25 @@ class TextSpec extends SparkSpec {
     assert(got(3) === Seq("x", "y", "z")) // no merge applies -> chars
   }
 
+  test("fertility report replays the hand-derived token/word/char ratios") {
+    val s = spark
+    import s.implicits._
+    // "the another testing sting": 11 BPE tokens (hand-derived above),
+    // 4 words, 25 chars -> 2.75 tok/word, 44.0 tok/100c
+    val rows = Seq((1L, "the another testing sting", "a"),
+      (2L, "xyz", "b")) // 3 tokens (no merge applies), 1 word, 3 chars
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("textspec_fert").toString
+    rows.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.qTextFertility.fn(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out("a") === ((11L, 4L, 2.75, 44.0)))
+    assert(out("b") === ((3L, 1L, 3.0, 100.0)))
+  }
+
   test("BPE query counts the hand-derived sequence; corpus is |-free") {
     val s = spark
     import s.implicits._
