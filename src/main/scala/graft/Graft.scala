@@ -21,11 +21,20 @@ object Graft {
   // ------------------------------------------------------------- joins
 
   /** As-of (temporal) join: for each left row, the latest right row
-    * with the same keys and rightTs <= leftTs. Join-free (union +
-    * forward-fill window) — one exchange, no pair explosion. */
+    * with the same keys and rightTs <= leftTs (`direction =
+    * "backward"`, the default) or the earliest with rightTs >= leftTs
+    * (`"forward"`). Join-free (union + forward-fill window) — one
+    * exchange, no pair explosion. */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, payload: Seq[String],
+      direction: String = "backward"): DataFrame =
+    ops.AsOf.asofJoin(left, right, keys, leftTs, rightTs, payload, direction)
+
+  /** Nearest-direction as-of join: the time-closest right row, exact
+    * ties backward. Both directional fills ride one key exchange. */
+  def asofNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, payload: Seq[String]): DataFrame =
-    ops.AsOf.asofJoin(left, right, keys, leftTs, rightTs, payload)
+    ops.AsOf.asofNearest(left, right, keys, leftTs, rightTs, payload)
 
   /** Skew-salted inner equi-join: row-identical to
     * `big.join(small, key)`, with the hot key spread `factor` ways. */
@@ -131,6 +140,25 @@ object Graft {
   def snapshotDiff(prev: DataFrame, cur: DataFrame, idCol: String,
       fpCol: String, carryCols: Seq[String] = Nil): DataFrame =
     ops.Corpus.snapshotDiff(prev, cur, idCol, fpCol, carryCols)
+
+  /** Exact-substring (span-level) dedup report, Lee et al. 2022: per
+    * row, its distinct `n`-token sliding spans, how many a min-id-owner
+    * rule would cut, and whether it survives intact. Span hashes
+    * shuffle, never text; the join frame scales with the
+    * duplicated-span set. */
+  def substringDedup(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    ops.Dedup.substringDedup(docs, idCol, textCol, n)
+
+  /** Learn `k` BPE merges over `textCol` (Sennrich 2016): per round one
+    * pair-count aggregation pass + a single collected argmax row —
+    * driver state is k short-string pairs. Returns (a, b, count) in
+    * rank order; feed the pairs to
+    * [[graft.functions.BpeEncode.pairs]]-style encoding or compile a
+    * table like [[graft.functions.BpeEncode.Merges]]. */
+  def learnBpeMerges(docs: DataFrame, textCol: String,
+      k: Int): Seq[(String, String, Long)] =
+    ops.Corpus.learnBpeMerges(docs, textCol, k)
 
   // ------------------------------------------------------------ layout
 

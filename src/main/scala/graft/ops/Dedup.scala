@@ -569,34 +569,41 @@ object Dedup {
     * near-dup fraction — not the corpus. Spans are md5-hashed before
     * the shuffle: 32-char keys cross the wire, never 10-token text
     * (same rule as [[qDedupExact]]). */
+  /** Exact-substring dedup core on an arbitrary (idCol, textCol) frame —
+    * the reusable body of [[qDedupSubstring]] (see that doc for the
+    * algorithm and scale argument). Returns one row per input row:
+    * (idCol, n_spans, n_cut, keep_full). */
+  def substringDedup(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    val spans = docs
+      .select(col(idCol), split(col(textCol), " ").as("tk"))
+      .filter(size(col("tk")) >= n)
+      .select(col(idCol), explode(expr(
+        s"""array_distinct(transform(sequence(1, size(tk) - ${n - 1}),
+            i -> md5(cast(concat_ws(' ', slice(tk, i, $n)) as binary))))"""))
+        .as("g"))
+    val owners = spans.groupBy("g")
+      .agg(min(idCol).as("owner"), count(lit(1)).as("df"))
+      .filter(col("df") > 1)
+      .select("g", "owner")
+    val perDoc = spans.join(owners, Seq("g"), "left")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("owner") < col(idCol), 1L).otherwise(0L))
+          .as("n_cut"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_cut"), lit(0L)).as("n_cut"),
+        (coalesce(col("n_cut"), lit(0L)) === 0L).as("keep_full"))
+  }
+
   val qDedupSubstring = Q(
     "q_dedup_substring",
-    (s, d) => {
-      val n = SubstrSpanTokens
-      val spans = T.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("tk"))
-        .filter(size(col("tk")) >= n)
-        .select(col("doc_id"), explode(expr(
-          s"""array_distinct(transform(sequence(1, size(tk) - ${n - 1}),
-              i -> md5(cast(concat_ws(' ', slice(tk, i, $n)) as binary))))"""))
-          .as("g"))
-      val owners = spans.groupBy("g")
-        .agg(min("doc_id").as("owner"), count(lit(1)).as("df"))
-        .filter(col("df") > 1)
-        .select("g", "owner")
-      val perDoc = spans.join(owners, Seq("g"), "left")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_spans"),
-          sum(when(col("owner") < col("doc_id"), 1L).otherwise(0L))
-            .as("n_cut"))
-      T.documents(s, d).select(col("doc_id"))
-        .join(perDoc, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-          coalesce(col("n_cut"), lit(0L)).as("n_cut"),
-          (coalesce(col("n_cut"), lit(0L)) === 0L).as("keep_full"))
-        .orderBy("doc_id")
-    },
+    (s, d) =>
+      substringDedup(T.documents(s, d), "doc_id", "text", SubstrSpanTokens)
+        .orderBy("doc_id"),
     Some(s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk
                            FROM documents),
              sp AS (SELECT DISTINCT doc_id, unnest(list_transform(

@@ -118,6 +118,35 @@ class FacadeSpec extends SparkSpec {
     assert(prof.toSeq === Seq(("cat", 0L, 2L, 3L), ("num", 1L, 2L, 3L)))
   }
 
+  test("round-5 facade entries run on ad-hoc frames") {
+    import spark.implicits._
+    // forward/nearest as-of: one key, right rows at 5 and 20
+    val left = Seq((1L, 0L, 10L), (2L, 0L, 18L)).toDF("id", "k", "ts")
+    val right = Seq((0L, 5L, 50L), (0L, 20L, 200L)).toDF("k", "rts", "v")
+    val fwd = Graft.asofJoin(left, right, Seq("k"), "ts", "rts", Seq("v"),
+      direction = "forward").orderBy("id").collect()
+    // output column order: keys, leftTs, left-only cols, asof_* carries
+    assert(fwd.map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+      === Seq((1L, 20L, 200L), (2L, 20L, 200L)))
+    val near = Graft.asofNearest(left, right, Seq("k"), "ts", "rts", Seq("v"))
+      .orderBy("id").collect()
+    // ts=10: back Δ5 < fwd Δ10 -> back (5); ts=18: fwd Δ2 < back Δ13 (20)
+    assert(near.map(r => (r.getLong(2), r.getLong(3))).toSeq
+      === Seq((1L, 5L), (2L, 20L)))
+
+    // substring dedup on a planted 3-token span
+    val docs = Seq((1L, "a b c d"), (2L, "x a b c")).toDF("id", "text")
+    val sd = Graft.substringDedup(docs, "id", "text", 3)
+      .orderBy("id").collect()
+    assert(sd.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      === Seq((1L, 2L, 0L), (2L, 2L, 1L)))
+
+    // BPE learning on a tiny corpus: "ab" twice -> (a,b) learned first
+    val corpus = Seq("ab ab ac").toDF("text")
+    val merges = Graft.learnBpeMerges(corpus, "text", 2)
+    assert(merges.head === (("a", "b", 2L)))
+  }
+
   test("bloomSemiJoin equals the plain left-semi join on any key type") {
     import spark.implicits._
     val big = (1L to 2000L).map(i => (i, s"row$i")).toDF("k", "v")
