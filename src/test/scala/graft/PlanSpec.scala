@@ -313,6 +313,38 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Window") && !p.contains("Join"), p)
   }
 
+  test("q_corpus_drift: one token-pass scan + one totals scan, top-k not a sort") {
+    val p = plan("q_corpus_drift")
+    // the heavy exploded token pass runs ONCE (flags carry per-version
+    // multiplicity); totals are a separate cheap scalar-agg scan that
+    // broadcasts back — 2 scans total, and a third would mean the
+    // explode is being recomputed per version again
+    assert(count(p, """\(\d+\) Scan parquet""") == 2,
+      "token pass re-scans per version:\n" + p)
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-50 became a global sort:\n" + p)
+    assert(count(p, "hashpartitioning") == 1,
+      "more than the one vocabulary-width exchange:\n" + p)
+  }
+
+  test("q_text_quality_classifier: map-side fold, sort is the only shuffle") {
+    val p = plan("q_text_quality_classifier")
+    assert(count(p, """\(\d+\) Scan parquet""") == 1, p)
+    assert(count(p, "hashpartitioning") == 0,
+      "classifier scoring grew a hash shuffle:\n" + p)
+    assert(!p.contains("Generate"), "classifier explodes tokens:\n" + p)
+  }
+
+  test("as-of nearest: both directional fills ride one key exchange, no join") {
+    val p = plan("q_join_asof_nearest")
+    // union + two windows over the same hashpartitioning(user_id) —
+    // ONE exchange for the key (plus the output sort); any Join node
+    // means the pair-expansion spelling crept back
+    assert(!p.contains("Join"), "asof became a join:\n" + p)
+    assert(count(p, "hashpartitioning\\(user_id") >= 1, p)
+    assert(count(p, """\(\d+\) Window""") == 2, p)
+  }
+
   test("q_corpus_upsert: full-outer merge on the id, fingerprints not bodies") {
     val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
