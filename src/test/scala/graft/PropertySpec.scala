@@ -126,6 +126,30 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("bit_xor version fingerprint is partitioning- and order-invariant") {
+    // the property q_corpus_upsert's result_sig rests on: xor over a
+    // 60-bit md5 slice agrees for ANY partitioning and arrival order of
+    // the same (id, fp) set — what "same version => same fingerprint"
+    // means on a cluster
+    val gen = Gen.nonEmptyListOf(Gen.choose(0L, 99999L)).map(_.distinct)
+    check(Prop.forAllNoShrink(gen) { ids =>
+      val s = spark
+      import s.implicits._
+      def sig(parts: Int, data: List[Long]): Long =
+        data.toDF("doc_id")
+          .withColumn("rfp", md5(col("doc_id").cast("string").cast("binary")))
+          .repartition(parts)
+          .agg(expr("""bit_xor(cast(conv(substring(
+              md5(cast(concat(cast(doc_id as string), ':', rfp) as binary)),
+              1, 15), 16, 10) as bigint))""").as("sig"))
+          .head().getLong(0)
+      val a = sig(1, ids)
+      val b = sig(7, ids)
+      val c = sig(13, ids.reverse)
+      a == b && b == c
+    })
+  }
+
   test("rank over a partition equals the sorted-position of each row") {
     val gen = Gen.listOfN(30, Gen.zip(Gen.choose(0, 3), Gen.choose(0L, 20L)))
     check(Prop.forAllNoShrink(gen) { rows =>
