@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Negative control for the correctness gate: prove the oracle comparison
+is not vacuously green by corrupting exactly one cell of one dumped
+query output and checking that local_check flips to FAIL, then restoring
+and checking it returns to PASS.
+
+Usage: negative_control.py <sfDir> <outDir> [query]
+(query defaults to q_agg_group). Exit 0 iff the gate flipped AND
+recovered; any other outcome — including "still green after
+corruption", the worst kind of silent rot — exits 1.
+"""
+import glob
+import os
+import shutil
+import subprocess
+import sys
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def run_check(sf_dir: str, out_dir: str, query: str) -> bool:
+    env = dict(os.environ, SPARK_GRAFT_ONLY=query)
+    res = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__),
+                                      "local_check.py"), sf_dir, out_dir],
+        env=env, capture_output=True, text=True)
+    out = res.stdout + res.stderr
+    return "fail=0" in out and f"+ {query}: OK" in out
+
+
+def main(sf_dir: str, out_dir: str, query: str) -> int:
+    files = glob.glob(os.path.join(out_dir, query, "*.parquet"))
+    if not files:
+        print(f"no dump for {query} under {out_dir}", file=sys.stderr)
+        return 1
+    target = files[0]
+    backup = target + ".nc_backup"
+    shutil.copy(target, backup)
+    try:
+        if not run_check(sf_dir, out_dir, query):
+            print(f"PRECONDITION FAILED: {query} not green before "
+                  "corruption", file=sys.stderr)
+            return 1
+        df = duckdb.sql(f"SELECT * FROM read_parquet('{target}')").df()
+        # corrupt one cell of the last column (numeric += 1, string gets
+        # a suffix) — the smallest possible divergence the gate must see
+        col = df.columns[-1]
+        if df[col].dtype == bool:
+            df.loc[0, col] = not df.loc[0, col]
+        elif df[col].dtype == object:
+            df.loc[0, col] = str(df.loc[0, col]) + "_x"
+        else:
+            df.loc[0, col] = df.loc[0, col] + 1
+        pq.write_table(pa.Table.from_pandas(df), target)
+        if run_check(sf_dir, out_dir, query):
+            print("NEGATIVE CONTROL FAILED: gate stayed green after a "
+                  "one-cell corruption — the comparison is vacuous",
+                  file=sys.stderr)
+            return 1
+        print(f"gate flipped to FAIL on one corrupted cell of {query}")
+    finally:
+        shutil.move(backup, target)
+    if not run_check(sf_dir, out_dir, query):
+        print("RESTORE FAILED: gate still red after restoring the dump",
+              file=sys.stderr)
+        return 1
+    print("gate recovered after restore — negative control PASSED")
+    return 0
+
+
+if __name__ == "__main__":
+    if len(sys.argv) < 3:
+        print(__doc__, file=sys.stderr)
+        sys.exit(2)
+    q = sys.argv[3] if len(sys.argv) > 3 else "q_agg_group"
+    sys.exit(main(sys.argv[1], sys.argv[2], q))
