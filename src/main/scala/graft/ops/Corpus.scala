@@ -667,26 +667,34 @@ object Corpus {
     * composes here (any DataFrame works as input). */
   def learnBpeMerges(docs: org.apache.spark.sql.DataFrame, textCol: String,
       k: Int): Seq[(String, String, Long)] = {
-    var merges = Vector.empty[(String, String)]
-    var out = Vector.empty[(String, String, Long)]
-    var round = 0
-    var dry = false
-    while (round < k && !dry) {
-      val top = docs
-        .select(explode(graft.functions.BpeEncode.pairs(col(textCol), merges))
-          .as("p"))
-        .groupBy("p").agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("p"))
-        .limit(1).collect()
-      if (top.isEmpty) dry = true
-      else {
-        val parts = top(0).getString(0).split(" ", 2)
-        merges :+= ((parts(0), parts(1)))
-        out :+= ((parts(0), parts(1), top(0).getLong(1)))
+    // every round re-reads the same text column — cache the projection
+    // once so rounds 2..k pay encode+count, not another source scan
+    // (on a real corpus the trainer's input is a sampled shard, which
+    // is exactly what makes this cache admissible)
+    val texts = docs.select(col(textCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var merges = Vector.empty[(String, String)]
+      var out = Vector.empty[(String, String, Long)]
+      var round = 0
+      var dry = false
+      while (round < k && !dry) {
+        val top = texts
+          .select(explode(graft.functions.BpeEncode.pairs(col(textCol), merges))
+            .as("p"))
+          .groupBy("p").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("p"))
+          .limit(1).collect()
+        if (top.isEmpty) dry = true
+        else {
+          val parts = top(0).getString(0).split(" ", 2)
+          merges :+= ((parts(0), parts(1)))
+          out :+= ((parts(0), parts(1), top(0).getLong(1)))
+        }
+        round += 1
       }
-      round += 1
-    }
-    out
+      out
+    } finally texts.unpersist(blocking = false)
   }
 
   /** Merges learned per declared run of [[qBpeLearn]]. */
