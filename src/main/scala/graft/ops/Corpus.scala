@@ -607,10 +607,14 @@ object Corpus {
             .otherwise(0L)).as("t2"))
       counts.crossJoin(broadcast(totals))
         .select(col("token"), col("n1"), col("n2"),
-          floor(lit(1e6) * col("n1") / col("t1") + 0.5).cast("long")
-            .as("ppm1"),
-          floor(lit(1e6) * col("n2") / col("t2") + 0.5).cast("long")
-            .as("ppm2"))
+          // greatest(t, 1): an EMPTY version slice (possible on tiny or
+          // heavily-filtered corpora) would make this 0/0 -> NaN, which
+          // casts engine-divergently; with the guard, n is also 0 there
+          // and the ppm is an honest 0
+          floor(lit(1e6) * col("n1") / greatest(col("t1"), lit(1L)) + 0.5)
+            .cast("long").as("ppm1"),
+          floor(lit(1e6) * col("n2") / greatest(col("t2"), lit(1L)) + 0.5)
+            .cast("long").as("ppm2"))
         .withColumn("drift", abs(col("ppm1") - col("ppm2")))
         .orderBy(col("drift").desc, col("token"))
         .limit(50)
@@ -643,10 +647,10 @@ object Corpus {
                    FROM (SELECT hh, len(list_filter(string_split(text, ' '),
                            w -> len(w) > 0)) AS nb FROM base))
            SELECT token, n1, n2,
-                  CAST(floor(1e6 * n1 / t1 + 0.5) AS BIGINT) AS ppm1,
-                  CAST(floor(1e6 * n2 / t2 + 0.5) AS BIGINT) AS ppm2,
-                  abs(CAST(floor(1e6 * n1 / t1 + 0.5) AS BIGINT)
-                    - CAST(floor(1e6 * n2 / t2 + 0.5) AS BIGINT)) AS drift
+                  CAST(floor(1e6 * n1 / greatest(t1, 1) + 0.5) AS BIGINT) AS ppm1,
+                  CAST(floor(1e6 * n2 / greatest(t2, 1) + 0.5) AS BIGINT) AS ppm2,
+                  abs(CAST(floor(1e6 * n1 / greatest(t1, 1) + 0.5) AS BIGINT)
+                    - CAST(floor(1e6 * n2 / greatest(t2, 1) + 0.5) AS BIGINT)) AS drift
            FROM c CROSS JOIN t
            ORDER BY drift DESC, token LIMIT 50"""))
 

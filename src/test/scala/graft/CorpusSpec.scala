@@ -242,6 +242,25 @@ class CorpusSpec extends SparkSpec {
     assert(got.head._1 === "v2" && got.head._2 === 0L)
   }
 
+  test("q_corpus_drift survives an empty version slice (division guard)") {
+    // doc_id 27 hashes to 02e7... < '08': in v2 only, so the v1 slice is
+    // EMPTY — without the greatest(t,1) guard the ppm would be 0/0
+    val s = spark
+    import s.implicits._
+    val row = Seq((27L, "alpha beta", "u")).toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("drift_edge").toString
+    row.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Corpus.qCorpusDrift.fn(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    // every token is v2-only: n1 = 0, ppm1 = 0, ppm2 honest
+    assert(got.nonEmpty)
+    got.foreach { case (_, n1, ppm1, ppm2) =>
+      assert(n1 === 0L && ppm1 === 0L && ppm2 > 0L)
+    }
+  }
+
   test("q_bpe_learn replays Sennrich BPE training in plain Scala") {
     val gateSf = "/root/testdata/sf0.001"
     val got = Corpus.qBpeLearn.fn(spark, gateSf).collect()
