@@ -232,9 +232,13 @@ object TextOps {
         .agg(sum("nb").as("n_bpe"), sum("nw").as("n_words"),
           sum("nc").as("n_chars"))
         .select(col("source"), col("n_bpe"), col("n_words"),
-          r2(col("n_bpe").cast("double") / col("n_words"))
+          // greatest(_, 1): a source of all-empty texts would make these
+          // 0/0 — NaN compares engine-divergently; with the guard the
+          // numerator is also 0 there and the ratio is an honest 0
+          r2(col("n_bpe").cast("double") / greatest(col("n_words"), lit(1L)))
             .as("tok_per_word"),
-          r2(col("n_bpe").cast("double") * 100.0 / col("n_chars"))
+          r2(col("n_bpe").cast("double") * 100.0
+              / greatest(col("n_chars"), lit(1L)))
             .as("tok_per_100c"))
         .orderBy("source")
     },
@@ -254,8 +258,8 @@ object TextOps {
                    CAST(sum(nc) AS BIGINT) AS n_chars
                  FROM e GROUP BY source)
          SELECT source, n_bpe, n_words,
-                ${sqlR2("CAST(n_bpe AS DOUBLE) / n_words")} AS tok_per_word,
-                ${sqlR2("CAST(n_bpe AS DOUBLE) * 100.0 / n_chars")}
+                ${sqlR2("CAST(n_bpe AS DOUBLE) / greatest(n_words, 1)")} AS tok_per_word,
+                ${sqlR2("CAST(n_bpe AS DOUBLE) * 100.0 / greatest(n_chars, 1)")}
                   AS tok_per_100c
          FROM a ORDER BY source"""
     })
