@@ -127,14 +127,18 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q_pack_sequences: the bin groupBy reuses the window's shard partitioning") {
-    val p = plan("q_pack_sequences")
     // exchanges: the local single-split spread, the per-shard window,
     // and the gate's final ORDER BY — the (shard, bin) aggregation must
     // NOT add a fourth (HashPartitioning(source) satisfies clustering
-    // on (source, bin)); a regression here doubles the shuffle volume
-    assert(count(p, "\\(\\d+\\) Exchange") <= 3,
-      "bin aggregation added its own exchange:\n" + p)
-    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    // on (source, bin)); a regression here doubles the shuffle volume.
+    // The BPE-count variant must keep the identical shape: the subword
+    // encode is a projection, not a new pipeline stage.
+    for (name <- Seq("q_pack_sequences", "q_pack_sequences_bpe")) {
+      val p = plan(name)
+      assert(count(p, "\\(\\d+\\) Exchange") <= 3,
+        s"$name: bin aggregation added its own exchange:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    }
   }
 
   test("q_contamination: gram join is hash/merge, never a pair expansion") {
