@@ -408,6 +408,21 @@ object Curation {
     * Scale: one map-side codegen pass (nested HOFs — transform +
     * aggregate fold), NO explode, no shuffle except the output sort;
     * per-token cost is one md5 + integer ops, flat per input byte. */
+  /** The classifier score over a pre-split token-array column `tk` —
+    * shared by [[qTextQualityClassifier]] and [[qCurationFunnel]]. */
+  private[ops] def qualityScoreExpr: org.apache.spark.sql.Column =
+    expr(s"""aggregate(transform(tk, t ->
+        (cast(conv(substring(md5(cast(t as binary)), 1, 8), 16, 10)
+           as bigint) % $QualityBuckets) * 2654435761 % 1001 - 500),
+        0L, (acc, x) -> acc + x)""")
+
+  /** The same score in DuckDB, over a raw `text` reference. */
+  private[ops] def qualityScoreSql(textRef: String): String =
+    s"""CAST(coalesce(list_sum(list_transform(
+        list_filter(string_split($textRef, ' '), t -> len(t) > 0),
+        t -> (CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT)
+          % $QualityBuckets) * 2654435761 % 1001 - 500)), 0) AS BIGINT)"""
+
   val qTextQualityClassifier = Q(
     "q_text_quality_classifier",
     (s, d) =>
@@ -416,29 +431,107 @@ object Curation {
           expr("filter(split(text, ' '), t -> length(t) > 0)").as("tk"))
         .select(col("doc_id"),
           size(col("tk")).as("n_tokens"),
-          expr(s"""aggregate(transform(tk, t ->
-              (cast(conv(substring(md5(cast(t as binary)), 1, 8), 16, 10)
-                 as bigint) % $QualityBuckets) * 2654435761 % 1001 - 500),
-              0L, (acc, x) -> acc + x)""").as("score"))
+          qualityScoreExpr.as("score"))
         .withColumn("keep", col("score") >= 0L)
         .orderBy("doc_id"),
     Some(s"""SELECT doc_id,
              CAST(len(list_filter(string_split(text, ' '),
                t -> len(t) > 0)) AS INT) AS n_tokens,
-             CAST(coalesce(list_sum(list_transform(
-               list_filter(string_split(text, ' '), t -> len(t) > 0),
-               t -> (CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT)
-                 % $QualityBuckets) * 2654435761 % 1001 - 500)), 0)
-               AS BIGINT) AS score,
-             coalesce(list_sum(list_transform(
-               list_filter(string_split(text, ' '), t -> len(t) > 0),
-               t -> (CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT)
-                 % $QualityBuckets) * 2654435761 % 1001 - 500)), 0) >= 0
-               AS keep
+             ${qualityScoreSql("text")} AS score,
+             ${qualityScoreSql("text")} >= 0 AS keep
            FROM documents ORDER BY doc_id"""))
+
+  /** The curation FUNNEL — the whole pipeline's survival report, per
+    * source: documents in → after fingerprint dedup (min-doc_id owner
+    * per md5 of the first-8-token prefix — the SAME fingerprint rule as
+    * [[Dedup.qDedupIncremental]]; raw-text md5 would be vacuous at
+    * sf0.01, which has zero byte-identical documents, while the prefix
+    * fingerprint catches the fixture's planted shared openings — run
+    * FIRST, on the full corpus) →
+    * after the classifier filter ([[qTextQualityClassifier]]'s
+    * score ≥ 0) → after exact-substring span dedup
+    * ([[Dedup.substringDedup]] on the quality survivors), with the
+    * end-to-end keep percentage. This is the dashboard row a curation
+    * run publishes; every stage reuses the exact spelling of its
+    * standalone operator, so the funnel is also an integration proof
+    * that the stages compose.
+    *
+    * Scale: one corpus pass computes the quality flag map-side; the
+    * exact-dedup flag is one window keyed on md5(text) — the 128-bit
+    * hash shuffles, never bodies; the span stage reuses
+    * [[Dedup.substringDedup]]'s bounded shape on the (smaller) survivor
+    * set; the report is one conditional aggregation on the
+    * low-cardinality source key. */
+  val qCurationFunnel = Q(
+    "q_curation_funnel",
+    (s, d) => {
+      val flagged = T.documents(s, d)
+        .select(col("doc_id"), col("source"), col("text"),
+          expr("filter(split(text, ' '), t -> length(t) > 0)").as("tk"))
+        .withColumn("ok_exact",
+          row_number().over(Window.partitionBy(
+            md5(concat_ws(" ", slice(col("tk"), 1, 8)).cast("binary")))
+            .orderBy(col("doc_id"))) === 1)
+      val ranked = flagged
+        .withColumn("ok_quality",
+          col("ok_exact") && qualityScoreExpr >= 0L)
+      val span = Dedup.substringDedup(
+        ranked.filter(col("ok_quality")).select("doc_id", "text"),
+        "doc_id", "text", Dedup.SubstrSpanTokens)
+        .select(col("doc_id"), col("keep_full"))
+      ranked.join(span, Seq("doc_id"), "left")
+        .withColumn("ok_span",
+          col("ok_quality") && coalesce(col("keep_full"), lit(true)))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_in"),
+          sum(when(col("ok_exact"), 1L).otherwise(0L)).as("n_exact"),
+          sum(when(col("ok_quality"), 1L).otherwise(0L)).as("n_quality"),
+          sum(when(col("ok_span"), 1L).otherwise(0L)).as("n_span"))
+        .select(col("source"), col("n_in"), col("n_exact"),
+          col("n_quality"), col("n_span"),
+          r2(lit(100.0) * col("n_span") / col("n_in")).as("pct_kept"))
+        .orderBy("source")
+    },
+    Some {
+      val n = Dedup.SubstrSpanTokens
+      s"""WITH ex AS (SELECT doc_id, source, text,
+               row_number() OVER (PARTITION BY md5(array_to_string(
+                   (list_filter(string_split(text, ' '),
+                     t -> len(t) > 0))[1:8], ' '))
+                 ORDER BY doc_id) = 1 AS oke
+             FROM documents),
+           fl AS (SELECT doc_id, source, oke,
+               oke AND ${qualityScoreSql("text")} >= 0 AS okq
+             FROM ex),
+           tk2 AS (SELECT e.doc_id, string_split(e.text, ' ') AS tk
+                   FROM ex e JOIN fl USING (doc_id) WHERE fl.okq),
+           sp AS (SELECT DISTINCT doc_id, unnest(list_transform(
+                    range(1, len(tk) - ${n - 1} + 1),
+                    i -> md5(array_to_string(tk[i:i+${n - 1}], ' ')))) AS g
+                  FROM tk2 WHERE len(tk) >= $n),
+           own AS (SELECT g, min(doc_id) AS owner FROM sp
+                   GROUP BY g HAVING count(*) > 1),
+           cut AS (SELECT s.doc_id,
+                     max(CASE WHEN o.owner < s.doc_id THEN 1 ELSE 0 END)
+                       AS has_cut
+                   FROM sp s LEFT JOIN own o USING (g) GROUP BY s.doc_id),
+           flag AS (SELECT f.source, f.oke, f.okq,
+                      f.okq AND coalesce(c.has_cut, 0) = 0 AS oks
+                    FROM fl f LEFT JOIN cut c USING (doc_id))
+         SELECT source, count(*) AS n_in,
+                CAST(sum(CASE WHEN oke THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_exact,
+                CAST(sum(CASE WHEN okq THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_quality,
+                CAST(sum(CASE WHEN oks THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_span,
+                ${sqlR2("""100.0 * sum(CASE WHEN oks THEN 1 ELSE 0 END)
+                  / count(*)""")} AS pct_kept
+         FROM flag GROUP BY source ORDER BY source"""
+    })
 
   val all: Seq[Q] = Seq(qProfileTable, qDeletionAudit,
     qTextRepetition, qSampleHash, qSampleStratified, qAggHeavyHitters,
     qTextPiiScrub, qSampleSplit, qAggHeavyHittersSketch, qTextSurprisal,
-    qTextQualityClassifier)
+    qTextQualityClassifier, qCurationFunnel)
 }

@@ -197,6 +197,46 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("curation funnel: every stage cuts on a planted corpus, replay matches") {
+    val s = spark
+    import s.implicits._
+    def md5hex(x: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    def weight(tok: String): Long = {
+      val h = java.lang.Long.parseLong(md5hex(tok).substring(0, 8), 16)
+      (h % Curation.QualityBuckets) * 2654435761L % 1001L - 500L
+    }
+    // tokens with known-positive weights -> docs built from them pass
+    // the classifier; "badbad..." negatives flunk it
+    val pos = (1 to 200).map(i => s"w$i").filter(weight(_) > 0L)
+    val neg = (1 to 200).map(i => s"x$i").filter(weight(_) < 0L)
+    assert(pos.length >= 30 && neg.length >= 10)
+    val span = pos.take(10)                    // a 10-token span
+    val docs = Seq(
+      // 1,2: identical first-8-token prefix -> prefix-dedup cuts doc 2
+      1L -> (pos.slice(10, 18) ++ Seq(pos(18))).mkString(" "),
+      2L -> (pos.slice(10, 18) ++ Seq(pos(19))).mkString(" "),
+      // 3,4: share the mid-document span, DISJOINT unique prefixes,
+      // both all-positive -> span stage cuts doc 4 (owner = 3)
+      3L -> (Seq(pos(20), pos(21)) ++ span).mkString(" "),
+      4L -> (pos.slice(22, 30) ++ span).mkString(" "),
+      // 5: flunks the classifier
+      5L -> neg.take(12).mkString(" "))
+      .toDF("doc_id", "text")
+      .withColumn("source", lit("u")).withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("funnel").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Curation.qCurationFunnel.fn(spark, dir).head()
+    // in=5; prefix dedup cuts doc 2 -> 4; classifier cuts doc 5 -> 3;
+    // span dedup cuts doc 4 -> 2
+    assert((out.getLong(1), out.getLong(2), out.getLong(3),
+      out.getLong(4)) === ((5L, 4L, 3L, 2L)))
+    assert(out.getDouble(5) === 40.0) // 2/5 kept
+  }
+
   test("quality classifier score replays the hash-weight formula in plain Scala") {
     val gateSf = "/root/testdata/sf0.01"
     def md5hex(s: String): String = {
