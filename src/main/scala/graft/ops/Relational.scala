@@ -528,6 +528,42 @@ object Relational {
                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
            ORDER BY user_id, event_id"""))
 
+  /** Value-based (RANGE) window frame: per-user trailing ONE-HOUR moving
+    * aggregate over events — "everything in the last 3 600 000 ms", not
+    * "the last k rows". This is a distinct Spark execution path from the
+    * ROWS sibling above ([[qWindowFrameRange]]): Catalyst plans a
+    * `RangeFrame` whose bounds slide by ORDER-BY *value*, so rows with
+    * equal `ms` are frame peers and the result is tie-order independent
+    * by construction (no tiebreaker column needed — and `rangeBetween`
+    * only admits a single numeric sort key anyway). Scale shape is the
+    * same single hash-partition shuffle on user_id as every other
+    * per-user window here; the frame bound adds no extra exchange.
+    * Both dialects spell the frame over epoch-ms BIGINT (DuckDB's
+    * numeric RANGE), dodging interval-literal dialect gaps. */
+  val qWindowRangeTime = Q(
+    "q_window_range_time",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms"))
+        .rangeBetween(-3600000L, Window.currentRow)
+      T.events(s, d)
+        .select(col("user_id"), col("event_id"),
+                unix_millis(col("ts")).as("ms"), col("value"))
+        .withColumn("hour_sum", dsumOver(col("value"), w))
+        .withColumn("hour_n", count(lit(1)).over(w))
+        .select("user_id", "event_id", "ms", "hour_sum", "hour_n")
+        .orderBy("user_id", "event_id")
+    },
+    Some(s"""SELECT user_id, event_id, epoch_ms(ts) AS ms,
+            ${sqlR2("""CAST(sum(CAST(CAST(floor(value * 1e6 + 0.5) AS BIGINT)
+                          AS DECIMAL(18,0))) OVER w AS DOUBLE) / 1e6""")}
+              AS hour_sum,
+            count(*) OVER w AS hour_n
+            FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                        RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+           ORDER BY user_id, event_id"""))
+
   /** first_value / last_value over an unbounded frame: each customer row
     * tagged with the partition's highest- and lowest-priced order keys.
     * Total ordering inside the frame makes both edges deterministic. */
@@ -1334,7 +1370,7 @@ object Relational {
     qAggHistogram, qAggHistogramSketch, qAggApproxDistinct,
     qAggApproxPercentile,
     qWindowRank, qWindowRankFamily, qWindowCumeDist, qWindowFirstLast, qWindowRunning, qWindowLag,
-    qWindowFrameRange, qAggPercentile, qAggPivot, qUnpivot, qAggConditional,
+    qWindowFrameRange, qWindowRangeTime, qAggPercentile, qAggPivot, qUnpivot, qAggConditional,
     qSubqueryScalar, qJoinCross,
     qExceptAll,
     qTopk, qUnion, qIntersect, qExcept,

@@ -280,6 +280,22 @@ class PlanSpec extends SparkSpec {
       "Window runs over the raw scan, not the frequency frame:\n" + p)
   }
 
+  test("q_window_range_time: value-based RangeFrame, not a ROWS frame") {
+    // The trailing 1-hour window must plan as a RangeFrame (bounds slide
+    // by ORDER-BY value) — the distinct execution path this query exists
+    // to cover. A silent fallback to RowFrame ("last k rows") would stay
+    // plausible-looking at the gate but compute the wrong semantics.
+    val p = plan("q_window_range_time")
+    assert(p.contains("RangeFrame"), "no value-based frame in plan:\n" + p)
+    val winDetail = p.linesIterator.filter(_.contains("specifiedwindowframe"))
+      .mkString("\n")
+    assert(winDetail.contains("RangeFrame"), winDetail)
+    assert(!winDetail.contains("RowFrame"),
+      "window frame degraded to ROWS:\n" + winDetail)
+    // same scale shape as every per-user window: one exchange on user_id
+    assert(count(p, "hashpartitioning") == 1, p)
+  }
+
   test("q_unpivot: the melt is a map-side generator, not a self-union of scans") {
     val p = plan("q_unpivot")
     assert(count(p, """\(\d+\) Scan parquet""") == 1,

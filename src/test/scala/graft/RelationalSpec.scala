@@ -107,6 +107,33 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("RANGE frame equals the explicit time-interval self-join replay") {
+    // independent spelling of "trailing 1 hour": for each event, join
+    // every same-user event with ms in [ms-3_600_000, ms] and aggregate.
+    // If the window had silently degraded to a ROWS frame (last k rows)
+    // the counts would differ wherever event density varies — which the
+    // non-vacuity assertions below guarantee the fixture exercises.
+    import graft.util.Det
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+              unix_millis(col("ts")).as("ms"), col("value"))
+    val replay = ev.as("a")
+      .join(ev.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("b.ms") <= col("a.ms") &&
+          col("b.ms") >= col("a.ms") - lit(3600000L))
+      .groupBy(col("a.user_id"), col("a.event_id"), col("a.ms"))
+      .agg(Det.dsum(col("b.value")).as("hour_sum"),
+           count(lit(1)).as("hour_n"))
+      .select("user_id", "event_id", "ms", "hour_sum", "hour_n")
+      .orderBy("user_id", "event_id")
+    val win = Relational.qWindowRangeTime.fn(spark, sf)
+    assert(win.collect().toSeq === replay.collect().toSeq)
+    // non-vacuous: frames of size > 1 exist AND frame sizes vary
+    val sizes = win.select("hour_n").distinct().collect().map(_.getLong(0))
+    assert(sizes.exists(_ > 1L) && sizes.length > 1, sizes.toSeq)
+  }
+
   test("sql pricing summary agrees with the DataFrame spelling") {
     import org.apache.spark.sql.functions._
     val got = Relational.qSqlPricingSummary.fn(spark, sf).collect()
