@@ -94,6 +94,42 @@ case class BpePairs(child: Expression, merges: Seq[(String, String)])
     copy(child = newChild)
 }
 
+/** Whole-text BPE encode under a DYNAMIC merge table — the inference
+  * half of the learned-table round-trip ([[BpePairs]] is the training
+  * half): encoding with [[graft.ops.Corpus.learnBpeMerges]]'s output
+  * reproduces the trainer's final tokenization, because both run the
+  * identical rank-order left-to-right kernel. Same codegen shape as
+  * [[BpePairs]]: the table rides as a reference object (the broadcast
+  * analogue — a learned table is k pairs of short strings). */
+case class BpeEncodeWith(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+  override def prettyName: String = "graft_bpe_with"
+
+  private lazy val flat: Array[String] =
+    merges.flatMap(m => Seq(m._1, m._2)).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string column, got ${t.catalogString}")
+  }
+
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    BpeEncode.computeWith(input.asInstanceOf[UTF8String], flat)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeMerges", flat, "java.lang.String[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BpeEncode.computeWith($c, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object BpeEncode {
   /** The merge table, in rank order (rank = index). A deterministic toy
     * vocabulary over common English letter pairs — stands in for a real
@@ -181,9 +217,9 @@ object BpeEncode {
     (toks, n)
   }
 
-  private def encodeWord(w: String,
+  private def encodeWord(w: String, merges: Array[String],
       out: scala.collection.mutable.ArrayBuffer[Any]): Unit = {
-    val (toks, n) = encodeWordTokens(w, MergesFlat)
+    val (toks, n) = encodeWordTokens(w, merges)
     var i = 0
     while (i < n) { out += UTF8String.fromString(toks(i)); i += 1 }
   }
@@ -220,14 +256,21 @@ object BpeEncode {
     * consecutive separators contribute no tokens — mirrored by the
     * oracle's list_filter), each word encoded independently, token
     * arrays concatenated in document order. */
-  def compute(text: UTF8String): ArrayData = {
+  def compute(text: UTF8String): ArrayData = computeWith(text, MergesFlat)
+
+  /** [[compute]] against a caller-supplied flat merge table — the
+    * inference half of the learned-table round-trip: feeding
+    * [[graft.ops.Corpus.learnBpeMerges]]'s output here reproduces the
+    * trainer's final tokenization exactly (same word scan, same
+    * rank-order left-to-right kernel as the training passes). */
+  def computeWith(text: UTF8String, merges: Array[String]): ArrayData = {
     val s = text.toString
     val out = new scala.collection.mutable.ArrayBuffer[Any](s.length / 3 + 4)
     var start = 0
     var i = 0
     while (i <= s.length) {
       if (i == s.length || s.charAt(i) == ' ') {
-        if (i > start) encodeWord(s.substring(start, i), out)
+        if (i > start) encodeWord(s.substring(start, i), merges, out)
         start = i + 1
       }
       i += 1
@@ -237,6 +280,9 @@ object BpeEncode {
 
   def encode(c: Column): Column =
     Bridge.column(BpeEncode(Bridge.expression(c)))
+
+  def encodeWith(c: Column, merges: Seq[(String, String)]): Column =
+    Bridge.column(BpeEncodeWith(Bridge.expression(c), merges))
 
   def pairs(c: Column, merges: Seq[(String, String)]): Column =
     Bridge.column(BpePairs(Bridge.expression(c), merges))

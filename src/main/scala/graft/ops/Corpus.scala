@@ -733,8 +733,44 @@ object Corpus {
     },
     None)
 
+  /** The learned-table ROUND-TRIP — trainer output composed into the
+    * encoder: learn [[BpeLearnRounds]] merges on `documents`
+    * ([[learnBpeMerges]]), feed the learned table into the dynamic
+    * encode expression ([[graft.functions.BpeEncodeWith]] — the same
+    * reference-object mechanism the training rounds use), and report
+    * the resulting token census (top 50 by count, ties lexicographic)
+    * with each token flagged `merged` iff it is a learned merge's
+    * output. The integration proof the two halves previously lacked:
+    * inference with a LEARNED table, not just the fixed compiled-in
+    * one. No DuckDB oracle by the q_bpe_learn argument (the table is a
+    * data-dependent driver-steered fixed point); CorpusSpec proves
+    * encode-with-learned-table ≡ the trainer's final tokenization via
+    * a full plain-Scala replay, plus the fixed-point invariant that no
+    * learned pair survives adjacent in the encoded output.
+    *
+    * Scale shape: learning is [[qBpeLearn]]'s k cached passes; the
+    * apply pass is one map-side codegen explode + two-phase count +
+    * TakeOrderedAndProject — the same census shape as
+    * q_corpus_ngram_counts. Driver state stays k merge pairs. */
+  val qBpeApplyLearned = Q(
+    "q_bpe_apply_learned",
+    (s, d) => {
+      val learned = learnBpeMerges(T.documents(s, d), "text", BpeLearnRounds)
+        .map { case (a, b, _) => (a, b) }
+      val products = learned.map { case (a, b) => a + b }.toSet
+      T.documents(s, d)
+        .select(explode(graft.functions.BpeEncode.encodeWith(col("text"),
+          learned)).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .withColumn("merged",
+          col("token").isInCollection(products))
+        .orderBy(col("n").desc, col("token"))
+        .limit(50)
+    },
+    None)
+
   val all: Seq[Q] =
     Seq(qPackSequences, qContamination, qContaminationBloom, qMixWeights,
       qMixTemperature, qCorpusNgramCounts, qSnapshotDiff, qCorpusUpsert,
-      qPackSequencesBpe, qCorpusDrift, qBpeLearn)
+      qPackSequencesBpe, qCorpusDrift, qBpeLearn, qBpeApplyLearned)
 }

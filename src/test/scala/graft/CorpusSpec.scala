@@ -314,6 +314,87 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("learned-table round-trip: encode-with-learned ≡ trainer's final tokenization") {
+    val gateSf = "/root/testdata/sf0.001"
+    import graft.functions.BpeEncode
+    val learned = Corpus.learnBpeMerges(
+      Tables.documents(spark, gateSf), "text", Corpus.BpeLearnRounds)
+      .map { case (a, b, _) => (a, b) }
+    assert(learned.length === Corpus.BpeLearnRounds)
+    // Spark-side: the dynamic encode expression with the learned table
+    val got = Tables.documents(spark, gateSf)
+      .select(col("doc_id"), BpeEncode.encodeWith(col("text"), learned).as("toks"))
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toVector).toVector
+    // plain-Scala replay: rank-order left-to-right merge application —
+    // the trainer's own tokenization after its final round
+    def encode(w: String): Vector[String] = {
+      var toks = w.map(String.valueOf(_)).toVector
+      learned.foreach { case (a, b) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < toks.length) {
+          if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += toks(i); i += 1 }
+        }
+        toks = out.result()
+      }
+      toks
+    }
+    val expected = Tables.documents(spark, gateSf)
+      .select("doc_id", "text").orderBy("doc_id").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split(" ", -1).filter(_.nonEmpty).toVector
+          .flatMap(encode)).toVector
+    assert(got === expected)
+    // non-vacuous: the learned table actually merged something
+    assert(got.exists(_._2.exists(_.length > 1)))
+    // fixed point: after full application no learned pair survives
+    // adjacent within any word — the trainer's next round would never
+    // re-count an adopted merge (well-formed-table invariant)
+    val learnedSet = learned.toSet
+    val residual = Tables.documents(spark, gateSf)
+      .select(explode(BpeEncode.pairs(col("text"), learned)).as("p"))
+      .collect().map(_.getString(0).split(" ", 2))
+      .count(p => learnedSet.contains((p(0), p(1))))
+    assert(residual === 0)
+  }
+
+  test("q_bpe_apply_learned census: counts replay from the round-trip encode") {
+    val gateSf = "/root/testdata/sf0.001"
+    import graft.functions.BpeEncode
+    val learned = Corpus.learnBpeMerges(
+      Tables.documents(spark, gateSf), "text", Corpus.BpeLearnRounds)
+      .map { case (a, b, _) => (a, b) }
+    val products = learned.map { case (a, b) => a + b }.toSet
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+      .withDefaultValue(0L)
+    Tables.documents(spark, gateSf).select("text").collect()
+      .flatMap(_.getString(0).split(" ", -1)).filter(_.nonEmpty)
+      .foreach { w =>
+        var toks = w.map(String.valueOf(_)).toVector
+        learned.foreach { case (a, b) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < toks.length) {
+            if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += toks(i); i += 1 }
+          }
+          toks = out.result()
+        }
+        toks.foreach(t => counts(t) += 1L)
+      }
+    val expected = counts.toSeq.sortBy { case (t, n) => (-n, t) }.take(50)
+      .map { case (t, n) => (t, n, products.contains(t)) }
+    val got = Corpus.qBpeApplyLearned.fn(spark, gateSf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(got === expected)
+    // both flag values present: merged tokens rank AND raw chars remain
+    assert(got.exists(_._3) && got.exists(!_._3))
+  }
+
   test("q_corpus_upsert: actions replay in plain Scala, accounting closes") {
     val gateSf = "/root/testdata/sf0.01"
     val rows = Corpus.qCorpusUpsert.fn(spark, gateSf).collect()
