@@ -10,6 +10,14 @@ import org.apache.spark.sql.functions._
   * domain-mixture weighting. All three are mandate extensions (the
   * reference has no query surface); each is DuckDB-oracled.
   */
+/** Doc-stream row for the best-fit packer ([[Corpus.qPackBestfit]]). */
+private[ops] case class PackDoc(source: String, doc_id: Long, n_tok: Long)
+
+/** Per-shard packing-policy report ([[Corpus.qPackBestfit]]). */
+private[ops] case class PackReport(source: String, n_docs: Long,
+    n_tokens: Long, chunk_bins: Long, chunk_split_docs: Long,
+    chunk_waste_ppm: Long, bestfit_bins: Long, bestfit_waste_ppm: Long)
+
 object Corpus {
 
   /** Tokens-per-context-window budget for [[qPackSequences]]. Small so
@@ -106,6 +114,131 @@ object Corpus {
                 CAST(sum(n_tok) AS BIGINT) AS n_tokens,
                 min(doc_id) AS first_doc
          FROM off GROUP BY source, bin ORDER BY source, bin"""
+    })
+
+  /** Greedy BEST-FIT sequence packing beside concatenate-and-chunk — the
+    * policy comparison a real trainer runs before choosing a packer
+    * (best-fit cuts cross-document truncations at the cost of padding;
+    * cf. the "fewer truncations" line of work): per shard, docs are
+    * processed in `doc_id` order; each doc's tail (after pre-chunking
+    * `n_tok / budget` full windows) goes into the open bin with the
+    * SMALLEST remaining capacity that still fits, else opens a new bin.
+    * Both policies are accounted in ONE streaming pass over the same
+    * ordered shard: chunk gets bins/splits/waste from the running
+    * offset, best-fit from the fold. Output per shard: doc/token
+    * totals, bins used, boundary-split docs (chunk's cost), and padding
+    * waste in ppm (best-fit's cost) — all integer space
+    * (floor(1e6·w/d + 0.5) spelled as exact BIGINT arithmetic
+    * `(2e6·w + d) DIV (2d)`, so no double rounds anywhere).
+    *
+    * Spark shape: `groupByKey(shard).flatMapSortedGroups(doc_id)` — one
+    * exchange keyed on the shard (the packer's parallelism unit, same
+    * as [[packBins]]), secondary-sorted iterator, and the only operator
+    * state is the open-bin remainder MULTISET (a TreeMap: best-fit
+    * lookup is `ceilingKey`, O(log bins); which of several equal
+    * remainders is decremented cannot affect any output — the state is
+    * the multiset). At 1B tokens/shard and budget 8k that is ~125k
+    * longs — KB-scale executor state, docs stream through. The DuckDB
+    * oracle replays the identical fold as a `list_reduce` over the
+    * doc_id-ordered tail list (state = remainder list, first-min
+    * tie-break — multiset-equal to the TreeMap's choice). */
+  val qPackBestfit = Q(
+    "q_pack_bestfit",
+    (s, d) => {
+      import s.implicits._
+      val b = PackBudget.toLong
+      def ppm(w: Long, denom: Long): Long =
+        if (denom == 0L) 0L else (2000000L * w + denom) / (2L * denom)
+      T.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .as[PackDoc]
+        .groupByKey(_.source)
+        .flatMapSortedGroups(col("doc_id")) { (src: String, it: Iterator[PackDoc]) =>
+          // boxed key/value types on purpose: with scala.Long type args,
+          // ceilingKey's null (no bin fits) would silently unbox to 0L
+          val rem = new java.util.TreeMap[java.lang.Long, java.lang.Long]()
+          def inc(key: Long): Unit = {
+            val cur = rem.get(key)
+            rem.put(key, if (cur == null) 1L else cur.longValue + 1L)
+          }
+          var opened = 0L; var fullBins = 0L; var waste = 0L
+          var nDocs = 0L; var total = 0L; var splits = 0L
+          it.foreach { p =>
+            nDocs += 1
+            val off = total
+            total += p.n_tok
+            if (p.n_tok > 0L && off / b != (off + p.n_tok - 1L) / b) splits += 1
+            fullBins += p.n_tok / b
+            val t = p.n_tok % b
+            if (t > 0L) {
+              val k: java.lang.Long = rem.ceilingKey(t)
+              if (k == null) {
+                opened += 1; waste += b - t
+                inc(b - t)
+              } else {
+                waste -= t
+                val c = rem.get(k).longValue
+                if (c == 1L) rem.remove(k) else rem.put(k, c - 1L)
+                if (k.longValue - t > 0L) inc(k.longValue - t)
+              }
+            }
+          }
+          val chunkBins = (total + b - 1L) / b
+          val bfBins = fullBins + opened
+          Iterator.single(PackReport(src, nDocs, total,
+            chunkBins, splits, ppm(chunkBins * b - total, chunkBins * b),
+            bfBins, ppm(waste, bfBins * b)))
+        }
+        .toDF()
+        .orderBy("source")
+    },
+    Some {
+      val b = PackBudget
+      s"""WITH toks AS (SELECT source, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             FROM documents),
+           off AS (SELECT source, doc_id, n_tok,
+             coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+             FROM toks),
+           chunk AS (SELECT source, count(*) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN n_tok > 0
+                  AND off // $b <> (off + n_tok - 1) // $b
+                  THEN 1 ELSE 0 END) AS BIGINT) AS chunk_split_docs
+             FROM off GROUP BY source),
+           fit AS (SELECT source,
+             CAST(sum(n_tok // $b) AS BIGINT) AS full_bins,
+             coalesce(list_reduce(
+               list_prepend(CAST([] AS INT[]),
+                 list_transform(list(CAST(n_tok % $b AS INT) ORDER BY doc_id)
+                   FILTER (WHERE n_tok % $b > 0), t -> [t])),
+               (acc, x) -> CASE
+                 WHEN len(list_filter(acc, r -> r >= x[1])) = 0
+                 THEN list_append(acc, $b - x[1])
+                 ELSE list_transform(acc, (r, i) -> CASE
+                        WHEN i = list_position(acc,
+                          list_min(list_filter(acc, r2 -> r2 >= x[1])))
+                        THEN r - x[1] ELSE r END)
+                 END), CAST([] AS INT[])) AS rem
+             FROM toks GROUP BY source)
+         SELECT c.source, c.n_docs, c.n_tokens,
+                (c.n_tokens + ${b - 1}) // $b AS chunk_bins,
+                c.chunk_split_docs,
+                CASE WHEN c.n_tokens = 0 THEN 0
+                     ELSE (2000000 * (((c.n_tokens + ${b - 1}) // $b) * $b
+                                      - c.n_tokens)
+                           + ((c.n_tokens + ${b - 1}) // $b) * $b)
+                          // (2 * ((c.n_tokens + ${b - 1}) // $b) * $b)
+                END AS chunk_waste_ppm,
+                f.full_bins + len(f.rem) AS bestfit_bins,
+                CASE WHEN f.full_bins + len(f.rem) = 0 THEN 0
+                     ELSE (2000000 * coalesce(CAST(list_sum(f.rem) AS BIGINT), 0)
+                           + (f.full_bins + len(f.rem)) * $b)
+                          // (2 * (f.full_bins + len(f.rem)) * $b)
+                END AS bestfit_waste_ppm
+         FROM chunk c JOIN fit f USING (source) ORDER BY source"""
     })
 
   /** Decontamination n-gram length: the industry-standard 8-gram window
@@ -772,5 +905,6 @@ object Corpus {
   val all: Seq[Q] =
     Seq(qPackSequences, qContamination, qContaminationBloom, qMixWeights,
       qMixTemperature, qCorpusNgramCounts, qSnapshotDiff, qCorpusUpsert,
-      qPackSequencesBpe, qCorpusDrift, qBpeLearn, qBpeApplyLearned)
+      qPackSequencesBpe, qCorpusDrift, qBpeLearn, qBpeApplyLearned,
+      qPackBestfit)
 }

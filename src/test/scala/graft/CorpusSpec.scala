@@ -314,6 +314,57 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("q_pack_bestfit: plain-Scala replay, conservation, and chunk lower bound") {
+    val out = Corpus.qPackBestfit.fn(spark, sf).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+       r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    val b = Corpus.PackBudget.toLong
+    def ppm(w: Long, d: Long): Long = if (d == 0) 0 else (2000000L * w + d) / (2 * d)
+    // independent replay: naive list-scan best-fit (first index of the
+    // tightest fit) — multiset-equivalent to the TreeMap kernel
+    val docs = Tables.documents(spark, sf)
+      .select("source", "doc_id", "text").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        r.getString(2).split(" ", -1).length.toLong))
+      .groupBy(_._1)
+    out.foreach { case (src, nDocs, total, cBins, cSplits, cPpm, bBins, bPpm) =>
+      val shard = docs(src).sortBy(_._2)
+      assert(nDocs === shard.length.toLong)
+      assert(total === shard.map(_._3).sum)
+      assert(cBins === (total + b - 1) / b)
+      assert(cPpm === ppm(cBins * b - total, cBins * b))
+      // chunk split replay
+      var off = 0L; var splits = 0L
+      shard.foreach { case (_, _, n) =>
+        if (n > 0 && off / b != (off + n - 1) / b) splits += 1
+        off += n
+      }
+      assert(cSplits === splits)
+      // best-fit replay
+      val rem = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var full = 0L
+      shard.foreach { case (_, _, n) =>
+        full += n / b
+        val t = n % b
+        if (t > 0) {
+          var best = -1
+          rem.indices.foreach { i =>
+            if (rem(i) >= t && (best == -1 || rem(i) < rem(best))) best = i
+          }
+          if (best == -1) rem += (b - t) else rem(best) -= t
+        }
+      }
+      assert(bBins === full + rem.length)
+      // conservation: waste is exactly capacity minus tokens
+      assert(bPpm === ppm(bBins * b - total, bBins * b))
+      // chunk is the information-theoretic bin lower bound
+      assert(bBins >= cBins)
+    }
+    // non-vacuous: the policies genuinely trade off somewhere
+    assert(out.exists(_._5 > 0), "no boundary-split docs — chunk cost unexercised")
+    assert(out.exists(_._8 > 0), "zero best-fit padding everywhere — waste unexercised")
+  }
+
   test("learned-table round-trip: encode-with-learned ≡ trainer's final tokenization") {
     val gateSf = "/root/testdata/sf0.001"
     import graft.functions.BpeEncode
