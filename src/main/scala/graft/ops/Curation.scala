@@ -441,6 +441,131 @@ object Curation {
              ${qualityScoreSql("text")} >= 0 AS keep
            FROM documents ORDER BY doc_id"""))
 
+  /** Gopher rule-matrix word-count bounds (Rae et al. 2021 A1.1 uses
+    * [50, 100k]; the gate fixture's 10-99-token docs get a 20 floor so
+    * BOTH classes are non-vacuous at sf0.01 — 43 docs fail). */
+  val GopherMinWords = 20
+  val GopherMaxWords = 100000
+
+  /** Gopher-style heuristic rule matrix (Rae et al. 2021 A1.1) over a
+    * frame carrying `text` and pre-split non-empty tokens `tk`: adds the
+    * raw counts, one boolean per rule, and the conjunction
+    * `gopher_keep`. Rules: word count in [[[GopherMinWords]],
+    * [[GopherMaxWords]]]; mean word length in [3, 10]; symbol-to-word
+    * ratio ('#' chars + '...' occurrences) ≤ 0.1; words containing an
+    * alphabetic char ≥ 0.8; lines starting with a bullet ≤ 0.9; lines
+    * ending in an ellipsis ≤ 0.3. EVERY rule decision is an integer
+    * comparison (`10·n_sym ≤ n_words`, not a rounded-ratio compare), so
+    * the booleans are exact in both dialects; the 2dp ratios the matrix
+    * query reports are display-only.
+    *
+    * One map-side pass — string length arithmetic plus HOF filters, no
+    * explode, no shuffle; shared by [[qTextGopherRules]] and the
+    * funnel's optional stage so the spellings cannot drift. */
+  private[ops] def gopherCounts(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.withColumn("n_words", size(col("tk")))
+      .withColumn("n_chars", expr("length(replace(text, ' ', ''))"))
+      .withColumn("n_symbols", expr(
+        """(length(text) - length(replace(text, '#', '')))
+           + CAST((length(text) - length(replace(text, '...', ''))) / 3
+                  AS INT)"""))
+      .withColumn("n_alpha",
+        expr("size(filter(tk, t -> t rlike '[a-zA-Z]'))"))
+      .withColumn("ln", split(col("text"), "\n", -1))
+      .withColumn("n_lines", size(col("ln")))
+      .withColumn("n_bullet", expr(
+        """size(filter(ln, l -> startswith(l, '-') OR startswith(l, '*')
+                                OR startswith(l, '•')))"""))
+      .withColumn("n_ell", expr(
+        "size(filter(ln, l -> endswith(l, '...') OR endswith(l, '…')))"))
+      .withColumn("ok_words",
+        col("n_words") >= GopherMinWords && col("n_words") <= GopherMaxWords)
+      .withColumn("ok_mean_len",
+        lit(3) * col("n_words") <= col("n_chars") &&
+          col("n_chars") <= lit(10) * col("n_words"))
+      .withColumn("ok_symbol", lit(10) * col("n_symbols") <= col("n_words"))
+      .withColumn("ok_alpha", lit(5) * col("n_alpha") >= lit(4) * col("n_words"))
+      .withColumn("ok_bullet", lit(10) * col("n_bullet") <= lit(9) * col("n_lines"))
+      .withColumn("ok_ellipsis", lit(10) * col("n_ell") <= lit(3) * col("n_lines"))
+      .withColumn("gopher_keep",
+        col("ok_words") && col("ok_mean_len") && col("ok_symbol") &&
+          col("ok_alpha") && col("ok_bullet") && col("ok_ellipsis"))
+
+  /** The same rule counts in DuckDB over a raw text reference — CTE body
+    * producing (doc_id, n_words, n_chars, n_symbols, n_alpha, n_lines,
+    * n_bullet, n_ell) from `documents`. */
+  private[ops] def gopherCountsSql: String =
+    """SELECT doc_id, source, text,
+         len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS n_words,
+         len(replace(text, ' ', '')) AS n_chars,
+         (len(text) - len(replace(text, '#', '')))
+           + (len(text) - len(replace(text, '...', ''))) // 3 AS n_symbols,
+         len(list_filter(string_split(text, ' '),
+           t -> len(t) > 0 AND regexp_matches(t, '[a-zA-Z]'))) AS n_alpha,
+         len(string_split(text, chr(10))) AS n_lines,
+         len(list_filter(string_split(text, chr(10)),
+           l -> starts_with(l, '-') OR starts_with(l, '*')
+                OR starts_with(l, '•'))) AS n_bullet,
+         len(list_filter(string_split(text, chr(10)),
+           l -> ends_with(l, '...') OR ends_with(l, '…'))) AS n_ell
+       FROM documents"""
+
+  /** The `gopher_keep` conjunction in DuckDB over the
+    * [[gopherCountsSql]] columns. */
+  private[ops] def gopherKeepSql: String =
+    s"""(n_words >= $GopherMinWords AND n_words <= $GopherMaxWords
+         AND 3 * n_words <= n_chars AND n_chars <= 10 * n_words
+         AND 10 * n_symbols <= n_words
+         AND 5 * n_alpha >= 4 * n_words
+         AND 10 * n_bullet <= 9 * n_lines
+         AND 10 * n_ell <= 3 * n_lines)"""
+
+  /** The declared rule-matrix query: every Gopher rule's inputs and
+    * verdict per document, plus the conjunction — what a curation run
+    * logs per doc before cutting. Filters-as-data: downstream stages
+    * consume `keep`, dashboards consume the per-rule columns. */
+  val qTextGopherRules = Q(
+    "q_text_gopher_rules",
+    (s, d) => {
+      val m = gopherCounts(T.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          expr("filter(split(text, ' '), t -> length(t) > 0)").as("tk")))
+      m.select(col("doc_id"), col("n_words"), col("n_lines"),
+        r2(col("n_chars").cast("double") / greatest(col("n_words"), lit(1)))
+          .as("mean_word_len"),
+        r2(col("n_symbols").cast("double") / greatest(col("n_words"), lit(1)))
+          .as("symbol_ratio"),
+        r2(col("n_alpha").cast("double") / greatest(col("n_words"), lit(1)))
+          .as("alpha_ratio"),
+        r2(col("n_bullet").cast("double") / col("n_lines")).as("bullet_ratio"),
+        r2(col("n_ell").cast("double") / col("n_lines")).as("ellipsis_ratio"),
+        col("ok_words"), col("ok_mean_len"), col("ok_symbol"),
+        col("ok_alpha"), col("ok_bullet"), col("ok_ellipsis"),
+        col("gopher_keep").as("keep"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH m AS ($gopherCountsSql)
+         SELECT doc_id, CAST(n_words AS INT) AS n_words,
+                CAST(n_lines AS INT) AS n_lines,
+                ${sqlR2("CAST(n_chars AS DOUBLE) / greatest(n_words, 1)")}
+                  AS mean_word_len,
+                ${sqlR2("CAST(n_symbols AS DOUBLE) / greatest(n_words, 1)")}
+                  AS symbol_ratio,
+                ${sqlR2("CAST(n_alpha AS DOUBLE) / greatest(n_words, 1)")}
+                  AS alpha_ratio,
+                ${sqlR2("CAST(n_bullet AS DOUBLE) / n_lines")} AS bullet_ratio,
+                ${sqlR2("CAST(n_ell AS DOUBLE) / n_lines")} AS ellipsis_ratio,
+                n_words >= $GopherMinWords AND n_words <= $GopherMaxWords
+                  AS ok_words,
+                3 * n_words <= n_chars AND n_chars <= 10 * n_words
+                  AS ok_mean_len,
+                10 * n_symbols <= n_words AS ok_symbol,
+                5 * n_alpha >= 4 * n_words AS ok_alpha,
+                10 * n_bullet <= 9 * n_lines AS ok_bullet,
+                10 * n_ell <= 3 * n_lines AS ok_ellipsis,
+                $gopherKeepSql AS keep
+         FROM m ORDER BY doc_id"""))
+
   /** The curation FUNNEL — the whole pipeline's survival report, per
     * source: documents in → after fingerprint dedup (min-doc_id owner
     * per md5 of the first-8-token prefix — the SAME fingerprint rule as
@@ -448,6 +573,9 @@ object Curation {
     * sf0.01, which has zero byte-identical documents, while the prefix
     * fingerprint catches the fixture's planted shared openings — run
     * FIRST, on the full corpus) →
+    * after the Gopher rule matrix ([[gopherCounts]]'s `gopher_keep` —
+    * the heuristic-filter stage, same spelling as
+    * [[qTextGopherRules]]) →
     * after the classifier filter ([[qTextQualityClassifier]]'s
     * score ≥ 0) → after exact-substring span dedup
     * ([[Dedup.substringDedup]] on the quality survivors), with the
@@ -472,9 +600,10 @@ object Curation {
           row_number().over(Window.partitionBy(
             md5(concat_ws(" ", slice(col("tk"), 1, 8)).cast("binary")))
             .orderBy(col("doc_id"))) === 1)
-      val ranked = flagged
+      val ranked = gopherCounts(flagged)
+        .withColumn("ok_gopher", col("ok_exact") && col("gopher_keep"))
         .withColumn("ok_quality",
-          col("ok_exact") && qualityScoreExpr >= 0L)
+          col("ok_gopher") && qualityScoreExpr >= 0L)
       val span = Dedup.substringDedup(
         ranked.filter(col("ok_quality")).select("doc_id", "text"),
         "doc_id", "text", Dedup.SubstrSpanTokens)
@@ -485,10 +614,11 @@ object Curation {
         .groupBy("source")
         .agg(count(lit(1)).as("n_in"),
           sum(when(col("ok_exact"), 1L).otherwise(0L)).as("n_exact"),
+          sum(when(col("ok_gopher"), 1L).otherwise(0L)).as("n_gopher"),
           sum(when(col("ok_quality"), 1L).otherwise(0L)).as("n_quality"),
           sum(when(col("ok_span"), 1L).otherwise(0L)).as("n_span"))
         .select(col("source"), col("n_in"), col("n_exact"),
-          col("n_quality"), col("n_span"),
+          col("n_gopher"), col("n_quality"), col("n_span"),
           r2(lit(100.0) * col("n_span") / col("n_in")).as("pct_kept"))
         .orderBy("source")
     },
@@ -500,9 +630,12 @@ object Curation {
                      t -> len(t) > 0))[1:8], ' '))
                  ORDER BY doc_id) = 1 AS oke
              FROM documents),
-           fl AS (SELECT doc_id, source, oke,
-               oke AND ${qualityScoreSql("text")} >= 0 AS okq
-             FROM ex),
+           gc AS ($gopherCountsSql),
+           fl AS (SELECT e.doc_id, e.source, e.oke,
+               e.oke AND $gopherKeepSql AS okg,
+               e.oke AND $gopherKeepSql
+                 AND ${qualityScoreSql("e.text")} >= 0 AS okq
+             FROM ex e JOIN gc USING (doc_id)),
            tk2 AS (SELECT e.doc_id, string_split(e.text, ' ') AS tk
                    FROM ex e JOIN fl USING (doc_id) WHERE fl.okq),
            sp AS (SELECT DISTINCT doc_id, unnest(list_transform(
@@ -515,12 +648,14 @@ object Curation {
                      max(CASE WHEN o.owner < s.doc_id THEN 1 ELSE 0 END)
                        AS has_cut
                    FROM sp s LEFT JOIN own o USING (g) GROUP BY s.doc_id),
-           flag AS (SELECT f.source, f.oke, f.okq,
+           flag AS (SELECT f.source, f.oke, f.okg, f.okq,
                       f.okq AND coalesce(c.has_cut, 0) = 0 AS oks
                     FROM fl f LEFT JOIN cut c USING (doc_id))
          SELECT source, count(*) AS n_in,
                 CAST(sum(CASE WHEN oke THEN 1 ELSE 0 END) AS BIGINT)
                   AS n_exact,
+                CAST(sum(CASE WHEN okg THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_gopher,
                 CAST(sum(CASE WHEN okq THEN 1 ELSE 0 END) AS BIGINT)
                   AS n_quality,
                 CAST(sum(CASE WHEN oks THEN 1 ELSE 0 END) AS BIGINT)
@@ -533,5 +668,5 @@ object Curation {
   val all: Seq[Q] = Seq(qProfileTable, qDeletionAudit,
     qTextRepetition, qSampleHash, qSampleStratified, qAggHeavyHitters,
     qTextPiiScrub, qSampleSplit, qAggHeavyHittersSketch, qTextSurprisal,
-    qTextQualityClassifier, qCurationFunnel)
+    qTextQualityClassifier, qTextGopherRules, qCurationFunnel)
 }

@@ -210,31 +210,77 @@ class CurationSpec extends SparkSpec {
     }
     // tokens with known-positive weights -> docs built from them pass
     // the classifier; "badbad..." negatives flunk it
-    val pos = (1 to 200).map(i => s"w$i").filter(weight(_) > 0L)
-    val neg = (1 to 200).map(i => s"x$i").filter(weight(_) < 0L)
-    assert(pos.length >= 30 && neg.length >= 10)
+    // 4-char tokens only ("w100".."w999"), so every planted doc passes
+    // the Gopher mean-word-length rule and fails only its TARGET stage
+    val pos = (100 to 999).map(i => s"w$i").filter(weight(_) > 0L)
+    val neg = (100 to 999).map(i => s"x$i").filter(weight(_) < 0L)
+    assert(pos.length >= 32 && neg.length >= 10)
+    // every doc that should survive the Gopher stage carries >= 20 words
     val span = pos.take(10)                    // a 10-token span
     val docs = Seq(
       // 1,2: identical first-8-token prefix -> prefix-dedup cuts doc 2
-      1L -> (pos.slice(10, 18) ++ Seq(pos(18))).mkString(" "),
-      2L -> (pos.slice(10, 18) ++ Seq(pos(19))).mkString(" "),
-      // 3,4: share the mid-document span, DISJOINT unique prefixes,
+      1L -> (pos.slice(10, 18) ++ pos.slice(18, 31)).mkString(" "),
+      2L -> (pos.slice(10, 18) ++ pos.slice(19, 32)).mkString(" "),
+      // 3,4: share the mid-document span, DISJOINT unique prefixes
+      // (3's is 1's mid-tokens REVERSED — different ordered-prefix md5),
       // both all-positive -> span stage cuts doc 4 (owner = 3)
-      3L -> (Seq(pos(20), pos(21)) ++ span).mkString(" "),
-      4L -> (pos.slice(22, 30) ++ span).mkString(" "),
-      // 5: flunks the classifier
-      5L -> neg.take(12).mkString(" "))
+      3L -> (pos.slice(10, 20).reverse ++ span).mkString(" "),
+      4L -> (pos.slice(20, 30) ++ span).mkString(" "),
+      // 5: >= 20 words, all negative weights -> flunks the classifier
+      5L -> (neg.take(10) ++ neg.take(10)).mkString(" "),
+      // 6: 21 alpha-free symbol tokens -> flunks the Gopher matrix
+      //    (symbol + alpha rules) with a unique prefix
+      6L -> Seq.fill(21)("###").mkString(" "))
       .toDF("doc_id", "text")
       .withColumn("source", lit("u")).withColumn("lang", lit("en"))
       .withColumn("n_chars", length(col("text")).cast("long"))
     val dir = java.nio.file.Files.createTempDirectory("funnel").toString
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val out = Curation.qCurationFunnel.fn(spark, dir).head()
-    // in=5; prefix dedup cuts doc 2 -> 4; classifier cuts doc 5 -> 3;
-    // span dedup cuts doc 4 -> 2
+    // in=6; prefix dedup cuts doc 2 -> 5; gopher cuts doc 6 -> 4;
+    // classifier cuts doc 5 -> 3; span dedup cuts doc 4 -> 2
     assert((out.getLong(1), out.getLong(2), out.getLong(3),
-      out.getLong(4)) === ((5L, 4L, 3L, 2L)))
-    assert(out.getDouble(5) === 40.0) // 2/5 kept
+      out.getLong(4), out.getLong(5)) === ((6L, 5L, 4L, 3L, 2L)))
+    assert(out.getDouble(6) === 33.33) // floor(100*2/6*100+0.5)/100
+  }
+
+  test("gopher rule matrix: each rule cuts exactly its planted doc, keep is the conjunction") {
+    // one doc per rule violation + one clean doc; every rule must be
+    // non-vacuous (both verdicts present across the corpus)
+    val clean = (1 to 25).map(i => s"word$i").mkString(" ")
+    docs(
+      1L -> clean,                                   // passes everything
+      2L -> (1 to 10).map(i => s"tok$i").mkString(" "),  // too few words
+      3L -> Seq.fill(21)("abcdefghijkl").mkString(" "),  // mean len 12 > 10
+      4L -> (1 to 21).map(i => s"wo#rd$i").mkString(" "), // symbol-heavy
+      5L -> (1 to 21).map(i => s"${i}000").mkString(" "), // alpha-free words
+      6L -> (1 to 10).map(i => s"-alpha$i beta$i gamma$i").mkString("\n"),
+      // ^ every line bullet-prefixed (ratio 1.0 > 0.9), tokens alphabetic
+      7L -> (1 to 2).map(i =>
+        ((1 to 11).map(j => s"line${i}w$j") :+ "end...").mkString(" "))
+        .mkString("\n"))
+      // ^ both lines end in '...' (ratio 1.0 > 0.3); 24 words, 2 '...'
+      //   occurrences keep the symbol rule passing (20 <= 24)
+    val out = Curation.qTextGopherRules.fn(spark, tmp).collect()
+      .map(r => r.getLong(0) ->
+        (r.getBoolean(8), r.getBoolean(9), r.getBoolean(10),
+         r.getBoolean(11), r.getBoolean(12), r.getBoolean(13),
+         r.getBoolean(14))).toMap
+    // (ok_words, ok_mean_len, ok_symbol, ok_alpha, ok_bullet, ok_ellipsis, keep)
+    assert(out(1L) === ((true, true, true, true, true, true, true)))
+    assert(out(2L) === ((false, true, true, true, true, true, false)))
+    assert(out(3L) === ((true, false, true, true, true, true, false)))
+    assert(out(4L) === ((true, true, false, true, true, true, false)))
+    assert(out(5L) === ((true, true, true, false, true, true, false)))
+    assert(out(6L) === ((true, true, true, true, false, true, false)))
+    assert(out(7L) === ((true, true, true, true, true, false, false)))
+    // ratio display columns agree with hand-computed counts
+    val r3 = Curation.qTextGopherRules.fn(spark, tmp)
+      .filter(col("doc_id") === 3L).head()
+    assert(r3.getDouble(3) === 12.0)   // mean_word_len
+    val r6 = Curation.qTextGopherRules.fn(spark, tmp)
+      .filter(col("doc_id") === 6L).head()
+    assert(r6.getInt(2) === 10 && r6.getDouble(6) === 1.0) // n_lines, bullet_ratio
   }
 
   test("quality classifier score replays the hash-weight formula in plain Scala") {
