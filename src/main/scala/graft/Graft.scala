@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, filter, length, split}
 
 /** The library facade: DataFrame-in / DataFrame-out entry points for
   * every reusable operator core, independent of the test-data table
@@ -149,6 +150,35 @@ object Graft {
   def substringDedup(docs: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame =
     ops.Dedup.substringDedup(docs, idCol, textCol, n)
+
+  /** Best-fit-vs-chunk packing policy report per shard: docs stream in
+    * `orderCol` order, each tail placed in the open bin with the
+    * smallest remaining capacity that fits (state = the open-bin
+    * remainder multiset only). One row per shard: bins used,
+    * boundary-split docs (chunk's truncation cost), padding-waste ppm
+    * (best-fit's cost), both policies from ONE pass. */
+  def packBestFit(rows: DataFrame, shardCol: String, orderCol: String,
+      nTokCol: String, budget: Int): DataFrame =
+    ops.Corpus.packBestFit(rows, shardCol, orderCol, nTokCol, budget)
+
+  /** Gopher heuristic rule matrix (Rae et al. 2021 A1.1) appended to
+    * `docs`: per-rule counts and booleans plus the `gopher_keep`
+    * conjunction, computed map-side from `textCol`. Every rule decision
+    * is an integer comparison — engine-exact. */
+  def gopherRules(docs: DataFrame, textCol: String): DataFrame =
+    ops.Curation.gopherCounts(docs
+      .withColumn("text", col(textCol))
+      .withColumn("tk",
+        filter(split(col(textCol), " "), t => length(t) > 0)))
+
+  /** BPE-encode a text column against the compiled-in merge table (one
+    * map-side codegen pass; see [[graft.functions.BpeEncode]]). */
+  def bpeEncode(c: Column): Column = functions.BpeEncode.encode(c)
+
+  /** BPE-encode against a caller-supplied (e.g. [[learnBpeMerges]]'d)
+    * table — the learned-tokenizer round-trip. */
+  def bpeEncodeWith(c: Column, merges: Seq[(String, String)]): Column =
+    functions.BpeEncode.encodeWith(c, merges)
 
   /** Learn `k` BPE merges over `textCol` (Sennrich 2016): per round one
     * pair-count aggregation pass + a single collected argmax row —

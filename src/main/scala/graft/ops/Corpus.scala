@@ -142,18 +142,23 @@ object Corpus {
     * oracle replays the identical fold as a `list_reduce` over the
     * doc_id-ordered tail list (state = remainder list, first-min
     * tie-break — multiset-equal to the TreeMap's choice). */
-  val qPackBestfit = Q(
-    "q_pack_bestfit",
-    (s, d) => {
-      import s.implicits._
-      val b = PackBudget.toLong
-      def ppm(w: Long, denom: Long): Long =
-        if (denom == 0L) 0L else (2000000L * w + denom) / (2L * denom)
-      T.documents(s, d)
-        .select(col("source"), col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("n_tok"))
-        .as[PackDoc]
-        .groupByKey(_.source)
+  /** The reusable best-fit-vs-chunk policy core over generic columns —
+    * see [[qPackBestfit]] for semantics and the scale argument. Output
+    * columns are the fixed report schema with `source` renamed back to
+    * `shardCol`. */
+  def packBestFit(rows: org.apache.spark.sql.DataFrame, shardCol: String,
+      orderCol: String, nTokCol: String, budget: Int): org.apache.spark.sql.DataFrame = {
+    val s = rows.sparkSession
+    import s.implicits._
+    val b = budget.toLong
+    def ppm(w: Long, denom: Long): Long =
+      if (denom == 0L) 0L else (2000000L * w + denom) / (2L * denom)
+    rows
+      .select(col(shardCol).cast("string").as("source"),
+        col(orderCol).cast("long").as("doc_id"),
+        col(nTokCol).cast("long").as("n_tok"))
+      .as[PackDoc]
+      .groupByKey(_.source)
         .flatMapSortedGroups(col("doc_id")) { (src: String, it: Iterator[PackDoc]) =>
           // boxed key/value types on purpose: with scala.Long type args,
           // ceilingKey's null (no bin fits) would silently unbox to 0L
@@ -191,8 +196,18 @@ object Corpus {
             bfBins, ppm(waste, bfBins * b)))
         }
         .toDF()
-        .orderBy("source")
-    },
+        .withColumnRenamed("source", shardCol)
+  }
+
+  val qPackBestfit = Q(
+    "q_pack_bestfit",
+    (s, d) =>
+      packBestFit(
+        T.documents(s, d)
+          .select(col("source"), col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tok")),
+        "source", "doc_id", "n_tok", PackBudget)
+        .orderBy("source"),
     Some {
       val b = PackBudget
       s"""WITH toks AS (SELECT source, doc_id,

@@ -462,7 +462,7 @@ object Curation {
     * One map-side pass — string length arithmetic plus HOF filters, no
     * explode, no shuffle; shared by [[qTextGopherRules]] and the
     * funnel's optional stage so the spellings cannot drift. */
-  private[ops] def gopherCounts(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+  def gopherCounts(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     df.withColumn("n_words", size(col("tk")))
       .withColumn("n_chars", expr("length(replace(text, ' ', ''))"))
       .withColumn("n_symbols", expr(

@@ -147,6 +147,42 @@ class FacadeSpec extends SparkSpec {
     assert(merges.head === (("a", "b", 2L)))
   }
 
+  test("round-6 facade entries run on ad-hoc frames") {
+    import spark.implicits._
+    // best-fit vs chunk on generic column names, budget 10,
+    // one shard, tails 6,5,7 in id order:
+    //   chunk: total 18 -> 2 bins, waste 2 (ppm 100000); doc 2 (off 6)
+    //   crosses the first boundary -> 1 split
+    //   best-fit: 6 -> bin(rem 4); 5 no fit -> bin(rem 5); 7 no fit ->
+    //   bin(rem 3) => 3 bins, waste 12 (ppm 400000)
+    val rows = Seq((1L, "g", 6L), (2L, "g", 5L), (3L, "g", 7L))
+      .toDF("id", "grp", "toks")
+    val rep = Graft.packBestFit(rows, "grp", "id", "toks", 10).head()
+    assert(rep.getString(0) === "g")
+    assert((rep.getLong(1), rep.getLong(2), rep.getLong(3), rep.getLong(4),
+      rep.getLong(5), rep.getLong(6), rep.getLong(7))
+      === ((3L, 18L, 2L, 1L, 100000L, 3L, 400000L)))
+
+    // gopher matrix over a custom text column: a clean 25-worder keeps,
+    // a 10-worder fails only the word-count rule
+    val g = Graft.gopherRules(
+      Seq((1L, (1 to 25).map(i => s"word$i").mkString(" ")),
+          (2L, (1 to 10).map(i => s"word$i").mkString(" ")))
+        .toDF("id", "body"), "body")
+      .select("id", "ok_words", "gopher_keep").orderBy("id").collect()
+    assert(g.map(r => (r.getBoolean(1), r.getBoolean(2))).toSeq
+      === Seq((true, true), (false, false)))
+
+    // learned-table encode round-trip through the column facade
+    val enc = Seq("ab cd").toDF("text")
+      .select(Graft.bpeEncodeWith(col("text"), Seq("a" -> "b")))
+      .head().getSeq[String](0)
+    assert(enc === Seq("ab", "c", "d"))
+    val fixed = Seq("the").toDF("text")
+      .select(Graft.bpeEncode(col("text"))).head().getSeq[String](0)
+    assert(fixed === Seq("the"))
+  }
+
   test("bloomSemiJoin equals the plain left-semi join on any key type") {
     import spark.implicits._
     val big = (1L to 2000L).map(i => (i, s"row$i")).toDF("k", "v")

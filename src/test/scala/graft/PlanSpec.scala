@@ -296,6 +296,28 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "hashpartitioning") == 1, p)
   }
 
+  test("q_pack_bestfit: one shard-keyed exchange feeds the streaming fold, no join") {
+    // the packer's parallelism unit is the shard: one hashpartitioning
+    // exchange (groupByKey on source), a sorted-group MapGroups fold,
+    // and NO join anywhere — both policies ride the same pass. The only
+    // other exchanges are the fixture spread and the output sort.
+    val p = plan("q_pack_bestfit")
+    assert(count(p, "hashpartitioning") == 1, p)
+    assert(p.contains("MapGroups"), "streaming fold node missing:\n" + p)
+    assert(count(p, """\(\d+\) Scan parquet""") == 1, p)
+    assert(!p.contains("Join"), "policy comparison must not join:\n" + p)
+  }
+
+  test("q_text_gopher_rules: one scan, map-side rule matrix, sort is the only shuffle") {
+    val p = plan("q_text_gopher_rules")
+    assert(count(p, """\(\d+\) Scan parquet""") == 1, p)
+    // all six rules are length arithmetic + HOF filters on the row:
+    // no explode (Generate), no aggregation exchange, no join
+    assert(count(p, "hashpartitioning") == 0, p)
+    assert(!p.contains("Generate"), "rule matrix must not explode:\n" + p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q_unpivot: the melt is a map-side generator, not a self-union of scans") {
     val p = plan("q_unpivot")
     assert(count(p, """\(\d+\) Scan parquet""") == 1,
