@@ -37,7 +37,7 @@ object Bench {
       java.nio.file.Paths.get(path), dir.resolve("events.parquet"))
     try {
       val t0 = System.nanoTime()
-      val q = transform(Tables.tsNanosToMicros(
+      val q = transform(Tables.normalizeEventTs(
           spark.readStream.schema(rawSchema).parquet(dir.toString)))
         .writeStream
         .format("noop")

@@ -34,23 +34,43 @@ object Tables {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-    * default (PARQUET_TYPE_ILLEGAL). Read it as a nanosecond long and
-    * truncate to a microsecond timestamp — exactly what DuckDB's
-    * µs-native TIMESTAMP does on the same file, so event-time semantics
-    * align engine-to-engine. `div` keeps the arithmetic in integer space
-    * (a double division would lose precision above 2^53 ns). Shared by
-    * the batch reader below and Bench's streaming probes so both paths
-    * carry identical event-time semantics. */
-  def tsNanosToMicros(df: DataFrame): DataFrame =
-    df.withColumn(
-      "ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+  /** Normalize events.ts to a session-timezone (UTC) microsecond
+    * TimestampType regardless of how the fixture was written. The driver
+    * has shipped events.parquet with two different physical encodings so
+    * far — TIMESTAMP(NANOS) through round 5, TIMESTAMP_MICROS
+    * (isAdjustedToUTC=false) from round 6 — so the loader adapts to the
+    * schema it actually reads instead of assuming one:
+    *
+    *  - LongType: the file carries TIMESTAMP(NANOS), which Spark 4
+    *    rejects by default (PARQUET_TYPE_ILLEGAL) and we read under
+    *    `nanosAsLong` as raw nanoseconds. Truncate to µs in integer
+    *    space (`div` — a double division loses precision above 2^53 ns),
+    *    exactly what DuckDB's µs-native TIMESTAMP does on the same file.
+    *  - TimestampNTZType: the file carries TIMESTAMP_MICROS with
+    *    isAdjustedToUTC=false. Cast to TimestampType: every session here
+    *    pins spark.sql.session.timeZone=UTC, so the cast reinterprets the
+    *    naive wall-clock as the same UTC instant DuckDB reads.
+    *  - TimestampType (isAdjustedToUTC=true fixtures): already right.
+    *
+    * Shared by the batch reader below and Bench's streaming probes so
+    * both paths carry identical event-time semantics. */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+  }
 
   private def eventsRaw(s: SparkSession, d: String): DataFrame = {
+    // Harmless when ts is already µs; lets a TIMESTAMP(NANOS) fixture
+    // load (as LongType) instead of failing the scan outright.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    tsNanosToMicros(t(s, d, "events"))
+    normalizeEventTs(t(s, d, "events"))
   }
 
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")

@@ -337,13 +337,10 @@ class StreamingSpec extends SparkSpec {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sf/events.parquet"),
       dir.resolve("events.parquet"))
-    val stream = s.readStream
+    val stream = Tables.normalizeEventTs(s.readStream
       .schema(s.read.parquet(s"$sf/events.parquet").schema)
       .format("parquet")
-      .load(dir.toString)
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000"))) // nanos long -> us
+      .load(dir.toString))
     val q = Pipelines.tumblingCounts(stream, "1 hour", "0 seconds")
       .writeStream.format("memory").queryName("parity")
       .outputMode("complete")
