@@ -151,6 +151,18 @@ object Graft {
       n: Int): DataFrame =
     ops.Dedup.substringDedup(docs, idCol, textCol, n)
 
+  /** SemDeDup-style semantic dedup verdicts (Abbas et al. 2023): assign
+    * every vector to its highest-cosine stride-sampled seed cell, prune
+    * a vector iff a lower-id cell-mate sits at cosine ≥ `eps` (min-id
+    * owner — feed the (dup_of, vec_id) pairs to [[connectedComponents]]
+    * for full chained clusters). One row per input vector:
+    * (vec_id, cell, kept, dup_of). `vecCol` must be array<double>. */
+  def semanticDedup(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int = ops.Dedup.SemanticCells,
+      eps: Double = ops.Dedup.SemanticEps,
+      maxBlock: Int = ops.Dedup.MaxEmbeddingBlock): DataFrame =
+    ops.Dedup.semanticDedup(vectors, idCol, vecCol, k, eps, maxBlock)
+
   /** Best-fit-vs-chunk packing policy report per shard: docs stream in
     * `orderCol` order, each tail placed in the open bin with the
     * smallest remaining capacity that fits (state = the open-bin

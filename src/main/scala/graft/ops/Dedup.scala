@@ -394,6 +394,124 @@ object Dedup {
               AND x.rnb <= $MaxEmbeddingBlock AND y.rnb <= $MaxEmbeddingBlock)
            WHERE cos >= $EmbeddingCosFloor ORDER BY a, b"""))
 
+  /** Cells for the semantic-dedup coarse quantizer — small by definition
+    * (a coarse cell is a pruning unit, not a cluster-analysis artifact). */
+  val SemanticCells = 8
+
+  /** Cosine floor for a semantic duplicate. Same fixture-calibration
+    * argument as [[EmbeddingCosFloor]]: the synthetic corpus's cosines
+    * top out near 0.5, so the conventional ~0.95 SemDeDup epsilon would
+    * prune nothing at any gate sf and certify only 0=0; 0.4 keeps real
+    * prunings flowing through the gate. DedupSpec plants genuine
+    * near-identical clusters and asserts the rule at a production-grade
+    * epsilon. */
+  val SemanticEps = 0.4
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540
+    * — cluster embeddings, prune within-cluster near-duplicates): a
+    * cheap deterministic coarse quantizer assigns every vector to its
+    * highest-cosine seed cell, and within each cell a vector is pruned
+    * iff a LOWER-vec_id cell-mate sits at cosine ≥ `eps` (the same
+    * min-id owner rule as [[qDedupSubstring]] — transitive-closure-free,
+    * so the verdict is a pure two-level expression both engines can
+    * evaluate identically; full chained clustering is
+    * [[graft.ops.Graph]]'s connected-components job, which composes on
+    * this output's (dup_of, vec_id) pairs).
+    *
+    * Seeds are the k stride-sampled vectors by vec_id — the same
+    * RNG-free seeding as [[Similarity.ivfIndex]], minus the Lloyd
+    * refinement precisely so the whole assignment stays relational and
+    * DuckDB-replayable (IVF's refined cells are the engine-internal
+    * scale path; this is the certifiable spelling of the same
+    * cluster-then-prune shape).
+    *
+    * Scale shape: seeds broadcast (k rows), assignment is one map-side
+    * ×k expansion collapsed by a two-phase struct-min agg — the corpus
+    * never shuffles to be assigned. The within-cell self-join is the
+    * bounded quadratic step: per-cell cap ([[MaxEmbeddingBlock]], the
+    * [[embeddingPairs]] policy) keeps pair work ≤ cap²/2 per cell no
+    * matter how hot a cell runs; overflow vectors pass through kept
+    * (dense cells are the ANN paths' job). Raw-cosine comparisons are
+    * engine-stable by the [[Similarity.qSimLshTopk]] argument: both
+    * engines run the identical sequential IEEE-754 kernel, so even the
+    * argmax at a cell boundary and the ≥ eps test cannot diverge. */
+  def semanticDedup(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int = SemanticCells, eps: Double = SemanticEps,
+      maxBlock: Int = MaxEmbeddingBlock): DataFrame = {
+    val e = vectors
+      .select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+    // One count probe for the seed stride — an index-build scalar, the
+    // same driver state class as IVF's seeding.
+    val stride = math.max(e.count() / k, 1L)
+    val seeds = e
+      .filter(col("vec_id") % stride === 0 && col("vec_id") < stride * k)
+      .select((col("vec_id") / stride).cast("long").as("cell"),
+        col("v").as("cv"))
+    // argmax cosine via struct-min on (-sim, cell): ties break to the
+    // lowest cell in both engines; v rides the struct so no rejoin.
+    val assigned = e.crossJoin(broadcast(seeds))
+      .withColumn("negsim", -Similarity.cosine(col("v"), col("cv")))
+      .groupBy("vec_id")
+      .agg(min(struct(col("negsim"), col("cell"), col("v"))).as("m"))
+      .select(col("vec_id"), col("m.cell").as("cell"), col("m.v").as("v"))
+    val wb = Window.partitionBy(col("cell")).orderBy(col("vec_id"))
+    val capped = assigned.withColumn("rnb", row_number().over(wb))
+      .filter(col("rnb") <= maxBlock).drop("rnb")
+    val owners = capped.as("x")
+      .join(capped.as("y"),
+        col("x.cell") === col("y.cell") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .filter(Similarity.cosine(col("x.v"), col("y.v")) >= eps)
+      .groupBy(col("y.vec_id").as("vec_id"))
+      .agg(min(col("x.vec_id")).as("dup_of"))
+    assigned.join(owners, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        col("dup_of").isNull.as("kept"), col("dup_of"))
+      .orderBy("vec_id")
+  }
+
+  /** The DuckDB cosine kernel over two DOUBLE[] expressions — the exact
+    * op sequence of the fused [[graft.functions.CosineSim]] codegen
+    * kernel (three sequential sums, then dot/(sqrt·sqrt)), dim 64 (the
+    * fixture width, TESTDATA.md). */
+  private def cosSql(a: String, b: String): String =
+    s"""(list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))
+         / (sqrt(list_sum(list_transform(range(1, 65), i -> $a[i] * $a[i])))
+            * sqrt(list_sum(list_transform(range(1, 65),
+                i -> $b[i] * $b[i])))))"""
+
+  val qDedupSemantic = Q(
+    "q_dedup_semantic",
+    (s, d) => semanticDedup(
+      T.embeddings(s, d).withColumn("v",
+        col("embedding").cast("array<double>")),
+      "vec_id", "v"),
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                        FROM embeddings),
+             p AS (SELECT greatest(count(*) // $SemanticCells, 1) AS stride
+                   FROM e),
+             seeds AS (SELECT e.vec_id // p.stride AS cell, e.v AS cv
+                       FROM e, p
+                       WHERE e.vec_id % p.stride = 0
+                         AND e.vec_id < p.stride * $SemanticCells),
+             sims AS (SELECT e.vec_id, s.cell, e.v,
+                        ${cosSql("e.v", "s.cv")} AS sim
+                      FROM e CROSS JOIN seeds s),
+             assign AS (SELECT vec_id, cell, v FROM sims
+                        QUALIFY row_number() OVER (PARTITION BY vec_id
+                          ORDER BY sim DESC, cell) = 1),
+             capped AS (SELECT vec_id, cell, v FROM assign
+                        QUALIFY row_number() OVER (PARTITION BY cell
+                          ORDER BY vec_id) <= $MaxEmbeddingBlock),
+             owners AS (SELECT y.vec_id AS vec_id, min(x.vec_id) AS dup_of
+                        FROM capped x JOIN capped y
+                          ON x.cell = y.cell AND x.vec_id < y.vec_id
+                        WHERE ${cosSql("x.v", "y.v")} >= $SemanticEps
+                        GROUP BY y.vec_id)
+           SELECT a.vec_id, a.cell, o.dup_of IS NULL AS kept, o.dup_of
+           FROM assign a LEFT JOIN owners o USING (vec_id)
+           ORDER BY a.vec_id"""))
+
   /** Incremental dedup — the shape production ingestion actually runs:
     * an incoming BATCH deduped against the already-ingested corpus's
     * fingerprint index, then within itself. The fingerprint is the md5
@@ -635,6 +753,6 @@ object Dedup {
 
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupMinhash, qDedupNgramJaccard, qDedupSimhash,
-    qDedupEmbedding, qDedupEmbeddingLsh, qDedupIncremental, qDedupEditdist,
-    qDedupMinhashQuality, qDedupSubstring)
+    qDedupEmbedding, qDedupEmbeddingLsh, qDedupSemantic, qDedupIncremental,
+    qDedupEditdist, qDedupMinhashQuality, qDedupSubstring)
 }

@@ -259,6 +259,59 @@ class DedupSpec extends SparkSpec {
         assert(c < 0.99, s"unplanted pair ($a,$b) scored $c") }
   }
 
+  test("semantic dedup: planted clusters prune to their min-id member " +
+      "at the production epsilon") {
+    val s = spark
+    import s.implicits._
+    val dim = 16
+    def hvec(tag: String): Array[Double] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(dim) { i =>
+        val h = md.digest(s"sem:$tag:$i".getBytes("UTF-8"))
+        (((h(0) & 0xff) - 128) / 128.0)
+      }
+    }
+    // 4 planted clusters of 3 near-identical vectors + 36 scattered, ids
+    // interleaved so clusters span the stride-seeded cells arbitrarily.
+    val planted = (0 until 4).flatMap { c =>
+      val b = hvec(s"cluster$c")
+      Seq.tabulate(3) { j =>
+        val v = b.clone(); v(0) += j * 0.005
+        (c * 12L + j, v)
+      }
+    }
+    val noise = (0 until 36).map(j => (100L + j, hvec(s"noise$j")))
+    val tmp = java.nio.file.Files.createTempDirectory("sem_dedup").toString
+    (planted ++ noise).toDF("vec_id", "v")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$tmp/embeddings.parquet")
+    val got = Graft.semanticDedup(
+        spark.read.parquet(s"$tmp/embeddings.parquet"), "vec_id", "v",
+        k = 4, eps = 0.95)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3)))
+    // every input vector gets exactly one verdict
+    assert(got.length == planted.size + noise.size)
+    assert(got.map(_._1).distinct.length == got.length)
+    val byId = got.map(g => g._1 -> g).toMap
+    (0 until 4).foreach { c =>
+      val ids = Seq.tabulate(3)(j => c * 12L + j)
+      // near-identical vectors assign to the same cell (assignment is a
+      // pure function of the values), so the min id survives and the
+      // rest point at it
+      assert(byId(ids.head)._3, s"cluster $c min id must be kept")
+      ids.tail.foreach { id =>
+        assert(!byId(id)._3, s"planted dup $id must be pruned")
+        assert(byId(id)._4 == ids.head,
+          s"dup $id must point at the cluster min ${ids.head}")
+      }
+    }
+    // scattered vectors survive at the production epsilon
+    noise.foreach { case (id, _) =>
+      assert(byId(id)._3, s"scatter $id wrongly pruned") }
+  }
+
   test("exact-substring dedup: planted shared span cuts only the later doc") {
     // A 10-token span planted in docs 1 and 2 (SubstrSpanTokens = 10).
     val span = (1 to 10).map(i => s"s$i").mkString(" ")
