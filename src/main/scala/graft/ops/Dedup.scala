@@ -512,6 +512,67 @@ object Dedup {
            FROM assign a LEFT JOIN owners o USING (vec_id)
            ORDER BY a.vec_id"""))
 
+  /** Lexical-vs-semantic dedup AGREEMENT report — the cross-method
+    * diagnostic a data team reads before picking a dedup policy (the
+    * SemDeDup line of work reports exactly this: how much of the
+    * semantic-duplicate set lexical dedup already catches, and what
+    * only embeddings can see). MinHash-LSH candidate pairs (lexical)
+    * full-outer-join embedding-cosine near-dup pairs (semantic) on the
+    * pair key; each pair lands in one verdict — `both`,
+    * `lexical_only`, `semantic_only` — with counts and id extents.
+    * The comparison is well-defined because documents and embeddings
+    * share one id domain (doc_id = vec_id — the
+    * [[Similarity.qJoinTextEmbedding]] contract).
+    *
+    * Scale shape: both inputs are the already-bounded candidate frames
+    * (banded + df-capped lexical, label-blocked + capped semantic) —
+    * the join runs on near-dup-sized data, never corpus-sized; output
+    * is ≤ 3 rows. At the gate sf the fixture's planted text dups and
+    * its embedding geometry are independent, so `both` is legitimately
+    * empty there; DedupSpec plants a corpus where all three verdicts
+    * occur. */
+  val qDedupAgreement = Q(
+    "q_dedup_agreement",
+    (s, d) => {
+      val lex = minhashPairs(s, d).select(col("a"), col("b"))
+        .withColumn("lex", lit(true))
+      val sem = embeddingPairs(s, d, MaxEmbeddingBlock, EmbeddingCosFloor)
+        .select(col("a"), col("b"), lit(true).as("sem"))
+      lex.join(sem, Seq("a", "b"), "full_outer")
+        .withColumn("verdict",
+          when(col("lex").isNotNull && col("sem").isNotNull, "both")
+            .when(col("lex").isNotNull, "lexical_only")
+            .otherwise("semantic_only"))
+        .groupBy("verdict")
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("a")).as("min_a"), max(col("b")).as("max_b"))
+        .orderBy("verdict")
+    },
+    Some(s"""WITH $minhashPairsSqlCte,
+             ecap AS (SELECT vec_id, label, embedding,
+                        row_number() OVER (PARTITION BY label
+                          ORDER BY vec_id) AS rnb
+                      FROM embeddings),
+             sem AS (SELECT a, b FROM (
+                 SELECT x.vec_id AS a, y.vec_id AS b,
+                        ${sqlR2("""list_cosine_similarity(
+                          CAST(x.embedding AS DOUBLE[]),
+                          CAST(y.embedding AS DOUBLE[]))""")} AS cos
+                 FROM ecap x JOIN ecap y
+                   ON x.label = y.label AND x.vec_id < y.vec_id
+                  AND x.rnb <= $MaxEmbeddingBlock
+                  AND y.rnb <= $MaxEmbeddingBlock)
+               WHERE cos >= $EmbeddingCosFloor),
+             m AS (SELECT coalesce(c.a, s.a) AS a, coalesce(c.b, s.b) AS b,
+                     c.a IS NOT NULL AS lex, s.a IS NOT NULL AS sem
+                   FROM cand c FULL OUTER JOIN sem s
+                     ON c.a = s.a AND c.b = s.b)
+           SELECT CASE WHEN lex AND sem THEN 'both'
+                       WHEN lex THEN 'lexical_only'
+                       ELSE 'semantic_only' END AS verdict,
+                  count(*) AS n_pairs, min(a) AS min_a, max(b) AS max_b
+           FROM m GROUP BY 1 ORDER BY 1"""))
+
   /** Incremental dedup — the shape production ingestion actually runs:
     * an incoming BATCH deduped against the already-ingested corpus's
     * fingerprint index, then within itself. The fingerprint is the md5
@@ -753,6 +814,7 @@ object Dedup {
 
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupMinhash, qDedupNgramJaccard, qDedupSimhash,
-    qDedupEmbedding, qDedupEmbeddingLsh, qDedupSemantic, qDedupIncremental,
-    qDedupEditdist, qDedupMinhashQuality, qDedupSubstring)
+    qDedupEmbedding, qDedupEmbeddingLsh, qDedupSemantic, qDedupAgreement,
+    qDedupIncremental, qDedupEditdist, qDedupMinhashQuality,
+    qDedupSubstring)
 }

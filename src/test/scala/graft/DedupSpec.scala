@@ -312,6 +312,51 @@ class DedupSpec extends SparkSpec {
       assert(byId(id)._3, s"scatter $id wrongly pruned") }
   }
 
+  test("dedup agreement: planted corpus surfaces all three verdicts") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("agree").toString
+    // Text side: docs 0/1 share their text (lexical pair), docs 2/3
+    // share theirs, docs 4..9 are long unique texts (enough distinct
+    // shingles that nothing else pairs).
+    def uniq(id: Long): String =
+      (0 until 30).map(i => s"u${id}w$i").mkString(" ")
+    val shared1 = (0 until 30).map(i => s"sharedA$i").mkString(" ")
+    val shared2 = (0 until 30).map(i => s"sharedB$i").mkString(" ")
+    val docs = Seq(
+      0L -> shared1, 1L -> shared1,
+      2L -> shared2, 3L -> shared2) ++ (4L to 9L).map(id => id -> uniq(id))
+    docs.toDF("doc_id", "text").withColumn("source", lit("s"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$tmp/documents.parquet")
+    // Vector side (same id domain, one label so blocking keeps pairs
+    // together): ids 0/1 near-identical (-> both), ids 4/5
+    // near-identical (-> semantic_only); everything else decorrelated
+    // md5 vectors (ids 2/3 lexical-only by construction).
+    def hvec(tag: String): Array[Double] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(16) { i =>
+        val h = md.digest(s"agree:$tag:$i".getBytes("UTF-8"))
+        (((h(0) & 0xff) - 128) / 128.0)
+      }
+    }
+    val near = hvec("near")
+    val near2 = near.clone(); near2(0) += 0.01
+    val vecs = Seq(0L -> near, 1L -> near2, 4L -> near, 5L -> near2) ++
+      Seq(2L, 3L, 6L, 7L, 8L, 9L).map(id => id -> hvec(s"far$id"))
+    vecs.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .withColumn("label", lit(0))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$tmp/embeddings.parquet")
+    val got = Dedup.qDedupAgreement.fn(spark, tmp).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set("both", "lexical_only", "semantic_only"), got)
+    assert(got("both") >= 1L, got)          // 0-1: same text AND near vecs
+    assert(got("lexical_only") >= 1L, got)  // 2-3: same text, far vecs
+    assert(got("semantic_only") >= 1L, got) // 4-5: near vecs, unique text
+  }
+
   test("exact-substring dedup: planted shared span cuts only the later doc") {
     // A 10-token span planted in docs 1 and 2 (SubstrSpanTokens = 10).
     val span = (1 to 10).map(i => s"s$i").mkString(" ")

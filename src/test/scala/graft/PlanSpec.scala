@@ -408,4 +408,18 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
   }
+
+  test("q_dedup_semantic: seeds broadcast for assignment, corpus never " +
+      "shuffles to be assigned") {
+    val p = plan("q_dedup_semantic")
+    // the xk seed expansion is a broadcast nested-loop (k rows), never a
+    // CartesianProduct shuffling the corpus side
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the argmax collapse is two-phase: a partial aggregate runs above
+    // the broadcast join BEFORE the vec_id exchange, so each map task
+    // ships one row per vector, not k
+    assert(count(p, "HashAggregate") >= 2, p)
+    assert(count(p, "hashpartitioning\\(vec_id") >= 1, p)
+  }
 }
