@@ -343,4 +343,50 @@ class PropertySpec extends SparkSpec {
           (ps intersect cs diff flipped).size
     })
   }
+
+  test("semanticDedup replays the seed-argmax + min-id-owner rule exactly") {
+    val s = spark
+    import s.implicits._
+    // same fused accumulation order as the CosineSim kernel — bit-equal
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val vecGen = for {
+      n <- Gen.choose(6, 24)
+      vs <- Gen.listOfN(n, Gen.listOfN(6,
+        Gen.choose(-4, 4).map(_.toDouble / 4)))
+      // reject all-zero vectors (cosine undefined; fixture never has them)
+      if vs.forall(_.exists(_ != 0.0))
+    } yield vs.map(_.toArray)
+    val k = 3
+    val eps = 0.8
+    check(Prop.forAllNoShrink(vecGen) { vs =>
+      val ids = vs.indices.map(_.toLong)
+      val got = Graft.semanticDedup(
+          ids.zip(vs).toDF("vec_id", "v"), "vec_id", "v", k = k, eps = eps)
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getBoolean(2),
+            if (r.isNullAt(3)) -1L else r.getLong(3))))
+        .toMap
+      // plain-Scala replay of the declared rule
+      val stride = math.max(vs.length.toLong / k, 1L)
+      val seeds = ids.filter(id => id % stride == 0 && id < stride * k)
+        .map(id => (id / stride, vs(id.toInt)))
+      def cell(v: Array[Double]): Long =
+        seeds.map { case (c, cv) => (-cos(v, cv), c) }.min._2
+      val cells = ids.map(id => id -> cell(vs(id.toInt))).toMap
+      val expect = ids.map { id =>
+        val owner = ids.filter(o => o < id && cells(o) == cells(id) &&
+          cos(vs(o.toInt), vs(id.toInt)) >= eps)
+        id -> ((cells(id), owner.isEmpty,
+          if (owner.isEmpty) -1L else owner.min))
+      }.toMap
+      got == expect
+    })
+  }
 }
