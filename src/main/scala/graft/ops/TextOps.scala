@@ -504,9 +504,42 @@ object TextOps {
                t -> t = 'the')) > 0 AS has_the
            FROM documents ORDER BY doc_id"""))
 
+  /** Sequence-length distribution per source in LOG2 buckets — the
+    * context-budget diagnostic read before choosing a packing window
+    * (`q_pack_sequences`' budget) or a truncation policy: bucket b
+    * holds docs of 2^b..2^(b+1)-1 tokens, with doc and token mass per
+    * bucket, so "what share of the corpus outlives a 256-token window"
+    * is one scan of the report. The bucket is the token count's integer
+    * BIT LENGTH minus one (`length(bin(n))` ≡ DuckDB
+    * `length(printf('%b', n))` — the [[Corpus]] surprisal trick), so
+    * the log2 floor is exact integer arithmetic in both engines, never
+    * a float log. One map-side pass; the aggregation shuffles one row
+    * per (source, bucket) — bounded by 64·|sources| regardless of
+    * corpus size. */
+  val qTextLengthHist = Q(
+    "q_text_length_hist",
+    (s, d) =>
+      T.documents(s, d)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("bucket",
+          (length(bin(col("n_tok"))) - 1).cast("long"))
+        .groupBy("source", "bucket")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          min(col("n_tok")).as("min_tok"), max(col("n_tok")).as("max_tok"))
+        .orderBy("source", "bucket"),
+    Some("""WITH t AS (SELECT source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             FROM documents)
+           SELECT source,
+             CAST(length(printf('%b', n_tok)) - 1 AS BIGINT) AS bucket,
+             count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             min(n_tok) AS min_tok, max(n_tok) AS max_tok
+           FROM t GROUP BY source, bucket ORDER BY source, bucket"""))
+
   val all: Seq[Q] =
     Seq(qArrayExplode, qTextStats, qTextTokens, qTextFingerprint,
       qTextLanguage, qTextLanguageNgram, qTextTokensRegex, qTextTokensBpe,
       qTextFertility, qTextWinnowPairs, qPipelineFilter, qScalarArray,
-      qTextTfidf, qScalarLambda)
+      qTextTfidf, qScalarLambda, qTextLengthHist)
 }

@@ -178,4 +178,26 @@ class TextSpec extends SparkSpec {
       .filter(col("text").rlike("[^a-z0-9 ]")).count()
     assert(offenders === 0L)
   }
+
+  test("length histogram buckets by exact integer log2 of the token count") {
+    val s = spark
+    import s.implicits._
+    // token counts 1, 2, 3, 4, 7, 8 -> buckets 0, 1, 1, 2, 2, 3
+    val rows = Seq(1, 2, 3, 4, 7, 8).zipWithIndex.map { case (n, i) =>
+      (i.toLong, (1 to n).map(j => s"w$j").mkString(" "))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("textspec_hist").toString
+    rows.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("u"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.qTextLengthHist.fn(spark, dir).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got.keySet === Set(0L, 1L, 2L, 3L))
+    assert(got(0L) === ((1L, 1L, 1L, 1L)))   // {1}
+    assert(got(1L) === ((2L, 5L, 2L, 3L)))   // {2, 3}
+    assert(got(2L) === ((2L, 11L, 4L, 7L)))  // {4, 7}
+    assert(got(3L) === ((1L, 8L, 8L, 8L)))   // {8}
+  }
 }
