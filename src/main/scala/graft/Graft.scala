@@ -135,6 +135,13 @@ object Graft {
       nTokCol: String): DataFrame =
     ops.Corpus.mixWeights(rows, shardCol, nTokCol)
 
+  /** Materialize [[mixWeights]]' downsample: per shard, docs/tokens in
+    * vs kept under deterministic md5-bucket sampling at the reported
+    * 2dp rate — reproducible on any engine/partitioning, no RNG. */
+  def mixApply(rows: DataFrame, shardCol: String, idCol: String,
+      nTokCol: String): DataFrame =
+    ops.Corpus.mixApply(rows, shardCol, idCol, nTokCol)
+
   /** Snapshot diff across two corpus versions: per id, added / removed /
     * changed / unchanged, comparing `fpCol` (pass a hash, not the body).
     * One full-outer equi-join on the id. */

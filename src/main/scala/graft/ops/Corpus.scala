@@ -427,6 +427,76 @@ object Corpus {
         .as("sample_rate"))
   }
 
+  /** Mixture APPLICATION — the step between [[mixWeights]]' report and
+    * a training run: actually materialize the downsample by keeping
+    * each document iff its deterministic hash bucket falls under its
+    * source's sample rate. The rate is the REPORTED 2dp value (the Det
+    * grid makes `floor(rate·100 + 0.5)` recover an exact integer
+    * percentage in both engines), and the bucket is the first 32 bits
+    * of md5(doc_id) mod 100 — so the same documents are kept on every
+    * engine, every run, every partitioning: reproducible sampling with
+    * no RNG, the [[graft.ops.Relational.qSampleHash]] discipline
+    * applied per-source at a data-derived rate. Per source: rate and
+    * docs/tokens in vs kept (all integer space).
+    *
+    * Scale shape: one corpus scan to the per-doc frame; the k-row rate
+    * frame broadcasts back (never a shuffle of the corpus side); the
+    * verdict is a map-side integer comparison and the final agg ships
+    * one row per source. */
+  def mixApply(rows: org.apache.spark.sql.DataFrame, shardCol: String,
+      idCol: String, nTokCol: String): org.apache.spark.sql.DataFrame = {
+    val rates = mixWeights(rows.select(col(shardCol), col(nTokCol)),
+        shardCol, nTokCol)
+      .select(col(shardCol),
+        floor(col("sample_rate") * 100 + lit(0.5)).cast("long")
+          .as("rate_pct"))
+    val bucket = conv(
+        substring(md5(col(idCol).cast("string").cast("binary")), 1, 8),
+        16, 10).cast("long") % 100
+    rows.join(broadcast(rates), shardCol)
+      .withColumn("keep", bucket < col("rate_pct"))
+      .groupBy(shardCol, "rate_pct")
+      .agg(count(lit(1)).as("n_docs_in"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_docs_kept"),
+        sum(col(nTokCol)).as("n_tokens_in"),
+        sum(when(col("keep"), col(nTokCol)).otherwise(0L))
+          .as("n_tokens_kept"))
+  }
+
+  val qMixApply = Q(
+    "q_mix_apply",
+    (s, d) =>
+      mixApply(
+        T.documents(s, d)
+          .select(col("source"), col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tok")),
+        "source", "doc_id", "n_tok")
+        .orderBy("source"),
+    Some(s"""WITH per AS (SELECT source, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+               FROM documents),
+             agg AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+               FROM per GROUP BY source),
+             tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t_total,
+               count(*) AS n_sources FROM agg),
+             rates AS (SELECT source,
+               CAST(floor(${Det.sqlR2(
+                 """least(1.0, CAST(t_total AS DOUBLE) / n_sources
+                    / CAST(n_tokens AS DOUBLE))""")} * 100 + 0.5) AS BIGINT)
+                 AS rate_pct
+               FROM agg, tot),
+             v AS (SELECT p.source, r.rate_pct, p.n_tok,
+               (('0x' || substring(md5(CAST(p.doc_id AS VARCHAR)), 1, 8))
+                  ::BIGINT % 100) < r.rate_pct AS keep
+               FROM per p JOIN rates r ON p.source = r.source)
+           SELECT source, rate_pct, count(*) AS n_docs_in,
+             CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_kept,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens_in,
+             CAST(sum(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT)
+               AS n_tokens_kept
+           FROM v GROUP BY source, rate_pct ORDER BY source"""))
+
   /** Temperature-scaled mixture weights — the multilingual/multi-domain
     * sampling rule (weight_i ∝ n_i^alpha at alpha = 0.5, i.e. sqrt):
     * up-weights small domains relative to proportional sampling without
@@ -919,7 +989,7 @@ object Corpus {
 
   val all: Seq[Q] =
     Seq(qPackSequences, qContamination, qContaminationBloom, qMixWeights,
-      qMixTemperature, qCorpusNgramCounts, qSnapshotDiff, qCorpusUpsert,
-      qPackSequencesBpe, qCorpusDrift, qBpeLearn, qBpeApplyLearned,
-      qPackBestfit)
+      qMixApply, qMixTemperature, qCorpusNgramCounts, qSnapshotDiff,
+      qCorpusUpsert, qPackSequencesBpe, qCorpusDrift, qBpeLearn,
+      qBpeApplyLearned, qPackBestfit)
 }

@@ -489,4 +489,39 @@ class CorpusSpec extends SparkSpec {
     assert(rows.keySet === Set("kept", "deleted", "delete_noop",
       "inserted", "upsert_noop", "updated"))
   }
+
+  test("q_mix_apply replays the md5-bucket sampling in plain Scala") {
+    val s = spark
+    import s.implicits._
+    // source "big" dominates tokens -> rate < 1; "small" rides min(1, .)
+    val rows = (0L until 40L).map(i => ("big", i, 50L)) ++
+      (100L until 110L).map(i => ("small", i, 5L))
+    val df = rows.toDF("source", "doc_id", "n_tok")
+    val got = Graft.mixApply(df, "source", "doc_id", "n_tok")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // plain-Scala replay
+    val perTok = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val total = perTok.values.sum.toDouble
+    def r2(x: Double) = math.floor(x * 100 + 0.5) / 100
+    def ratePct(src: String) =
+      math.floor(r2(math.min(1.0, total / perTok.size / perTok(src)))
+        * 100 + 0.5).toLong
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val rp = ratePct(src)
+      val kept = rs.filter(r => bucket(r._2) < rp)
+      assert(got(src) === ((rp, rs.size.toLong, kept.size.toLong,
+        rs.map(_._3).sum, kept.map(_._3).sum)), s"source $src")
+    }
+    // the planted asymmetry exercises both regimes
+    assert(got("small")._1 === 100L)
+    assert(got("big")._1 < 100L && got("big")._3 < got("big")._2)
+  }
 }
