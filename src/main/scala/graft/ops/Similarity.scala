@@ -374,6 +374,91 @@ object Similarity {
                    AS q_l1
           FROM q ORDER BY vec_id"""))
 
+  /** PQ subspaces (M) and per-subspace codebook size (k): a 64-dim
+    * vector compresses to M 4-bit codes = one 32-bit word. */
+  val PqSubspaces = 8
+  val PqCodebook = 16
+
+  /** Product quantization (Jégou et al. 2011) — the vector-compression
+    * step an ANN index runs at ingest, beside [[qVecQuantize]]'s scalar
+    * int8 path: the vector splits into [[PqSubspaces]] subvectors, each
+    * encoded as the index of its nearest codeword in that subspace's
+    * [[PqCodebook]]-entry codebook; the codes pack into ONE 32-bit word
+    * (4 bits × 8 subspaces — a 64× compression of the 64-dim double
+    * vector) and the total squared reconstruction error is reported per
+    * vector. Codebooks are the stride-sampled seed vectors' subvectors —
+    * the same RNG-free seeding as [[ivfIndex]] and the semantic dedup,
+    * skipping Lloyd precisely so every step stays relational and
+    * DuckDB-replayable (a refined codebook drops in without changing the
+    * assignment algebra).
+    *
+    * Scale shape: codebooks are driver state (k·dim doubles — index-build
+    * metadata), assignment is pure map-side fused arithmetic per row
+    * (8 argmins over 16 literal codewords, no join, no shuffle but the
+    * output sort). Determinism: every distance is a fixed-order
+    * sequential sum of squared differences — bit-identical to the
+    * oracle's in-order list_sum — and ties break to the lowest code via
+    * struct ordering, so even equal-distance codewords cannot diverge. */
+  val qVecPq = Q(
+    "q_vec_pq",
+    (s, d) => {
+      val e = T.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val stride = math.max(e.count() / PqCodebook, 1L)
+      val seeds: Array[(Long, Array[Double])] = e
+        .filter(col("vec_id") % stride === 0 &&
+          col("vec_id") < stride * PqCodebook)
+        .select((col("vec_id") / stride).cast("long").as("j"), col("v"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+        .sortBy(_._1)
+      val sub = seeds.head._2.length / PqSubspaces
+      def best(m: Int) = array_min(array(seeds.map { case (j, cv) =>
+        val dist = (0 until sub).map { i =>
+          val diff = col("v").getItem(m * sub + i) - lit(cv(m * sub + i))
+          diff * diff
+        }.reduce(_ + _)
+        struct(dist.as("d"), lit(j).as("c"))
+      }: _*))
+      val withBest = e.select(col("vec_id") +:
+        (0 until PqSubspaces).map(m => best(m).as(s"b$m")): _*)
+      val code = (0 until PqSubspaces)
+        .map(m => col(s"b$m").getField("c") * lit(1L << (4 * m)))
+        .reduce(_ + _)
+      val err = (0 until PqSubspaces)
+        .map(m => col(s"b$m").getField("d"))
+        .reduce(_ + _)
+      withBest
+        .select(col("vec_id"), code.cast("long").as("code"),
+          r2(err).as("err"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                        FROM embeddings),
+             p AS (SELECT greatest(count(*) // $PqCodebook, 1) AS stride
+                   FROM e),
+             seeds AS (SELECT e.vec_id // p.stride AS j, e.v AS cv
+                       FROM e, p
+                       WHERE e.vec_id % p.stride = 0
+                         AND e.vec_id < p.stride * $PqCodebook),
+             ms AS (SELECT unnest(range(0, $PqSubspaces)) AS m),
+             dist AS (SELECT e.vec_id, ms.m, s.j,
+                        list_sum(list_transform(range(1, 9),
+                          i -> (e.v[ms.m * 8 + i] - s.cv[ms.m * 8 + i])
+                             * (e.v[ms.m * 8 + i] - s.cv[ms.m * 8 + i])))
+                          AS d
+                      FROM e CROSS JOIN ms CROSS JOIN seeds s),
+             best AS (SELECT vec_id, m, j, d FROM dist
+                      QUALIFY row_number() OVER (PARTITION BY vec_id, m
+                        ORDER BY d, j) = 1),
+             agg AS (SELECT vec_id,
+                       CAST(sum(j * (1::BIGINT << CAST(4 * m AS INT)))
+                         AS BIGINT) AS code,
+                       list_sum(list(d ORDER BY m)) AS err
+                     FROM best GROUP BY vec_id)
+           SELECT vec_id, code, ${sqlR2("err")} AS err
+           FROM agg ORDER BY vec_id"""))
+
   /** Per-label positional embedding centroids — the class-prototype /
     * cluster-summary aggregate an embedding pipeline reports (and the
     * same quantity IVF's re-center step computes internally via
@@ -474,6 +559,6 @@ object Similarity {
     None)
 
   val all: Seq[Q] = Seq(qSimCosineTopk, qSimLshBuckets, qSimLshTopk,
-    qSimIvfTopk, qVecQuantize, qEmbedCentroids, qJoinTextEmbedding,
+    qSimIvfTopk, qVecQuantize, qVecPq, qEmbedCentroids, qJoinTextEmbedding,
     qSimRecallReport)
 }

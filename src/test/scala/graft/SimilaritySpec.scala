@@ -184,4 +184,46 @@ class SimilaritySpec extends SparkSpec {
     assert(lshHits * 10 >= truth.size && lshPairs > 0)
     assert(ivfHits * 4 >= truth.size && ivfPairs > 0)
   }
+
+  test("PQ codes: seeds reconstruct exactly, codes replay in plain Scala") {
+    val rows = Similarity.qVecPq.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val e = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(rows.length == e.size)
+    // every code packs 8 4-bit fields -> fits one unsigned 32-bit word
+    rows.foreach { case (id, code, err) =>
+      assert(code >= 0L && code < (1L << 32), s"vec $id code $code")
+      assert(err >= 0.0, s"vec $id err $err")
+    }
+    // replay the whole construction in plain Scala
+    val k = Similarity.PqCodebook
+    val stride = math.max(e.size.toLong / k, 1L)
+    val seeds = e.keys.toSeq.sorted
+      .filter(id => id % stride == 0 && id < stride * k)
+      .map(id => (id / stride) -> e(id))
+    val sub = e.head._2.length / Similarity.PqSubspaces
+    rows.foreach { case (id, code, err) =>
+      val v = e(id)
+      var expCode = 0L
+      var expErr = 0.0
+      (0 until Similarity.PqSubspaces).foreach { m =>
+        val (bd, bj) = seeds.map { case (j, cv) =>
+          var dd = 0.0
+          (0 until sub).foreach { i =>
+            val diff = v(m * sub + i) - cv(m * sub + i); dd += diff * diff
+          }
+          (dd, j)
+        }.min
+        expCode += bj * (1L << (4 * m))
+        expErr += bd
+      }
+      assert(code == expCode, s"vec $id code")
+      assert(err == math.floor(expErr * 100 + 0.5) / 100, s"vec $id err")
+      // a seed vector is its own nearest codeword in every subspace
+      if (id % stride == 0 && id < stride * k) assert(err == 0.0, s"seed $id")
+    }
+  }
 }
