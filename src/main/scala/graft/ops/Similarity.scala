@@ -399,26 +399,40 @@ object Similarity {
     * sequential sum of squared differences — bit-identical to the
     * oracle's in-order list_sum — and ties break to the lowest code via
     * struct ordering, so even equal-distance codewords cannot diverge. */
+  /** The PQ codebook: stride-sampled seed vectors, collected once as
+    * driver index state (k·dim doubles — the same class as IVF
+    * centroids). Returned in code order. */
+  private def pqSeeds(s: SparkSession, d: String): Array[(Long, Array[Double])] = {
+    val e = T.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val stride = math.max(e.count() / PqCodebook, 1L)
+    e.filter(col("vec_id") % stride === 0 &&
+        col("vec_id") < stride * PqCodebook)
+      .select((col("vec_id") / stride).cast("long").as("j"), col("v"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+  }
+
+  /** Squared L2 between `v`'s m-th subvector and a literal codeword
+    * subvector, as a fixed-order sequential sum (bit-identical to the
+    * oracle's in-order list_sum). */
+  private def pqSubDist(vCol: Column, cv: Array[Double], m: Int,
+      sub: Int): Column =
+    (0 until sub).map { i =>
+      val diff = vCol.getItem(m * sub + i) - lit(cv(m * sub + i))
+      diff * diff
+    }.reduce(_ + _)
+
   val qVecPq = Q(
     "q_vec_pq",
     (s, d) => {
       val e = T.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val stride = math.max(e.count() / PqCodebook, 1L)
-      val seeds: Array[(Long, Array[Double])] = e
-        .filter(col("vec_id") % stride === 0 &&
-          col("vec_id") < stride * PqCodebook)
-        .select((col("vec_id") / stride).cast("long").as("j"), col("v"))
-        .collect()
-        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
-        .sortBy(_._1)
+      val seeds = pqSeeds(s, d)
       val sub = seeds.head._2.length / PqSubspaces
       def best(m: Int) = array_min(array(seeds.map { case (j, cv) =>
-        val dist = (0 until sub).map { i =>
-          val diff = col("v").getItem(m * sub + i) - lit(cv(m * sub + i))
-          diff * diff
-        }.reduce(_ + _)
-        struct(dist.as("d"), lit(j).as("c"))
+        struct(pqSubDist(col("v"), cv, m, sub).as("d"), lit(j).as("c"))
       }: _*))
       val withBest = e.select(col("vec_id") +:
         (0 until PqSubspaces).map(m => best(m).as(s"b$m")): _*)
@@ -433,24 +447,7 @@ object Similarity {
           r2(err).as("err"))
         .orderBy("vec_id")
     },
-    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-                        FROM embeddings),
-             p AS (SELECT greatest(count(*) // $PqCodebook, 1) AS stride
-                   FROM e),
-             seeds AS (SELECT e.vec_id // p.stride AS j, e.v AS cv
-                       FROM e, p
-                       WHERE e.vec_id % p.stride = 0
-                         AND e.vec_id < p.stride * $PqCodebook),
-             ms AS (SELECT unnest(range(0, $PqSubspaces)) AS m),
-             dist AS (SELECT e.vec_id, ms.m, s.j,
-                        list_sum(list_transform(range(1, 9),
-                          i -> (e.v[ms.m * 8 + i] - s.cv[ms.m * 8 + i])
-                             * (e.v[ms.m * 8 + i] - s.cv[ms.m * 8 + i])))
-                          AS d
-                      FROM e CROSS JOIN ms CROSS JOIN seeds s),
-             best AS (SELECT vec_id, m, j, d FROM dist
-                      QUALIFY row_number() OVER (PARTITION BY vec_id, m
-                        ORDER BY d, j) = 1),
+    Some(s"""WITH $pqCodesSqlCte,
              agg AS (SELECT vec_id,
                        CAST(sum(j * (1::BIGINT << CAST(4 * m AS INT)))
                          AS BIGINT) AS code,
@@ -458,6 +455,108 @@ object Similarity {
                      FROM best GROUP BY vec_id)
            SELECT vec_id, code, ${sqlR2("err")} AS err
            FROM agg ORDER BY vec_id"""))
+
+  /** PQ encode CTE chain shared by the two PQ oracles: `e` (corpus),
+    * `seeds` (stride codebook), `best` = each vector's nearest codeword
+    * (j) and distance (d) per subspace m. */
+  private def pqCodesSqlCte: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings),
+        p AS (SELECT greatest(count(*) // $PqCodebook, 1) AS stride
+              FROM e),
+        seeds AS (SELECT e.vec_id // p.stride AS j, e.v AS cv
+                  FROM e, p
+                  WHERE e.vec_id % p.stride = 0
+                    AND e.vec_id < p.stride * $PqCodebook),
+        ms AS (SELECT unnest(range(0, $PqSubspaces)) AS m),
+        dist AS (SELECT e.vec_id, ms.m, s.j,
+                   list_sum(list_transform(range(1, 9),
+                     i -> (e.v[ms.m * 8 + i] - s.cv[ms.m * 8 + i])
+                        * (e.v[ms.m * 8 + i] - s.cv[ms.m * 8 + i])))
+                     AS d
+                 FROM e CROSS JOIN ms CROSS JOIN seeds s),
+        best AS (SELECT vec_id, m, j, d FROM dist
+                 QUALIFY row_number() OVER (PARTITION BY vec_id, m
+                   ORDER BY d, j) = 1)"""
+
+  /** PQ asymmetric-distance (ADC) top-k — the query path the PQ codes
+    * exist for (Jégou et al. 2011 §IV): the query stays a RAW vector,
+    * each corpus vector is its 8 codes, and the approximate distance is
+    * the sum of query-to-codeword lookups. The query side precomputes
+    * its 8×16 distance table against the literal codebooks (the
+    * textbook query-time LUT — here 16 fused expressions per subspace
+    * on 10 rows), broadcasts, and every corpus row pays 8 array
+    * lookups — no vector arithmetic per pair at all, which is the whole
+    * point of PQ at scale: a 100 TB corpus scans 32-bit codes, not
+    * 512-byte vectors. Exact same top-k frame as the other ANN paths.
+    *
+    * DuckDB-oracled end-to-end: codes come from the shared encode CTE,
+    * the LUT is the same relational distance, and the ADC sum folds in
+    * subspace order — so the raw-distance RANKING at the k boundary is
+    * bit-identical by the [[qSimLshTopk]] argument.
+    *
+    * Honest quality note (measured): on THIS fixture — isotropic
+    * gaussians, n≪2^(4·M) — ADC ranking carries near-random signal
+    * (1-2/30 overlap with exact L2 top-k, and Lloyd-refined codebooks
+    * do not help), because concentration of measure makes all true
+    * neighbour distances nearly equal while per-vector quantization
+    * residuals dominate. That is a property of structureless data, not
+    * of the operator: PQ earns its recall on real anisotropic
+    * embeddings. The gate value here is certifying the ADC algebra
+    * bit-for-bit; SimilaritySpec pins the residual-free invariant (for
+    * seed corpus points ADC IS exact L2) instead of a recall floor the
+    * fixture cannot support. The recall-bearing ANN paths on this
+    * fixture remain [[srpTopk]] and [[ivfTopk]]. */
+  val qSimPqTopk = Q(
+    "q_sim_pq_topk",
+    (s, d) => {
+      val e = T.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val seeds = pqSeeds(s, d)
+      val sub = seeds.head._2.length / PqSubspaces
+      def best(m: Int) = array_min(array(seeds.map { case (j, cv) =>
+        struct(pqSubDist(col("v"), cv, m, sub).as("d"), lit(j).as("c"))
+      }: _*))
+      val coded = e.select(col("vec_id") +:
+        (0 until PqSubspaces).map(m => best(m).getField("c").as(s"c$m")): _*)
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid") +:
+          (0 until PqSubspaces).map { m =>
+            array(seeds.map { case (_, cv) =>
+              pqSubDist(col("v"), cv, m, sub)
+            }: _*).as(s"lut$m")
+          }: _*)
+      val adc = (0 until PqSubspaces)
+        .map(m => element_at(col(s"lut$m"), (col(s"c$m") + 1).cast("int")))
+        .reduce(_ + _)
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("dist"), col("vec_id"))
+      coded.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("dist", adc)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("vec_id"), r2(col("dist")).as("adc_dist"))
+        .orderBy("qid", "vec_id")
+    },
+    Some(s"""WITH $pqCodesSqlCte,
+             q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+             lut AS (SELECT q.qid, ms.m, s.j,
+                       list_sum(list_transform(range(1, 9),
+                         i -> (q.qv[ms.m * 8 + i] - s.cv[ms.m * 8 + i])
+                            * (q.qv[ms.m * 8 + i] - s.cv[ms.m * 8 + i])))
+                         AS d
+                     FROM q CROSS JOIN ms CROSS JOIN seeds s),
+             adc AS (SELECT l.qid, b.vec_id,
+                       list_sum(list(l.d ORDER BY l.m)) AS dist
+                     FROM best b JOIN lut l ON l.m = b.m AND l.j = b.j
+                     WHERE b.vec_id <> l.qid
+                     GROUP BY l.qid, b.vec_id),
+             rk AS (SELECT qid, vec_id, dist,
+                      row_number() OVER (PARTITION BY qid
+                        ORDER BY dist, vec_id) AS rn
+                    FROM adc)
+           SELECT qid, vec_id, ${sqlR2("dist")} AS adc_dist
+           FROM rk WHERE rn <= 3 ORDER BY qid, vec_id"""))
 
   /** Per-label positional embedding centroids — the class-prototype /
     * cluster-summary aggregate an embedding pipeline reports (and the
@@ -559,6 +658,6 @@ object Similarity {
     None)
 
   val all: Seq[Q] = Seq(qSimCosineTopk, qSimLshBuckets, qSimLshTopk,
-    qSimIvfTopk, qVecQuantize, qVecPq, qEmbedCentroids, qJoinTextEmbedding,
-    qSimRecallReport)
+    qSimIvfTopk, qVecQuantize, qVecPq, qSimPqTopk, qEmbedCentroids,
+    qJoinTextEmbedding, qSimRecallReport)
 }

@@ -226,4 +226,67 @@ class SimilaritySpec extends SparkSpec {
       if (id % stride == 0 && id < stride * k) assert(err == 0.0, s"seed $id")
     }
   }
+
+  test("PQ ADC topk replays in plain Scala; seed points rank at exact L2") {
+    val e = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val k = Similarity.PqCodebook
+    val M = Similarity.PqSubspaces
+    val stride = math.max(e.size.toLong / k, 1L)
+    val seeds = e.keys.toSeq.sorted
+      .filter(id => id % stride == 0 && id < stride * k)
+      .map(id => (id / stride) -> e(id))
+    val sub = e.head._2.length / M
+    def subDist(a: Array[Double], b: Array[Double], m: Int): Double = {
+      var dd = 0.0
+      (0 until sub).foreach { i =>
+        val diff = a(m * sub + i) - b(m * sub + i); dd += diff * diff
+      }
+      dd
+    }
+    val codes = e.view.mapValues { v =>
+      (0 until M).map(m => seeds.map { case (j, cv) =>
+        (subDist(v, cv, m), j)
+      }.min._2)
+    }.toMap
+    val expect = e.keys.toSeq.sorted.filter(_ < 10).flatMap { qid =>
+      val qv = e(qid)
+      val lut = (0 until M).map(m =>
+        seeds.map { case (j, cv) => j -> subDist(qv, cv, m) }.toMap)
+      e.keys.toSeq.filter(_ != qid)
+        .map { id =>
+          var dist = 0.0
+          (0 until M).foreach(m => dist += lut(m)(codes(id)(m)))
+          (qid, id, dist)
+        }
+        .sortBy { case (_, id, dist) => (dist, id) }
+        .take(3)
+        .map { case (q, id, dist) =>
+          (q, id, math.floor(dist * 100 + 0.5) / 100) }
+    }.sortBy(t => (t._1, t._2))
+    val got = Similarity.qSimPqTopk.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === expect)
+    // Residual-free invariant: a SEED corpus point quantizes to itself
+    // (err 0, PQ spec above), so its ADC distance from any query equals
+    // the exact L2 distance — ADC error is exactly the corpus point's
+    // quantization residual, nothing else. (No recall floor here by
+    // design: the isotropic fixture carries near-random ADC ranking
+    // signal — see the operator's Scaladoc — so a floor would pin
+    // noise. srpTopk/ivfTopk keep the fixture's recall floors.)
+    val seedIds = seeds.map { case (j, _) => j * stride }.toSet
+    e.keys.toSeq.sorted.filter(_ < 10).foreach { qid =>
+      val qv = e(qid)
+      val lut = (0 until M).map(m =>
+        seeds.map { case (j, cv) => j -> subDist(qv, cv, m) }.toMap)
+      seedIds.filter(_ != qid).foreach { sid =>
+        var adc = 0.0
+        (0 until M).foreach(m => adc += lut(m)(codes(sid)(m)))
+        val exact = (0 until M).map(m => subDist(qv, e(sid), m)).sum
+        assert(math.abs(adc - exact) < 1e-9, s"q=$qid seed=$sid")
+      }
+    }
+  }
 }
