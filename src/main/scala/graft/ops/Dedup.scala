@@ -512,6 +512,91 @@ object Dedup {
            FROM assign a LEFT JOIN owners o USING (vec_id)
            ORDER BY a.vec_id"""))
 
+  /** Thresholds reported by [[qDedupSemanticSweep]] — the calibration
+    * range a team scans before fixing a SemDeDup epsilon. */
+  val SemanticSweepEps: Seq[Double] = Seq(0.2, 0.3, 0.4, 0.5, 0.6, 0.8)
+
+  /** Semantic-dedup THRESHOLD SWEEP — the calibration curve read before
+    * fixing [[SemanticEps]]: for each candidate epsilon, how many
+    * documents the min-id-owner rule would prune. One pass: the
+    * within-cell pair frame reduces to each vector's MAX cosine to a
+    * lower-id cell-mate (one row per vector with any pair), and every
+    * threshold is a conditional count over that tiny frame — the pair
+    * work is paid ONCE for the whole curve, not once per epsilon.
+    * Raw-cosine comparisons are engine-stable by the
+    * [[Similarity.qSimLshTopk]] argument, and each count is a pure
+    * integer, so the curve hash-matches exactly. */
+  val qDedupSemanticSweep = Q(
+    "q_dedup_semantic_sweep",
+    (s, d) => {
+      val e = T.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val stride = math.max(e.count() / SemanticCells, 1L)
+      val seeds = e
+        .filter(col("vec_id") % stride === 0 &&
+          col("vec_id") < stride * SemanticCells)
+        .select((col("vec_id") / stride).cast("long").as("cell"),
+          col("v").as("cv"))
+      val assigned = e.crossJoin(broadcast(seeds))
+        .withColumn("negsim", -Similarity.cosine(col("v"), col("cv")))
+        .groupBy("vec_id")
+        .agg(min(struct(col("negsim"), col("cell"), col("v"))).as("m"))
+        .select(col("vec_id"), col("m.cell").as("cell"), col("m.v").as("v"))
+      val wb = Window.partitionBy(col("cell")).orderBy(col("vec_id"))
+      val capped = assigned.withColumn("rnb", row_number().over(wb))
+        .filter(col("rnb") <= MaxEmbeddingBlock).drop("rnb")
+      val maxCos = capped.as("x")
+        .join(capped.as("y"),
+          col("x.cell") === col("y.cell") &&
+          col("x.vec_id") < col("y.vec_id"))
+        .groupBy(col("y.vec_id").as("vec_id"))
+        .agg(max(Similarity.cosine(col("x.v"), col("y.v"))).as("mc"))
+      val counts = SemanticSweepEps.map(eps =>
+        coalesce(sum(when(col("mc") >= eps, 1L).otherwise(0L)), lit(0L))
+          .as(s"n_${(eps * 100).round}"))
+      maxCos.agg(counts.head, counts.tail: _*)
+        .select(posexplode(array(SemanticSweepEps.indices.map(i =>
+          col(s"n_${(SemanticSweepEps(i) * 100).round}")): _*))
+          .as(Seq("i", "n_pruned")))
+        .select(
+          element_at(
+            typedLit(SemanticSweepEps.map(e => (e * 100).round)),
+            col("i") + 1).as("eps_pct"),
+          col("n_pruned"))
+        .orderBy("eps_pct")
+    },
+    Some {
+      val epsRows = SemanticSweepEps
+        .map(e => s"(${(e * 100).round}, ${e})").mkString(", ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                     FROM embeddings),
+          p AS (SELECT greatest(count(*) // $SemanticCells, 1) AS stride
+                FROM e),
+          seeds AS (SELECT e.vec_id // p.stride AS cell, e.v AS cv
+                    FROM e, p
+                    WHERE e.vec_id % p.stride = 0
+                      AND e.vec_id < p.stride * $SemanticCells),
+          sims AS (SELECT e.vec_id, s.cell, e.v,
+                     ${cosSql("e.v", "s.cv")} AS sim
+                   FROM e CROSS JOIN seeds s),
+          assign AS (SELECT vec_id, cell, v FROM sims
+                     QUALIFY row_number() OVER (PARTITION BY vec_id
+                       ORDER BY sim DESC, cell) = 1),
+          capped AS (SELECT vec_id, cell, v FROM assign
+                     QUALIFY row_number() OVER (PARTITION BY cell
+                       ORDER BY vec_id) <= $MaxEmbeddingBlock),
+          mc AS (SELECT y.vec_id, max(${cosSql("x.v", "y.v")}) AS mc
+                 FROM capped x JOIN capped y
+                   ON x.cell = y.cell AND x.vec_id < y.vec_id
+                 GROUP BY y.vec_id),
+          eps(eps_pct, eps) AS (VALUES $epsRows)
+        SELECT CAST(eps.eps_pct AS BIGINT) AS eps_pct,
+               CAST(coalesce(sum(CASE WHEN mc.mc >= eps.eps THEN 1 ELSE 0
+                 END), 0) AS BIGINT) AS n_pruned
+        FROM eps LEFT JOIN mc ON true
+        GROUP BY eps.eps_pct ORDER BY eps_pct"""
+    })
+
   /** Lexical-vs-semantic dedup AGREEMENT report — the cross-method
     * diagnostic a data team reads before picking a dedup policy (the
     * SemDeDup line of work reports exactly this: how much of the
@@ -814,7 +899,7 @@ object Dedup {
 
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupMinhash, qDedupNgramJaccard, qDedupSimhash,
-    qDedupEmbedding, qDedupEmbeddingLsh, qDedupSemantic, qDedupAgreement,
-    qDedupIncremental, qDedupEditdist, qDedupMinhashQuality,
-    qDedupSubstring)
+    qDedupEmbedding, qDedupEmbeddingLsh, qDedupSemantic,
+    qDedupSemanticSweep, qDedupAgreement, qDedupIncremental,
+    qDedupEditdist, qDedupMinhashQuality, qDedupSubstring)
 }

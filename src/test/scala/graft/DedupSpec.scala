@@ -312,6 +312,19 @@ class DedupSpec extends SparkSpec {
       assert(byId(id)._3, s"scatter $id wrongly pruned") }
   }
 
+  test("semantic sweep: curve is monotone non-increasing and bounded") {
+    val got = Dedup.qDedupSemanticSweep.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.map(_._1).toSeq ==
+      Dedup.SemanticSweepEps.map(e => (e * 100).round))
+    // tightening the threshold can only prune fewer documents
+    got.sliding(2).foreach { case Array((e1, n1), (e2, n2)) =>
+      assert(n1 >= n2, s"curve not monotone at $e1->$e2: $n1 < $n2") }
+    val corpus = Tables.embeddings(spark, sf).count()
+    got.foreach { case (e, n) =>
+      assert(n >= 0 && n < corpus, s"eps $e prunes $n of $corpus") }
+  }
+
   test("dedup agreement: planted corpus surfaces all three verdicts") {
     val s = spark
     import s.implicits._
