@@ -414,36 +414,25 @@ object Similarity {
       .sortBy(_._1)
   }
 
-  /** Squared L2 between `v`'s m-th subvector and a literal codeword
-    * subvector, as a fixed-order sequential sum (bit-identical to the
-    * oracle's in-order list_sum). */
-  private def pqSubDist(vCol: Column, cv: Array[Double], m: Int,
-      sub: Int): Column =
-    (0 until sub).map { i =>
-      val diff = vCol.getItem(m * sub + i) - lit(cv(m * sub + i))
-      diff * diff
-    }.reduce(_ + _)
+  /** [[pqSeeds]] flattened to the kernel layout (codeword j's vector at
+    * offset j·dim) for the [[graft.functions.PqFunctions]] expressions. */
+  private def pqFlat(seeds: Array[(Long, Array[Double])]): Array[Double] =
+    seeds.flatMap(_._2)
 
   val qVecPq = Q(
     "q_vec_pq",
     (s, d) => {
       val e = T.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val seeds = pqSeeds(s, d)
-      val sub = seeds.head._2.length / PqSubspaces
-      def best(m: Int) = array_min(array(seeds.map { case (j, cv) =>
-        struct(pqSubDist(col("v"), cv, m, sub).as("d"), lit(j).as("c"))
-      }: _*))
-      val withBest = e.select(col("vec_id") +:
-        (0 until PqSubspaces).map(m => best(m).as(s"b$m")): _*)
+      val flat = pqFlat(pqSeeds(s, d))
+      val codes = graft.functions.PqFunctions.codes(
+        col("v"), flat, PqCodebook, PqSubspaces)
       val code = (0 until PqSubspaces)
-        .map(m => col(s"b$m").getField("c") * lit(1L << (4 * m)))
+        .map(m => element_at(codes, m + 1) * lit(1L << (4 * m)))
         .reduce(_ + _)
-      val err = (0 until PqSubspaces)
-        .map(m => col(s"b$m").getField("d"))
-        .reduce(_ + _)
-      withBest
-        .select(col("vec_id"), code.cast("long").as("code"),
+      val err = graft.functions.PqFunctions.residual(
+        col("v"), flat, PqCodebook, PqSubspaces)
+      e.select(col("vec_id"), code.cast("long").as("code"),
           r2(err).as("err"))
         .orderBy("vec_id")
     },
@@ -483,12 +472,16 @@ object Similarity {
     * exist for (Jégou et al. 2011 §IV): the query stays a RAW vector,
     * each corpus vector is its 8 codes, and the approximate distance is
     * the sum of query-to-codeword lookups. The query side precomputes
-    * its 8×16 distance table against the literal codebooks (the
-    * textbook query-time LUT — here 16 fused expressions per subspace
+    * its 8×16 distance table against the codebook (the textbook
+    * query-time LUT — ONE fused [[graft.functions.PqLuts]] kernel call
     * on 10 rows), broadcasts, and every corpus row pays 8 array
-    * lookups — no vector arithmetic per pair at all, which is the whole
-    * point of PQ at scale: a 100 TB corpus scans 32-bit codes, not
-    * 512-byte vectors. Exact same top-k frame as the other ANN paths.
+    * lookups ([[graft.functions.PqAdc]]) — no vector arithmetic per
+    * pair at all, which is the whole point of PQ at scale: a 100 TB
+    * corpus scans 32-bit codes, not 512-byte vectors. Exact same top-k
+    * frame as the other ANN paths. The codebook rides every kernel as
+    * a codegen reference object (the [[graft.functions.BpePairs]]
+    * mechanism) — the first spelling inlined it as a ~1k-node literal
+    * Column tree, which cost seconds of janino compilation per plan.
     *
     * DuckDB-oracled end-to-end: codes come from the shared encode CTE,
     * the LUT is the same relational distance, and the ADC sum folds in
@@ -512,27 +505,19 @@ object Similarity {
     (s, d) => {
       val e = T.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val seeds = pqSeeds(s, d)
-      val sub = seeds.head._2.length / PqSubspaces
-      def best(m: Int) = array_min(array(seeds.map { case (j, cv) =>
-        struct(pqSubDist(col("v"), cv, m, sub).as("d"), lit(j).as("c"))
-      }: _*))
-      val coded = e.select(col("vec_id") +:
-        (0 until PqSubspaces).map(m => best(m).getField("c").as(s"c$m")): _*)
+      val flat = pqFlat(pqSeeds(s, d))
+      val coded = e.select(col("vec_id"),
+        graft.functions.PqFunctions.codes(
+          col("v"), flat, PqCodebook, PqSubspaces).as("codes"))
       val q = e.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("qid") +:
-          (0 until PqSubspaces).map { m =>
-            array(seeds.map { case (_, cv) =>
-              pqSubDist(col("v"), cv, m, sub)
-            }: _*).as(s"lut$m")
-          }: _*)
-      val adc = (0 until PqSubspaces)
-        .map(m => element_at(col(s"lut$m"), (col(s"c$m") + 1).cast("int")))
-        .reduce(_ + _)
+        .select(col("vec_id").as("qid"),
+          graft.functions.PqFunctions.luts(
+            col("v"), flat, PqCodebook, PqSubspaces).as("luts"))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("dist"), col("vec_id"))
       coded.join(broadcast(q), col("vec_id") =!= col("qid"))
-        .withColumn("dist", adc)
+        .withColumn("dist",
+          graft.functions.PqFunctions.adc(col("luts"), col("codes")))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("qid"), col("vec_id"), r2(col("dist")).as("adc_dist"))
