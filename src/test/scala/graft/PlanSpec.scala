@@ -422,4 +422,19 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "HashAggregate") >= 2, p)
     assert(count(p, "hashpartitioning\\(vec_id") >= 1, p)
   }
+
+  test("q_sim_pq_topk: fused PQ kernels, query side broadcasts, corpus " +
+      "never shuffles before the top-k window") {
+    val p = plan("q_sim_pq_topk")
+    // the ADC scan is the fused kernels, not an inlined literal tree
+    assert(p.contains("graft_pq_codes"), p)
+    assert(p.contains("graft_pq_luts"), p)
+    assert(p.contains("graft_pq_adc"), p)
+    // 10 query rows broadcast into a nested-loop; the coded corpus side
+    // streams — no CartesianProduct, no corpus-side pre-join exchange
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the only corpus shuffle is the top-k window's qid partitioning
+    assert(count(p, "hashpartitioning\\(qid") >= 1, p)
+  }
 }
