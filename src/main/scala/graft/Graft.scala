@@ -170,6 +170,21 @@ object Graft {
       maxBlock: Int = ops.Dedup.MaxEmbeddingBlock): DataFrame =
     ops.Dedup.semanticDedup(vectors, idCol, vecCol, k, eps, maxBlock)
 
+  /** Product-quantization encode: append each vector's per-subspace
+    * nearest-codeword indices (`graft_codes` array<long>) and total
+    * squared reconstruction error (`graft_pq_err`). `codebook` is the
+    * flat array with codeword j's full vector at offset j·dim — build
+    * one from any k rows (stride-sampled seeds, Lloyd output, a loaded
+    * index file); the encode algebra is codebook-independent. `vecCol`
+    * must be array<double>. */
+  def pqEncode(vectors: DataFrame, vecCol: String, codebook: Array[Double],
+      nCodes: Int, nSub: Int): DataFrame =
+    vectors
+      .withColumn("graft_codes", functions.PqFunctions.codes(
+        org.apache.spark.sql.functions.col(vecCol), codebook, nCodes, nSub))
+      .withColumn("graft_pq_err", functions.PqFunctions.residual(
+        org.apache.spark.sql.functions.col(vecCol), codebook, nCodes, nSub))
+
   /** Best-fit-vs-chunk packing policy report per shard: docs stream in
     * `orderCol` order, each tail placed in the open bin with the
     * smallest remaining capacity that fits (state = the open-bin

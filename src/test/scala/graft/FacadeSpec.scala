@@ -183,6 +183,31 @@ class FacadeSpec extends SparkSpec {
     assert(fixed === Seq("the"))
   }
 
+  test("round-7 facade entries run on ad-hoc frames") {
+    import spark.implicits._
+    // PQ encode with a hand-built 2-codeword, 2-subspace codebook over
+    // dim-4 vectors: codeword 0 = (0,0,0,0), codeword 1 = (1,1,1,1).
+    // v = (0.9, 1.1, 0.1, -0.1): subspace 0 picks code 1 (dist 0.02),
+    // subspace 1 picks code 0 (dist 0.02) -> err 0.04.
+    val cb = Array(0.0, 0.0, 0.0, 0.0, 1.0, 1.0, 1.0, 1.0)
+    val out = Graft.pqEncode(
+        Seq((1L, Seq(0.9, 1.1, 0.1, -0.1))).toDF("id", "v"),
+        "v", cb, nCodes = 2, nSub = 2)
+      .select("graft_codes", "graft_pq_err").head()
+    assert(out.getSeq[Long](0) === Seq(1L, 0L))
+    assert(math.abs(out.getDouble(1) - 0.04) < 1e-12)
+
+    // mixApply on generic columns: one dominant shard downsamples,
+    // the small one rides min(1, .) — verdicts accounted per shard
+    val mix = Graft.mixApply(
+        ((0L until 30L).map(i => ("big", i, 100L)) ++
+          Seq(("small", 100L, 10L))).toDF("shard", "id", "toks"),
+        "shard", "id", "toks")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mix("small") === 100L)
+    assert(mix("big") < 100L)
+  }
+
   test("bloomSemiJoin equals the plain left-semi join on any key type") {
     import spark.implicits._
     val big = (1L to 2000L).map(i => (i, s"row$i")).toDF("k", "v")
