@@ -77,6 +77,81 @@ object Corpus {
                   min(doc_id) AS first_doc
            FROM off GROUP BY source, bin ORDER BY source, bin"""))
 
+  /** Context budgets swept by [[qPackBudgetSweep]] — the candidate
+    * window sizes a training run chooses between. */
+  val PackSweepBudgets: Seq[Int] = Seq(128, 256, 512, 1024)
+
+  /** Packing-budget SWEEP — the calibration curve for choosing a
+    * context window (pairs with [[graft.ops.TextOps.qTextLengthHist]]'s
+    * length distribution): for each candidate budget, the
+    * concatenate-and-chunk cost model — bins used, documents cut by a
+    * bin boundary (the truncation cost), and final-bin padding (the
+    * waste cost). The per-doc running offset is budget-INDEPENDENT, so
+    * one window pass prices every candidate: bins and padding are
+    * ceil-division arithmetic over the k per-shard token totals, and
+    * boundary cuts are one integer-division comparison per (doc,
+    * budget) — the corpus is scanned once for the whole curve, the
+    * same pay-once shape as [[graft.ops.Dedup.qDedupSemanticSweep]].
+    * All-integer output, exact in both engines. */
+  val qPackBudgetSweep = Q(
+    "q_pack_budget_sweep",
+    (s, d) => {
+      val perDoc = T.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val off = perDoc.withColumn("off",
+        coalesce(sum("n_tok").over(w), lit(0L)))
+      val splitCols = PackSweepBudgets.map(b =>
+        sum(when(expr(s"off div $b") =!= expr(s"(off + n_tok - 1) div $b"),
+          1L).otherwise(0L)).as(s"sp$b"))
+      val splits = off.agg(splitCols.head, splitCols.tail: _*)
+      val perShard = perDoc.groupBy("source").agg(sum("n_tok").as("t"))
+      val binCols = PackSweepBudgets.flatMap { b =>
+        val bins = expr(s"(t + $b - 1) div $b")
+        Seq(sum(bins).as(s"nb$b"), sum(bins * b - col("t")).as(s"pad$b"))
+      }
+      val bins = perShard.agg(binCols.head, binCols.tail: _*)
+      splits.crossJoin(bins)
+        .select(posexplode(array(PackSweepBudgets.map(b =>
+          struct(lit(b.toLong).as("budget"), col(s"nb$b").as("n_bins"),
+            col(s"sp$b").as("n_split_docs"),
+            col(s"pad$b").as("padding_tokens"))): _*)))
+        .select(col("col.budget"), col("col.n_bins"),
+          col("col.n_split_docs"), col("col.padding_tokens"))
+        .orderBy("budget")
+    },
+    Some {
+      val budgetRows = PackSweepBudgets.map(b => s"($b)").mkString(", ")
+      s"""WITH toks AS (SELECT source, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+               FROM documents),
+           off AS (SELECT source, doc_id, n_tok,
+               coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS off
+               FROM toks),
+           b(budget) AS (VALUES $budgetRows),
+           sh AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS t
+                  FROM toks GROUP BY source),
+           binstats AS (SELECT b.budget,
+               CAST(sum((sh.t + b.budget - 1) // b.budget) AS BIGINT)
+                 AS n_bins,
+               CAST(sum(((sh.t + b.budget - 1) // b.budget) * b.budget
+                 - sh.t) AS BIGINT) AS padding_tokens
+             FROM b CROSS JOIN sh GROUP BY b.budget),
+           cuts AS (SELECT b.budget,
+               CAST(sum(CASE WHEN off.off // b.budget
+                 <> (off.off + off.n_tok - 1) // b.budget
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
+             FROM b CROSS JOIN off GROUP BY b.budget)
+         SELECT CAST(s.budget AS BIGINT) AS budget, s.n_bins,
+                c.n_split_docs, s.padding_tokens
+         FROM binstats s JOIN cuts c ON s.budget = c.budget
+         ORDER BY budget"""
+    })
+
   /** [[qPackSequences]] re-based on SUBWORD counts: identical packing
     * algebra, but `n_tok` is the [[graft.functions.BpeEncode]] token
     * count — the number a training run actually budgets context windows
@@ -988,8 +1063,8 @@ object Corpus {
     None)
 
   val all: Seq[Q] =
-    Seq(qPackSequences, qContamination, qContaminationBloom, qMixWeights,
-      qMixApply, qMixTemperature, qCorpusNgramCounts, qSnapshotDiff,
-      qCorpusUpsert, qPackSequencesBpe, qCorpusDrift, qBpeLearn,
-      qBpeApplyLearned, qPackBestfit)
+    Seq(qPackSequences, qPackBudgetSweep, qContamination,
+      qContaminationBloom, qMixWeights, qMixApply, qMixTemperature,
+      qCorpusNgramCounts, qSnapshotDiff, qCorpusUpsert, qPackSequencesBpe,
+      qCorpusDrift, qBpeLearn, qBpeApplyLearned, qPackBestfit)
 }

@@ -490,6 +490,29 @@ class CorpusSpec extends SparkSpec {
       "inserted", "upsert_noop", "updated"))
   }
 
+  test("q_pack_budget_sweep prices every budget from one offset pass") {
+    val s = spark
+    import s.implicits._
+    // one shard: docs of 100 and 50 tokens in id order. offsets 0, 100;
+    // the second doc spans [100, 149] and crosses the 128 boundary only.
+    val dir = java.nio.file.Files.createTempDirectory("packsweep").toString
+    Seq((1L, (1 to 100).map(i => s"a$i").mkString(" ")),
+        (2L, (1 to 50).map(i => s"b$i").mkString(" ")))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("u"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Corpus.qPackBudgetSweep.fn(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // T = 150: bins = ceil(150/b), padding = bins*b - 150; only b=128
+    // cuts a doc (doc 2 spans offsets 100..149 across the 128 line)
+    assert(got(128L) === ((2L, 1L, 106L)))
+    assert(got(256L) === ((1L, 0L, 106L)))
+    assert(got(512L) === ((1L, 0L, 362L)))
+    assert(got(1024L) === ((1L, 0L, 874L)))
+  }
+
   test("q_mix_apply replays the md5-bucket sampling in plain Scala") {
     val s = spark
     import s.implicits._
