@@ -45,14 +45,28 @@ def main(sf_dir: str, out_dir: str, query: str) -> int:
             return 1
         df = duckdb.sql(f"SELECT * FROM read_parquet('{target}')").df()
         # corrupt one cell of the last column (numeric += 1, string gets
-        # a suffix) — the smallest possible divergence the gate must see
-        col = df.columns[-1]
+        # a suffix) — the smallest possible divergence the gate must see.
+        # The cell must be NON-NULL: a null "corrupted" with += 1 becomes
+        # NaN, which round-trips to parquet as null again, and the
+        # control would report a vacuous gate that is actually fine
+        # (found the hard way on q_dedup_semantic, whose last column is
+        # null exactly at row 0).
+        col, idx = None, None
+        for c in reversed(df.columns):
+            i = df[c].first_valid_index()
+            if i is not None:
+                col, idx = c, i
+                break
+        if col is None:
+            print(f"no non-null cell to corrupt in {query}",
+                  file=sys.stderr)
+            return 1
         if df[col].dtype == bool:
-            df.loc[0, col] = not df.loc[0, col]
+            df.loc[idx, col] = not df.loc[idx, col]
         elif df[col].dtype == object:
-            df.loc[0, col] = str(df.loc[0, col]) + "_x"
+            df.loc[idx, col] = str(df.loc[idx, col]) + "_x"
         else:
-            df.loc[0, col] = df.loc[0, col] + 1
+            df.loc[idx, col] = df.loc[idx, col] + 1
         pq.write_table(pa.Table.from_pandas(df), target)
         if run_check(sf_dir, out_dir, query):
             print("NEGATIVE CONTROL FAILED: gate stayed green after a "
