@@ -129,6 +129,27 @@ object Graft {
       n: Int = ops.Corpus.ContamNgram): DataFrame =
     ops.Corpus.contaminationScanBloom(probe, corpus, idCol, textCol, n)
 
+  /** FUZZY decontamination: per `probe` row, how many `corpus` rows are
+    * MinHash-LSH candidates with exact word-shingle Jaccard >=
+    * `minJaccard` — catches near-duplicate eval leaks the verbatim
+    * n-gram scans miss. Banded LSH equi-join with a hot-band cap;
+    * bodies never shuffle. */
+  def contaminationScanFuzzy(probe: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String,
+      minJaccard: Double = ops.Corpus.FuzzyContamJaccard): DataFrame =
+    ops.Corpus.contaminationScanFuzzy(probe, corpus, idCol, textCol,
+      minJaccard)
+
+  /** DSIR-style importance weights (hashed unigram+bigram features, 256
+    * buckets): per row, the integer-quantized log-likelihood-ratio
+    * `w_bits` of its features under the `targetPred` subset's feature
+    * distribution vs the whole corpus's, plus the `target_like` =
+    * (w_bits > 0) keep flag. The model is a 256-row broadcast frame —
+    * nothing grows with corpus size. */
+  def dsirWeights(rows: DataFrame, idCol: String, textCol: String,
+      targetPred: Column): DataFrame =
+    ops.Curation.dsirWeights(rows, idCol, textCol, targetPred)
+
   /** Domain-mixture report per shard: document/token inventory, token
     * share (percent), and the uniform-target downsampling rate. */
   def mixWeights(rows: DataFrame, shardCol: String,
@@ -184,6 +205,17 @@ object Graft {
         org.apache.spark.sql.functions.col(vecCol), codebook, nCodes, nSub))
       .withColumn("graft_pq_err", functions.PqFunctions.residual(
         org.apache.spark.sql.functions.col(vecCol), codebook, nCodes, nSub))
+
+  /** Sign-bit binary quantization of a 64-dim array<double> column
+    * (named, not a Column — the packing fold references it by name):
+    * bit i = (v[i] >= 0), one long per vector — 32× smaller than the
+    * float32 row, candidate scans pay XOR+popcount per pair. */
+  def binarySignCode(vCol: String): Column =
+    ops.Similarity.binarySignCode(vCol)
+
+  /** Hamming distance between two [[binarySignCode]] words. */
+  def hammingDist(a: Column, b: Column): Column =
+    ops.Similarity.hammingDist(a, b)
 
   /** Best-fit-vs-chunk packing policy report per shard: docs stream in
     * `orderCol` order, each tail placed in the open bin with the

@@ -471,6 +471,149 @@ object Corpus {
     "q_contamination_bloom", contaminationQuery(contaminationScanBloom),
     contamOracle)
 
+  /** Near-duplicate Jaccard floor for [[qContaminationFuzzy]] — the same
+    * 0.5 the blocked-Jaccard dedup query certifies, so "fuzzily
+    * contaminated" means exactly "has a train-side near-dup by the
+    * engine's own near-dup definition". */
+  val FuzzyContamJaccard = 0.5
+
+  /** FUZZY decontamination — the n-gram scans above catch verbatim
+    * leaks; this catches *near-duplicate* leaks (a train document that
+    * is a light mutation of an eval document — the overlap family
+    * GPT-3/Gopher-style pipelines dedup against). Per test-split
+    * document: how many train-split documents are MinHash-LSH
+    * candidates with exact word-shingle Jaccard >= 0.5.
+    *
+    * Scale shape (the production asymmetry is train ~100 TB, eval
+    * thousandths of it): both sides compute signatures MAP-SIDE (the
+    * fused [[graft.functions.MinHashSig]] pass, one long-string row per
+    * document), banding turns the cross-corpus search into an equi-join
+    * on (band_no, band) — never an all-pairs compare — and hot train
+    * bands (df > [[Dedup.MaxPostingDf]]) are dropped by a broadcast
+    * anti-join before the candidate join, exactly as in the dedup LSH
+    * path, so no zipf band concentrates a quadratic expansion in one
+    * task. Only the candidate pairs (bounded by band collisions, not
+    * corpus size) ever re-join their shingle sets for the exact Jaccard
+    * verify; document BODIES never shuffle. The Jaccard itself is one
+    * IEEE division of exact integer counts — deterministic, which is
+    * what lets DuckDB reproduce the >= 0.5 cut bit-for-bit. */
+  def contaminationScanFuzzy(probe: org.apache.spark.sql.DataFrame,
+      corpus: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String,
+      minJaccard: Double = FuzzyContamJaccard): org.apache.spark.sql.DataFrame = {
+    import graft.ops.{Dedup => DD}
+    def prep(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("sh", graft.functions.WordShingles.shingles(col(textCol)))
+      .select(col(idCol), col("sh"),
+        graft.functions.MinHashSig.minhash(col("sh")).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tp = prep(probe)
+    val cp = prep(corpus)
+    def bands(df: org.apache.spark.sql.DataFrame) = df
+      .select(col(idCol),
+        posexplode(array(
+          concat_ws("", slice(col("sig"), 1, 4)),
+          concat_ws("", slice(col("sig"), 5, 4)))))
+      .toDF(idCol, "band_no", "band")
+    val tb = bands(tp)
+    val cbAll = bands(cp)
+    val hot = cbAll.groupBy("band_no", "band")
+      .agg(count(lit(1)).as("graft_df"))
+      .filter(col("graft_df") > DD.MaxPostingDf)
+      .select("band_no", "band")
+    val cb = cbAll.join(broadcast(hot), Seq("band_no", "band"), "left_anti")
+    val cand = tb.join(cb.withColumnRenamed(idCol, "c"),
+        Seq("band_no", "band"))
+      .select(col(idCol).as("t"), col("c")).distinct()
+    def shx(df: org.apache.spark.sql.DataFrame, as: String) =
+      df.select(col(idCol).as(as), explode(col("sh")).as("g"))
+    def sz(df: org.apache.spark.sql.DataFrame, as: String, n: String) =
+      df.select(col(idCol).as(as), size(col("sh")).cast("long").as(n))
+    val shared = cand
+      .join(shx(tp, "t"), "t")
+      .join(shx(cp, "c"), Seq("c", "g"))
+      .groupBy("t", "c").agg(count(lit(1)).as("ns"))
+    val matches = shared
+      .join(sz(tp, "t", "na"), "t")
+      .join(sz(cp, "c", "nb"), "c")
+      .filter(col("ns").cast("double")
+        / (col("na") + col("nb") - col("ns")) >= minJaccard)
+      .groupBy("t").agg(count(lit(1)).as("n_matches"))
+    probe.select(col(idCol))
+      .join(matches.withColumnRenamed("t", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        (coalesce(col("n_matches"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  val qContaminationFuzzy = Q(
+    "q_contamination_fuzzy",
+    (s, d) => {
+      val sp = splitDocs(s, d)
+      contaminationScanFuzzy(
+        sp.filter(col("split") === "test"),
+        sp.filter(col("split") === "train"),
+        "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH sp AS (SELECT doc_id, text,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                      THEN 'train'
+                    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                      THEN 'val'
+                    ELSE 'test' END AS split FROM documents),
+             toks AS (SELECT doc_id, split, string_split(text, ' ') AS tk
+                      FROM sp),
+             sh AS (SELECT DISTINCT doc_id, split, unnest(list_transform(
+                      range(1, greatest(len(tk) - 1, 1) + 1),
+                      i -> array_to_string(tk[i:i+1], ' '))) AS sh
+                    FROM toks),
+             hx AS (SELECT doc_id, split, md5('0:' || sh) AS m0,
+                           md5('1:' || sh) AS m1 FROM sh),
+             mh AS (SELECT doc_id, split,
+                      min(substring(m0, 1, 8))  AS h0,
+                      min(substring(m0, 9, 8))  AS h1,
+                      min(substring(m0, 17, 8)) AS h2,
+                      min(substring(m0, 25, 8)) AS h3,
+                      min(substring(m1, 1, 8))  AS h4,
+                      min(substring(m1, 9, 8))  AS h5,
+                      min(substring(m1, 17, 8)) AS h6,
+                      min(substring(m1, 25, 8)) AS h7
+                    FROM hx GROUP BY doc_id, split),
+             bands_all AS (
+               SELECT doc_id, split, 0 AS band_no,
+                      h0 || h1 || h2 || h3 AS band FROM mh
+               UNION ALL
+               SELECT doc_id, split, 1 AS band_no,
+                      h4 || h5 || h6 || h7 AS band FROM mh),
+             tb AS (SELECT doc_id, band_no, band FROM bands_all
+                    WHERE split = 'test'),
+             cb AS (SELECT doc_id, band_no, band FROM bands_all
+                    WHERE split = 'train'
+                    QUALIFY count(*) OVER (PARTITION BY band_no, band)
+                      <= ${graft.ops.Dedup.MaxPostingDf}),
+             cand AS (SELECT DISTINCT t.doc_id AS t, c.doc_id AS c
+                      FROM tb t JOIN cb c
+                        ON t.band_no = c.band_no AND t.band = c.band),
+             sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+             shared AS (SELECT cand.t, cand.c, count(*) AS ns
+                        FROM cand
+                        JOIN sh a ON a.doc_id = cand.t
+                        JOIN sh b ON b.doc_id = cand.c AND b.sh = a.sh
+                        GROUP BY cand.t, cand.c),
+             jm AS (SELECT s.t, count(*) AS n_matches
+                    FROM shared s
+                    JOIN sz za ON za.doc_id = s.t
+                    JOIN sz zb ON zb.doc_id = s.c
+                    WHERE CAST(s.ns AS DOUBLE) / (za.n + zb.n - s.ns)
+                          >= $FuzzyContamJaccard
+                    GROUP BY s.t)
+           SELECT sp.doc_id,
+                  CAST(coalesce(jm.n_matches, 0) AS BIGINT) AS n_matches,
+                  coalesce(jm.n_matches, 0) > 0 AS contaminated
+           FROM sp LEFT JOIN jm ON jm.t = sp.doc_id
+           WHERE sp.split = 'test' ORDER BY sp.doc_id"""))
+
   /** Domain-mixture report: per-source document/token inventory, each
     * source's share of the corpus (percent), and the deterministic
     * sampling rate that would flatten the mixture to uniform token mass
@@ -1064,7 +1207,8 @@ object Corpus {
 
   val all: Seq[Q] =
     Seq(qPackSequences, qPackBudgetSweep, qContamination,
-      qContaminationBloom, qMixWeights, qMixApply, qMixTemperature,
+      qContaminationBloom, qContaminationFuzzy, qMixWeights, qMixApply,
+      qMixTemperature,
       qCorpusNgramCounts, qSnapshotDiff, qCorpusUpsert, qPackSequencesBpe,
       qCorpusDrift, qBpeLearn, qBpeApplyLearned, qPackBestfit)
 }

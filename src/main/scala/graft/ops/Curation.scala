@@ -665,8 +665,113 @@ object Curation {
          FROM flag GROUP BY source ORDER BY source"""
     })
 
+  /** Hashed-feature bucket count for [[qDsirWeights]] — 256 buckets keyed
+    * by the first two md5 hex chars of the feature string, so the bucket
+    * id is engine-portable with no hex-to-int conversion anywhere. */
+  val DsirBuckets = 256
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document
+    * by how much more likely its hashed n-gram features are under a
+    * TARGET domain's feature distribution than under the RAW corpus's.
+    * Here the target is `source = 'src0'` (standing in for the curated
+    * domain a pipeline would upsample toward) and the features are word
+    * unigrams + bigrams hashed into [[DsirBuckets]] buckets.
+    *
+    * Determinism: true DSIR weight is Σ log(p_tgt(f)/p_raw(f)) — float
+    * `ln` in data-dependent order, which the gate can't certify (the
+    * surprisal query documents the 1-ulp ln divergence). Same cure as
+    * there: each bucket scores its INTEGER surprisal
+    * `bitlength(total_smoothed div cnt_smoothed)` — a quantized −log2 p
+    * with add-one smoothing computed in exact integer space — and the
+    * document weight is Σ (bits_raw − bits_tgt): positive = the
+    * document's features are cheaper to encode under the target model =
+    * more target-like. `target_like` flags the log-ratio > 0 documents
+    * (the principled keep-set; a budgeted pipeline would instead feed
+    * `w_bits` to the packing/topk machinery).
+    *
+    * Scale shape: the feature stream is one map-side pass (split +
+    * zip_with bigrams + explode + 2-hex-char md5 bucket); BOTH count
+    * frames collapse to ≤ 256 rows (partial-aggregated shuffle keyed on
+    * the bucket — target counts are a conditional sum on the same pass,
+    * so the corpus is scanned ONCE for both distributions); the 256-row
+    * weight table broadcasts back onto the feature stream and the only
+    * corpus-sized shuffle is the per-doc sum keyed on doc_id. At 100 TB
+    * nothing driver-side grows: the model IS the 256-row frame. */
+  def dsirWeights(rows: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String,
+      targetPred: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    // Two consumers (bucket counts + scoring) — persist the compact
+    // per-doc token ARRAYS so the scan+split runs once; the exploded
+    // feature rows are corpus-sized and deliberately not cached.
+    // Evicted by [[graft.Graft.clearCaches]].
+    val tokArrays = rows
+      .select(col(idCol), targetPred.as("is_tgt"),
+        split(col(textCol), " ").as("tk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val feats = tokArrays
+      .select(col(idCol), col("is_tgt"),
+        explode(concat(col("tk"),
+          zip_with(slice(col("tk"), lit(1), size(col("tk")) - 1),
+            slice(col("tk"), lit(2), size(col("tk")) - 1),
+            (a, b) => concat_ws(" ", a, b)))).as("f"))
+      .select(col(idCol), col("is_tgt"),
+        substring(md5(col("f").cast("binary")), 1, 2).as("b"))
+    val counts = feats.groupBy("b").agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("is_tgt"), 1L).otherwise(0L)).as("ct"))
+    val totals = counts.agg(
+      sum("cr").as("nr"), sum("ct").as("nt"))
+    val model = counts.crossJoin(broadcast(totals))
+      .select(col("b"),
+        (length(bin(expr(s"(nr + $DsirBuckets) div (cr + 1)")))
+          .cast("long")
+          - length(bin(expr(s"(nt + $DsirBuckets) div (ct + 1)")))
+              .cast("long")).as("dw"))
+    feats.join(broadcast(model), "b")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_feat"), sum("dw").as("w_bits"))
+      .select(col(idCol), col("n_feat"), col("w_bits"),
+        (col("w_bits") > 0).as("target_like"))
+  }
+
+  val qDsirWeights = Q(
+    "q_dsir_weights",
+    (s, d) =>
+      dsirWeights(T.documents(s, d), "doc_id", "text",
+        col("source") === "src0")
+        .orderBy("doc_id"),
+    Some(s"""WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS tk
+                         FROM documents),
+             feats AS (SELECT doc_id, source,
+                         substring(md5(f), 1, 2) AS b
+                       FROM (SELECT doc_id, source,
+                               unnest(tk || list_transform(
+                                 range(1, len(tk)),
+                                 i -> tk[i] || ' ' || tk[i+1])) AS f
+                             FROM tk)),
+             counts AS (SELECT b, count(*) AS cr,
+                          CAST(sum(CASE WHEN source = 'src0'
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS ct
+                        FROM feats GROUP BY b),
+             tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr,
+                            CAST(sum(ct) AS BIGINT) AS nt FROM counts),
+             model AS (SELECT b,
+                         CAST(length(printf('%b',
+                             (nr + $DsirBuckets) // (cr + 1))) AS BIGINT)
+                       - CAST(length(printf('%b',
+                             (nt + $DsirBuckets) // (ct + 1))) AS BIGINT)
+                           AS dw
+                       FROM counts, tot)
+           SELECT f.doc_id, count(*) AS n_feat,
+                  CAST(sum(m.dw) AS BIGINT) AS w_bits,
+                  CAST(sum(m.dw) AS BIGINT) > 0 AS target_like
+           FROM feats f JOIN model m USING (b)
+           GROUP BY f.doc_id ORDER BY f.doc_id"""))
+
   val all: Seq[Q] = Seq(qProfileTable, qDeletionAudit,
     qTextRepetition, qSampleHash, qSampleStratified, qAggHeavyHitters,
     qTextPiiScrub, qSampleSplit, qAggHeavyHittersSketch, qTextSurprisal,
-    qTextQualityClassifier, qTextGopherRules, qCurationFunnel)
+    qTextQualityClassifier, qTextGopherRules, qCurationFunnel,
+    qDsirWeights)
 }

@@ -543,6 +543,91 @@ object Similarity {
            SELECT qid, vec_id, ${sqlR2("dist")} AS adc_dist
            FROM rk WHERE rn <= 3 ORDER BY qid, vec_id"""))
 
+  /** Dimension contract for [[binarySignCode]]: one sign bit per
+    * dimension packed into a single 64-bit word, so the corpus scan of a
+    * Hamming search reads 8 bytes per vector instead of 256/512 — the
+    * 32×-compression binary-quantization trade (Indyk–Motwani SRP at
+    * θ-granularity 1 bit/dim; used as the candidate stage of binary
+    * rerank retrieval à la BPR, Yamada et al. 2021). */
+  val BinaryDim = 64
+
+  /** Sign-bit code of a 64-dim array<double> column named `vCol`:
+    * bit i = (v[i] >= 0). One fused fold — SQL `aggregate` over the
+    * constant index range with bitwise OR accumulation, codegen'd,
+    * no UDF, no per-row allocation beyond the long. */
+  def binarySignCode(vCol: String): Column =
+    expr(s"""aggregate(sequence(0, ${BinaryDim - 1}), 0L,
+             (acc, i) -> acc | IF(`$vCol`[i] >= 0D, shiftleft(1L, i), 0L))""")
+
+  /** Hamming distance between two packed sign codes: XOR + popcount —
+    * two ALU ops per candidate pair, the whole point of the encoding. */
+  def hammingDist(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b)).cast("long")
+
+  /** Binary-quantization ANN: sign codes + Hamming top-16 candidates +
+    * exact-cosine rerank to top-3 — the third quantized search path
+    * beside IVF and PQ, and the cheapest per-pair of the three.
+    *
+    * Scale shape (the reason this exists at 100 TB): the candidate stage
+    * joins the broadcast 10-query CODE table against the corpus CODES
+    * ONLY — an 8-byte column, never the 512-byte vectors — and each pair
+    * costs one XOR+popcount. Full-precision vectors are fetched by a
+    * second join for the ≤ 16·|Q| Hamming survivors alone, then reranked
+    * by exact cosine. Both rank boundaries are deterministic (integer
+    * Hamming, ties → vec_id; rounded cosine emitted but RAW cosine
+    * ranks, ties → vec_id), so the oracle — which spells the same
+    * Hamming count as per-dimension sign mismatches, provably equal to
+    * popcount(xor) — reproduces the exact candidate set and ranking. */
+  val qSimHammingTopk = Q(
+    "q_sim_hamming_topk",
+    (s, d) => {
+      val e = T.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val codes = e.select(col("vec_id"), binarySignCode("v").as("code"))
+      val q = codes.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("code").as("qcode"))
+      val qv = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val wH = Window.partitionBy(col("qid"))
+        .orderBy(col("hamming"), col("vec_id"))
+      val cand = codes.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("hamming", hammingDist(col("code"), col("qcode")))
+        .withColumn("rn", row_number().over(wH))
+        .filter(col("rn") <= 16)
+        .select("qid", "vec_id", "hamming")
+      val wC = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      e.join(broadcast(cand), "vec_id")
+        .join(broadcast(qv), "qid")
+        .withColumn("sim", cosine(col("qv"), col("v")))
+        .withColumn("rn", row_number().over(wC))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("vec_id"), col("hamming"),
+          r2(col("sim")).as("sim"))
+        .orderBy("qid", "vec_id")
+    },
+    Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                        FROM embeddings),
+             q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+             ham AS (SELECT q.qid, e.vec_id,
+                       CAST(list_sum(list_transform(range(1, ${BinaryDim + 1}),
+                         i -> CASE WHEN (q.qv[i] >= 0) <> (e.v[i] >= 0)
+                              THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+                     FROM e JOIN q ON e.vec_id <> q.qid),
+             cand AS (SELECT qid, vec_id, hamming FROM (
+                        SELECT *, row_number() OVER (PARTITION BY qid
+                          ORDER BY hamming, vec_id) AS rn FROM ham)
+                      WHERE rn <= 16),
+             rer AS (SELECT c.qid, c.vec_id, c.hamming,
+                       list_cosine_similarity(q.qv, e.v) AS sim,
+                       row_number() OVER (PARTITION BY c.qid
+                         ORDER BY list_cosine_similarity(q.qv, e.v) DESC,
+                                  c.vec_id) AS rn
+                     FROM cand c JOIN e ON e.vec_id = c.vec_id
+                                 JOIN q ON q.qid = c.qid)
+           SELECT qid, vec_id, hamming, ${sqlR2("sim")} AS sim
+           FROM rer WHERE rn <= 3 ORDER BY qid, vec_id"""))
+
   /** Per-label positional embedding centroids — the class-prototype /
     * cluster-summary aggregate an embedding pipeline reports (and the
     * same quantity IVF's re-center step computes internally via
@@ -643,6 +728,6 @@ object Similarity {
     None)
 
   val all: Seq[Q] = Seq(qSimCosineTopk, qSimLshBuckets, qSimLshTopk,
-    qSimIvfTopk, qVecQuantize, qVecPq, qSimPqTopk, qEmbedCentroids,
-    qJoinTextEmbedding, qSimRecallReport)
+    qSimIvfTopk, qVecQuantize, qVecPq, qSimPqTopk, qSimHammingTopk,
+    qEmbedCentroids, qJoinTextEmbedding, qSimRecallReport)
 }

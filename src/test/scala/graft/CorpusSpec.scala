@@ -547,4 +547,53 @@ class CorpusSpec extends SparkSpec {
     assert(got("small")._1 === 100L)
     assert(got("big")._1 < 100L && got("big")._3 < got("big")._2)
   }
+
+  test("q_contamination_fuzzy replays banded MinHash + Jaccard verify in plain Scala") {
+    val out = Corpus.qContaminationFuzzy.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def splitOf(id: Long): String = {
+      val h = md5hex(id.toString).substring(0, 2)
+      if (h < "cc") "train" else if (h < "e6") "val" else "test"
+    }
+    def shingles(t: String): Set[String] = {
+      val tk = t.split(" ", -1)
+      if (tk.length == 1) Set(tk(0))
+      else tk.sliding(2).map(_.mkString(" ")).toSet
+    }
+    // 8 planes: two seeded md5s per shingle, four 8-hex chunks each,
+    // min per chunk — the MinHashSig spelling
+    def sig(sh: Set[String]): IndexedSeq[String] =
+      (0 to 1).flatMap { seed =>
+        val hs = sh.toSeq.map(s => md5hex(s"$seed:$s"))
+        (0 until 4).map(c => hs.map(_.substring(c * 8, c * 8 + 8)).min)
+      }
+    def bands(sh: Set[String]): Seq[(Int, String)] = {
+      val s = sig(sh)
+      Seq(0 -> s.slice(0, 4).mkString, 1 -> s.slice(4, 8).mkString)
+    }
+    val shm = docs.toMap.view.mapValues(shingles).toMap
+    val test_ = docs.filter(d => splitOf(d._1) == "test").map(_._1)
+    val train = docs.filter(d => splitOf(d._1) == "train").map(_._1)
+    val trainBands = train.flatMap(id => bands(shm(id)).map(b => b -> id))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val expected = test_.sorted.map { t =>
+      val cand = bands(shm(t)).flatMap(trainBands.getOrElse(_, Array.empty[Long]))
+        .distinct
+      val n = cand.count { c =>
+        val a = shm(t); val b = shm(c)
+        val ns = (a & b).size
+        ns.toDouble / (a.size + b.size - ns) >= Corpus.FuzzyContamJaccard
+      }.toLong
+      (t, n, n > 0)
+    }
+    assert(out.toSeq === expected)
+    // non-vacuous: the corpus plants near-dups, some straddle the split
+    assert(out.exists(_._3), "no fuzzy-contaminated doc found")
+  }
 }

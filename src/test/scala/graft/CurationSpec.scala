@@ -307,4 +307,41 @@ class CurationSpec extends SparkSpec {
     val keeps = expected.count(_._3 >= 0L)
     assert(keeps > 0 && keeps < expected.length)
   }
+
+  test("q_dsir_weights replays the hashed-bucket integer LLR in plain Scala") {
+    val out = Curation.qDsirWeights.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // features WITH multiplicity: unigrams ++ adjacent bigrams
+    def feats(t: String): Seq[String] = {
+      val tk = t.split(" ", -1).toSeq
+      tk ++ tk.zip(tk.drop(1)).map { case (a, b) => s"$a $b" }
+    }
+    val buckets = docs.map { case (id, src, t) =>
+      (id, src, feats(t).map(f => md5hex(f).substring(0, 2)))
+    }
+    val cr = buckets.flatMap(_._3).groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val ct = buckets.filter(_._2 == "src0").flatMap(_._3)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nr = cr.values.sum
+    val nt = ct.values.sum
+    def bitlen(x: Long): Long = (64 - java.lang.Long.numberOfLeadingZeros(x)).toLong
+    def dw(b: String): Long =
+      bitlen((nr + Curation.DsirBuckets) / (cr.getOrElse(b, 0L) + 1)) -
+        bitlen((nt + Curation.DsirBuckets) / (ct.getOrElse(b, 0L) + 1))
+    val expected = buckets.sortBy(_._1).map { case (id, _, bs) =>
+      val w = bs.map(dw).sum
+      (id, bs.size.toLong, w, w > 0)
+    }
+    assert(out.toSeq === expected.toSeq)
+    // the weight frame is a real discriminator, not a constant: the
+    // corpus must contain both signs (or the op degenerates)
+    assert(out.map(_._3).distinct.length > 1, "w_bits is constant")
+  }
 }

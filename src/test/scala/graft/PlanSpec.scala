@@ -423,6 +423,41 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "hashpartitioning\\(vec_id") >= 1, p)
   }
 
+  test("q_sim_hamming_topk: codes-only candidate join (XOR+popcount), " +
+      "vectors fetched for survivors via broadcast") {
+    val p = plan("q_sim_hamming_topk")
+    // the candidate stage compares 8-byte codes, not vectors
+    assert(p.contains("bit_count"), p)
+    // 10 query codes broadcast against the streaming coded corpus
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // survivor fetch + query-vector attach are both broadcast equi-joins
+    assert(count(p, "BroadcastHashJoin") >= 2, p)
+    // the corpus-side shuffles are the two top-k windows' qid exchanges
+    assert(count(p, "hashpartitioning\\(qid") >= 1, p)
+  }
+
+  test("q_contamination_fuzzy: banded equi-join with broadcast hot-band " +
+      "cap, no pair explosion") {
+    val p = plan("q_contamination_fuzzy")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the df-cap drops hot train bands via a broadcast anti-join
+    assert(p.contains("LeftAnti"), p)
+    // document text is consumed map-side (shingle/minhash); no exchange
+    // ships the text column
+    val shuffles = p.linesIterator.filter(_.contains("Exchange")).mkString
+    assert(!shuffles.contains("text"), shuffles)
+  }
+
+  test("q_dsir_weights: 256-row model broadcasts back; the only " +
+      "corpus-sized exchange is the per-doc sum") {
+    val p = plan("q_dsir_weights")
+    assert(count(p, "BroadcastHashJoin") >= 1, p)
+    assert(count(p, "hashpartitioning\\(doc_id") >= 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q_sim_pq_topk: fused PQ kernels, query side broadcasts, corpus " +
       "never shuffles before the top-k window") {
     val p = plan("q_sim_pq_topk")

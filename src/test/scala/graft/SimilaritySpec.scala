@@ -289,4 +289,58 @@ class SimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("hamming topk replays a plain-Scala sign-code brute force") {
+    val e = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def code(v: Array[Double]): Long =
+      v.zipWithIndex.foldLeft(0L) { case (acc, (x, i)) =>
+        if (x >= 0.0) acc | (1L << i) else acc
+      }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val codes = e.view.mapValues(code).toMap
+    val expected = e.keys.filter(_ < 10).toSeq.sorted.flatMap { qid =>
+      val cand = e.keys.filter(_ != qid).toSeq
+        .map(id => (java.lang.Long.bitCount(codes(id) ^ codes(qid)).toLong, id))
+        .sortBy(identity).take(16)
+      cand.map { case (h, id) => (h, id, cos(e(qid), e(id))) }
+        .sortBy { case (_, id, s) => (-s, id) }.take(3)
+        .map { case (h, id, s) =>
+          (qid, id, h, math.floor(s * 100.0 + 0.5) / 100.0)
+        }
+    }.sortBy { case (q, id, _, _) => (q, id) }
+    val got = Similarity.qSimHammingTopk.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got === expected)
+    // candidate stage must have pruned: hamming distances are small
+    // relative to random (~dim/2) for at least the top hit per query
+    assert(got.nonEmpty && got.forall(_._3 <= Similarity.BinaryDim))
+  }
+
+  test("binarySignCode packs one sign bit per dimension") {
+    import spark.implicits._
+    val v = Array.tabulate(64)(i => if (i % 3 == 0) -1.0 else 1.0)
+    val got = Seq(Tuple1(v)).toDF("v")
+      .select(Similarity.binarySignCode("v").as("c")).head().getLong(0)
+    val want = v.zipWithIndex.foldLeft(0L) { case (acc, (x, i)) =>
+      if (x >= 0.0) acc | (1L << i) else acc
+    }
+    assert(got === want)
+    // all-negative -> 0; all-positive -> every bit set (-1 as a long)
+    val zero = Seq(Tuple1(Array.fill(64)(-1.0))).toDF("v")
+      .select(Similarity.binarySignCode("v").as("c")).head().getLong(0)
+    val ones = Seq(Tuple1(Array.fill(64)(1.0))).toDF("v")
+      .select(Similarity.binarySignCode("v").as("c")).head().getLong(0)
+    assert(zero === 0L && ones === -1L)
+  }
 }
