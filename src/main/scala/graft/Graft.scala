@@ -28,8 +28,10 @@ object Graft {
     * exchange, no pair explosion. */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, payload: Seq[String],
-      direction: String = "backward"): DataFrame =
-    ops.AsOf.asofJoin(left, right, keys, leftTs, rightTs, payload, direction)
+      direction: String = "backward",
+      tolerance: Option[Long] = None): DataFrame =
+    ops.AsOf.asofJoin(left, right, keys, leftTs, rightTs, payload,
+      direction, tolerance)
 
   /** Nearest-direction as-of join: the time-closest right row, exact
     * ties backward. Both directional fills ride one key exchange. */

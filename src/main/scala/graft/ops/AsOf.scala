@@ -80,10 +80,16 @@ object AsOf {
     * Precondition for determinism: `right` has at most one row per
     * (keys, rightTs) — pre-aggregate otherwise (the declared queries
     * do).
-    */
+    *
+    * `tolerance` (pandas merge_asof's knob): a match further than this
+    * many ts units away is discarded — the row keeps left-outer nulls.
+    * Requires a numeric ts column (the declared queries use epoch ms).
+    * Applied AFTER the fill as a map-side null-out, so the bounded
+    * variant costs zero extra shuffles over the unbounded one. */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, payload: Seq[String],
-      direction: String = "backward"): DataFrame = {
+      direction: String = "backward",
+      tolerance: Option[Long] = None): DataFrame = {
     val (u, leftOnly) = unionFrame(left, right, keys, leftTs, rightTs, payload)
     val fill = direction match {
       case "backward" => last(col("graft_r"), ignoreNulls = true).over(wBack(keys))
@@ -91,8 +97,19 @@ object AsOf {
       case other => throw new IllegalArgumentException(
         s"asofJoin direction must be backward|forward, got $other")
     }
-    u.withColumn("graft_fill", fill)
-      .filter(col("graft_side") === 1)
+    val filled = u.withColumn("graft_fill", fill)
+    val bounded = tolerance match {
+      case None => filled
+      case Some(t) =>
+        val gap =
+          if (direction == "backward")
+            col("graft_ts") - col("graft_fill.graft_rts")
+          else col("graft_fill.graft_rts") - col("graft_ts")
+        // when() without otherwise = null fill — left-outer semantics
+        filled.withColumn("graft_fill",
+          when(gap <= t, col("graft_fill")))
+    }
+    bounded.filter(col("graft_side") === 1)
       .select(outCols(keys, leftTs, leftOnly, rightTs, payload, "graft_fill"): _*)
   }
 
@@ -223,5 +240,45 @@ object AsOf {
            FROM b JOIN f USING (event_id)
            ORDER BY b.event_id"""))
 
-  val all: Seq[Q] = Seq(qJoinAsof, qJoinAsofForward, qJoinAsofNearest)
+  /** Matching window for [[qJoinAsofTolerance]]: 5 minutes in ms —
+    * beyond it, a "most recent purchase" is stale attribution noise. */
+  val AsofToleranceMs = 300000L
+
+  /** The backward as-of bounded by a tolerance — pandas merge_asof's
+    * `tolerance` knob: a prior purchase more than 5 minutes old does
+    * NOT attribute; the click keeps left-outer nulls. Same one-exchange
+    * fill as q_join_asof plus a map-side gap null-out — the bound costs
+    * nothing at any scale. Both bounded and unbounded spellings share
+    * the events scan shape, and rows null under the bound are exactly
+    * the unbounded matches with gap > tolerance (CONSISTENCY pinned in
+    * AsOfSpec). */
+  val qJoinAsofTolerance = Q(
+    "q_join_asof_tolerance",
+    (s, d) => {
+      val ev = T.events(s, d).withColumn("ms", unix_millis(col("ts")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ms")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ms").agg(max(col("value")).as("pv"))
+      asofJoin(clicks, purchases, Seq("user_id"), "ms", "ms", Seq("pv"),
+        tolerance = Some(AsofToleranceMs))
+        .select(col("event_id"), col("user_id"), col("ms"),
+          col("asof_ms").as("prior_ms"), col("asof_pv").as("prior_value"))
+        .orderBy("event_id")
+    },
+    Some(s"""WITH l AS (SELECT event_id, user_id, epoch_ms(ts) AS ms
+                     FROM events WHERE event_type = 'click'),
+                r AS (SELECT user_id, epoch_ms(ts) AS ms, max(value) AS pv
+                     FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+           SELECT l.event_id, l.user_id, l.ms,
+                  CASE WHEN l.ms - r.ms <= $AsofToleranceMs
+                       THEN r.ms END AS prior_ms,
+                  CASE WHEN l.ms - r.ms <= $AsofToleranceMs
+                       THEN r.pv END AS prior_value
+           FROM l ASOF LEFT JOIN r
+             ON l.user_id = r.user_id AND l.ms >= r.ms
+           ORDER BY l.event_id"""))
+
+  val all: Seq[Q] =
+    Seq(qJoinAsof, qJoinAsofForward, qJoinAsofNearest, qJoinAsofTolerance)
 }

@@ -245,27 +245,47 @@ object Curation {
     * persisted — scan+split runs once, each consumer re-explodes from
     * memory (the exploded rows themselves are corpus-sized and are
     * deliberately NOT cached). Evicted by [[graft.Graft.clearCaches]]. */
+  /** The per-document surprisal frame (doc_id, n_tok, bits_sum,
+    * mean_bits) behind [[qTextSurprisal]], unsorted — shared with
+    * [[qCurriculumPhases]], which consumes the same difficulty score. */
+  private[ops] def surprisalFrame(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val tokArrays = T.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val toks = tokArrays
+      .select(col("doc_id"), explode(col("tk")).as("tok"))
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum("cnt").as("total"))
+    val scored = vocab.crossJoin(broadcast(total))
+      .select(col("tok"),
+        length(bin(expr("total div cnt"))).cast("long").as("bits"))
+    toks.join(scored, "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum("bits").as("bits_sum"))
+      .select(col("doc_id"), col("n_tok"), col("bits_sum"),
+        r2(col("bits_sum").cast("double") / col("n_tok"))
+          .as("mean_bits"))
+  }
+
+  /** The shared surprisal CTE chain ending in the doc-level frame
+    * `dd(doc_id, n_tok, mb)` — the SQL twin of [[surprisalFrame]]. */
+  private def surprisalSqlCte: String =
+    s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                 FROM documents),
+        vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+        sc AS (SELECT tok,
+                 CAST(length(printf('%b', total // cnt)) AS BIGINT) AS bits
+               FROM vocab, tot),
+        dd AS (SELECT t.doc_id, count(*) AS n_tok,
+                 ${sqlR2("CAST(sum(sc.bits) AS BIGINT)::DOUBLE / count(*)")}
+                   AS mb
+               FROM toks t JOIN sc USING (tok) GROUP BY t.doc_id)"""
+
   val qTextSurprisal = Q(
     "q_text_surprisal",
-    (s, d) => {
-      val tokArrays = T.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("tk"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val toks = tokArrays
-        .select(col("doc_id"), explode(col("tk")).as("tok"))
-      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
-      val total = vocab.agg(sum("cnt").as("total"))
-      val scored = vocab.crossJoin(broadcast(total))
-        .select(col("tok"),
-          length(bin(expr("total div cnt"))).cast("long").as("bits"))
-      toks.join(scored, "tok")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tok"), sum("bits").as("bits_sum"))
-        .select(col("doc_id"), col("n_tok"), col("bits_sum"),
-          r2(col("bits_sum").cast("double") / col("n_tok"))
-            .as("mean_bits"))
-        .orderBy("doc_id")
-    },
+    (s, d) => surprisalFrame(s, d).orderBy("doc_id"),
     Some(s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
                            FROM documents),
              vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
@@ -665,6 +685,115 @@ object Curation {
          FROM flag GROUP BY source ORDER BY source"""
     })
 
+  /** Decile threshold above which [[qTextQualityCalibrated]] keeps a
+    * document — top 30% by classifier score. */
+  val CalibKeepDecile = 7L
+
+  /** Quality-score CALIBRATION — the step between scoring and
+    * filtering: classifier scores are only ordinal, so production
+    * pipelines cut at a score PERCENTILE, not a magic constant
+    * (CCNet's perplexity terciles are this exact shape). Per score
+    * decile: document count and the score range it spans, plus the
+    * keep verdict for a top-30% cut.
+    *
+    * The scale-critical part is HOW the deciles are computed: a global
+    * ntile/percent_rank would total-order the corpus through one
+    * window task. Instead the corpus collapses to a (score, n)
+    * FREQUENCY frame (integer scores — one partial-aggregated shuffle,
+    * cardinality bounded by the score range, not the corpus), and the
+    * decile boundaries come from a running sum over THAT frame — the
+    * mixWeights small-frame-window discipline. Ties share a decile by
+    * construction (same score ⇒ same row of the frequency frame), so
+    * the assignment is deterministic on any engine and any
+    * partitioning, which an ntile over equal scores is not. */
+  val qTextQualityCalibrated = Q(
+    "q_text_quality_calibrated",
+    (s, d) => {
+      val sc = T.documents(s, d)
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), t -> length(t) > 0)").as("tk"))
+        .select(qualityScoreExpr.as("score"))
+      val fr = sc.groupBy("score").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(lit(1)).orderBy("score")
+      val cu = fr.select(col("score"), col("n"),
+        coalesce(sum("n").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)).as("cb"),
+        sum("n").over(w.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)).as("tt"))
+      cu.withColumn("decile", expr("(cb * 10) div tt"))
+        .groupBy("decile")
+        .agg(sum("n").as("n_docs"),
+          min("score").as("lo_score"), max("score").as("hi_score"))
+        .select(col("decile"), col("n_docs"), col("lo_score"),
+          col("hi_score"), (col("decile") >= CalibKeepDecile).as("keep"))
+        .orderBy("decile")
+    },
+    Some(s"""WITH sc AS (SELECT doc_id, ${qualityScoreSql("text")} AS score
+                         FROM documents),
+             fr AS (SELECT score, count(*) AS n FROM sc GROUP BY score),
+             cu AS (SELECT score, n,
+                      CAST(coalesce(sum(n) OVER (ORDER BY score
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS cb,
+                      CAST(sum(n) OVER () AS BIGINT) AS tt
+                    FROM fr),
+             dz AS (SELECT score, n, (cb * 10) // tt AS decile FROM cu)
+           SELECT CAST(decile AS BIGINT) AS decile,
+                  CAST(sum(n) AS BIGINT) AS n_docs,
+                  min(score) AS lo_score, max(score) AS hi_score,
+                  CAST(decile AS BIGINT) >= $CalibKeepDecile AS keep
+           FROM dz GROUP BY decile ORDER BY decile"""))
+
+  /** Phase count for [[qCurriculumPhases]]. */
+  val CurriculumPhases = 4L
+
+  /** Difficulty CURRICULUM — order the corpus by the surprisal score
+    * (easy → hard) and split it into [[CurriculumPhases]] phases of
+    * equal TOKEN mass (training budgets are token budgets, not doc
+    * counts). Per phase: docs, tokens, and the difficulty range it
+    * spans — the schedule a curriculum-learning run feeds its sampler.
+    *
+    * Same small-frame-window discipline as [[qTextQualityCalibrated]]:
+    * docs collapse to a (mean_bits, n_docs, n_tokens) frame keyed on
+    * the 2dp Det-grid score (identical bit patterns in both engines, so
+    * grouping is exact), the running token sum lives on that bounded
+    * frame, and phase = floor(cum_before·k / total) — ties share a
+    * phase. The corpus is never totally ordered. */
+  val qCurriculumPhases = Q(
+    "q_curriculum_phases",
+    (s, d) => {
+      val dd = surprisalFrame(s, d)
+        .select(col("doc_id"), col("n_tok"), col("mean_bits").as("mb"))
+      val fr = dd.groupBy("mb")
+        .agg(count(lit(1)).as("nd"), sum("n_tok").as("nt"))
+      val w = Window.partitionBy(lit(1)).orderBy("mb")
+      val cu = fr.select(col("mb"), col("nd"), col("nt"),
+        coalesce(sum("nt").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)).as("cb"),
+        sum("nt").over(w.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)).as("tt"))
+      cu.withColumn("phase", expr(s"(cb * $CurriculumPhases) div tt"))
+        .groupBy("phase")
+        .agg(sum("nd").as("n_docs"), sum("nt").as("n_tokens"),
+          min("mb").as("lo_bits"), max("mb").as("hi_bits"))
+        .orderBy("phase")
+    },
+    Some(s"""WITH $surprisalSqlCte,
+             fr AS (SELECT mb, count(*) AS nd,
+                      CAST(sum(n_tok) AS BIGINT) AS nt
+                    FROM dd GROUP BY mb),
+             cu AS (SELECT mb, nd, nt,
+                      CAST(coalesce(sum(nt) OVER (ORDER BY mb
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS BIGINT) AS cb,
+                      CAST(sum(nt) OVER () AS BIGINT) AS tt
+                    FROM fr)
+           SELECT CAST((cb * $CurriculumPhases) // tt AS BIGINT) AS phase,
+                  CAST(sum(nd) AS BIGINT) AS n_docs,
+                  CAST(sum(nt) AS BIGINT) AS n_tokens,
+                  min(mb) AS lo_bits, max(mb) AS hi_bits
+           FROM cu GROUP BY 1 ORDER BY phase"""))
+
   /** Hashed-feature bucket count for [[qDsirWeights]] — 256 buckets keyed
     * by the first two md5 hex chars of the feature string, so the bucket
     * id is engine-portable with no hex-to-int conversion anywhere. */
@@ -773,5 +902,5 @@ object Curation {
     qTextRepetition, qSampleHash, qSampleStratified, qAggHeavyHitters,
     qTextPiiScrub, qSampleSplit, qAggHeavyHittersSketch, qTextSurprisal,
     qTextQualityClassifier, qTextGopherRules, qCurationFunnel,
-    qDsirWeights)
+    qDsirWeights, qTextQualityCalibrated, qCurriculumPhases)
 }

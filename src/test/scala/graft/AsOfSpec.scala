@@ -112,4 +112,41 @@ class AsOfSpec extends SparkSpec {
       .select("id", "asof_rts", "asof_ts").collect()
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((1L, 3L, 77L)))
   }
+
+  test("tolerance null-outs are exactly the unbounded matches with gap > tol (property)") {
+    val params =
+      ScTest.Parameters.default.withMinSuccessfulTests(6).withMaxSize(40)
+    val leftGen = Gen.listOfN(20,
+      Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 50L)))
+    val rightGen = Gen.listOfN(15,
+      Gen.zip(Gen.choose(0L, 3L), Gen.choose(0L, 50L)))
+    val tolGen = Gen.choose(0L, 20L)
+    val prop = Prop.forAllNoShrink(leftGen, rightGen, tolGen) { (lRaw, rRaw, tol) =>
+      val s = spark
+      import s.implicits._
+      val lRows = lRaw.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+      val rRows = rRaw.distinct.map { case (k, t) => (k, t, t * 10 + k) }
+      val left = lRows.toDF("id", "k", "ts")
+      val right = rRows.toDF("k", "rts", "v")
+      def run(tolerance: Option[Long]) =
+        AsOf.asofJoin(left, right, Seq("k"), "ts", "rts", Seq("v"),
+            tolerance = tolerance)
+          .select("id", "ts", "asof_rts", "asof_v")
+          .collect()
+          .map(r => r.getLong(0) -> (r.getLong(1),
+            if (r.isNullAt(2)) None else Some(r.getLong(2)),
+            if (r.isNullAt(3)) None else Some(r.getLong(3))))
+          .toMap
+      val free = run(None)
+      val bound = run(Some(tol))
+      free.keySet == bound.keySet && free.forall { case (id, (ts, rts, v)) =>
+        bound(id) == (rts match {
+          case Some(m) if ts - m > tol => (ts, None, None)
+          case _ => (ts, rts, v)
+        })
+      }
+    }
+    val res = ScTest.check(params, prop)
+    assert(res.passed, res.status.toString)
+  }
 }

@@ -344,4 +344,55 @@ class CurationSpec extends SparkSpec {
     // corpus must contain both signs (or the op degenerates)
     assert(out.map(_._3).distinct.length > 1, "w_bits is constant")
   }
+
+  test("q_text_quality_calibrated replays the frequency-frame decile cut") {
+    val out = Curation.qTextQualityCalibrated.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    val scores = Curation.qTextQualityClassifier.fn(spark, sf).collect()
+      .map(_.getLong(2)).sorted.toSeq
+    val n = scores.length.toLong
+    // replay: per distinct score, decile = floor(10*count_below/N);
+    // report per decile
+    val freq = scores.groupBy(identity).view.mapValues(_.size.toLong)
+      .toSeq.sortBy(_._1)
+    val expected = freq
+      .scanLeft((0L, 0L, 0L)) { case ((_, _, cum), (s, c)) => (s, c, cum + c) }
+      .drop(1)
+      .map { case (s, c, cumIncl) => ((cumIncl - c) * 10 / n, s, c) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (dz, g) =>
+        (dz, g.map(_._3).sum, g.map(_._2).min, g.map(_._2).max, dz >= 7L)
+      }
+    assert(out.toSeq === expected)
+    assert(out.map(_._2).sum === n, "deciles must partition the corpus")
+    assert(out.forall(r => r._1 >= 0 && r._1 <= 9 && r._3 <= r._4))
+  }
+
+  test("q_curriculum_phases: token conservation, monotone difficulty, balanced mass") {
+    val out = Curation.qCurriculumPhases.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    val docs = Curation.qTextSurprisal.fn(spark, sf).collect()
+      .map(r => (r.getLong(1), r.getDouble(3))) // (n_tok, mean_bits)
+    val totTok = docs.map(_._1).sum
+    val totDocs = docs.length.toLong
+    assert(out.map(_._2).sum === totDocs)
+    assert(out.map(_._3).sum === totTok, "token mass must be conserved")
+    assert(out.forall(p => p._1 >= 0 && p._1 < Curation.CurriculumPhases))
+    // phases are difficulty-ordered and non-overlapping
+    out.sliding(2).foreach {
+      case Array(a, b) => assert(a._5 < b._4,
+        s"phase ${a._1} hi ${a._5} overlaps phase ${b._1} lo ${b._4}")
+      case _ =>
+    }
+    // equal token mass up to the largest single score-group (ties are
+    // indivisible by construction)
+    val maxGroup = docs.groupBy(_._2).values.map(_.map(_._1).sum).max
+    val target = totTok / Curation.CurriculumPhases
+    out.foreach { p =>
+      assert(p._3 <= target + maxGroup,
+        s"phase ${p._1} mass ${p._3} exceeds target $target + maxGroup $maxGroup")
+    }
+  }
 }

@@ -458,6 +458,26 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q_text_quality_calibrated: deciles from the frequency frame — " +
+      "one corpus exchange, window on the bounded frame, no ntile") {
+    val p = plan("q_text_quality_calibrated")
+    // the only corpus-sized exchange keys the integer score
+    assert(count(p, "hashpartitioning\\(score") == 1, p)
+    assert(count(p, "hashpartitioning") == 1, p)
+    // the running sum lives on the aggregated frame (SinglePartition,
+    // bounded by score cardinality) — the corpus is never total-ordered
+    assert(p.contains("SinglePartition"), p)
+    assert(!p.contains("ntile") && !p.contains("percent_rank"), p)
+  }
+
+  test("q_curriculum_phases: phase cut on the (mean_bits) frame, " +
+      "corpus never total-ordered") {
+    val p = plan("q_curriculum_phases")
+    assert(count(p, "hashpartitioning\\(mb") >= 1, p)
+    assert(p.contains("SinglePartition"), p)
+    assert(!p.contains("ntile") && !p.contains("percent_rank"), p)
+  }
+
   test("q_sim_pq_topk: fused PQ kernels, query side broadcasts, corpus " +
       "never shuffles before the top-k window") {
     val p = plan("q_sim_pq_topk")
