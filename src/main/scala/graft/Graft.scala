@@ -219,6 +219,20 @@ object Graft {
   def hammingDist(a: Column, b: Column): Column =
     ops.Similarity.hammingDist(a, b)
 
+  /** 64-bit perceptual fingerprints for a media table (aHash of the
+    * first decoded raster; windowed amplitude-sign hash for audio) —
+    * one partition-batched decode, 8 bytes out per blob. */
+  def perceptualHash(media: org.apache.spark.sql.Dataset[ops.Multimodal.Media]): DataFrame =
+    ops.Multimodal.perceptualHash(media)
+
+  /** Perceptual near-duplicate report over a media table: same-kind
+    * neighbours within `maxHamming` of the fingerprint (complete at the
+    * default radius via 4×16-bit multi-index banding) + the min-id-owner
+    * keep verdict. Blobs decode once and never shuffle. */
+  def perceptualDedup(media: org.apache.spark.sql.Dataset[ops.Multimodal.Media],
+      maxHamming: Int = 3): DataFrame =
+    ops.Multimodal.perceptualDedup(media, maxHamming)
+
   /** Best-fit-vs-chunk packing policy report per shard: docs stream in
     * `orderCol` order, each tail placed in the open bin with the
     * smallest remaining capacity that fits (state = the open-bin

@@ -192,6 +192,57 @@ object Multimodal {
       }
       out
     }
+
+    /** 64-bit average-hash (aHash) of a decoded gray raster — the
+      * classic perceptual image fingerprint: resize to 8×8 through the
+      * deterministic nearest-neighbour [[resize]], bit i set iff
+      * thumbnail pixel i >= the integer floor mean of the 64 pixels.
+      * All-integer, so the hash is bit-stable across JVMs. */
+    def aHash(px: Array[Byte], w: Int, h: Int): Long = {
+      val t = resize(px, w, h, 8, 8)
+      var sum = 0L
+      var i = 0
+      while (i < 64) { sum += (t(i) & 0xff); i += 1 }
+      val mean = sum / 64
+      var code = 0L
+      i = 0
+      while (i < 64) {
+        if ((t(i) & 0xff) >= mean) code |= (1L << i)
+        i += 1
+      }
+      code
+    }
+
+    /** The audio twin: 64 equal sample windows, bit i set iff window i's
+      * mean amplitude >= the global mean. Computed on the raw 16-bit
+      * sample values scaled to ints (never float sums), so the hash is
+      * exact. */
+    def audioHash(pcm: Array[Float]): Long = {
+      if (pcm.isEmpty) return 0L
+      val n = pcm.length
+      val scaled = new Array[Long](n)
+      var i = 0
+      while (i < n) { scaled(i) = math.round(pcm(i) * 32768f).toLong; i += 1 }
+      val winSum = new Array[Long](64)
+      val winN = new Array[Long](64)
+      i = 0
+      while (i < n) {
+        val w = math.min(63, i * 64 / n)
+        winSum(w) += math.abs(scaled(i)); winN(w) += 1
+        i += 1
+      }
+      val totalMeanNum = scaled.map(math.abs).sum
+      var code = 0L
+      var w = 0
+      while (w < 64) {
+        // compare window mean to global mean in cross-multiplied integer
+        // space: winSum/winN >= total/n  <=>  winSum*n >= total*winN
+        if (winN(w) > 0 && winSum(w) * n >= totalMeanNum * winN(w))
+          code |= (1L << w)
+        w += 1
+      }
+      code
+    }
   }
 
   // --------------------------------------------------------- operators
@@ -419,6 +470,89 @@ object Multimodal {
            1000 + (vec_id % 5) * 500 AS duration_ms
            FROM embeddings WHERE vec_id % 3 = 1 ORDER BY media_id"""))
 
+  /** Per-media 64-bit perceptual fingerprint: aHash of the first decoded
+    * raster for image/video, the windowed amplitude-sign hash for audio.
+    * One partition-batched decode pass; output is (media_id, kind,
+    * phash) — 8 bytes per blob, the index a perceptual-dedup sweep
+    * scans INSTEAD of the blobs. */
+  def perceptualHash(media: Dataset[Media]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val ph = m.kind match {
+          case "audio" => Codecs.audioHash(Codecs.decodeAudio(m.bytes))
+          case _ =>
+            val (w, h, px) = firstRaster(m)
+            Codecs.aHash(px, w, h)
+        }
+        (m.media_id, m.kind, ph)
+      }
+    }.toDF("media_id", "kind", "phash")
+  }
+
+  /** Perceptual near-duplicate detection over a media table — the
+    * image-dedup stage of a multimodal pipeline (exact byte dedup
+    * misses re-encodes; perceptual hashes catch them): per media row,
+    * the count of same-kind neighbours within Hamming distance
+    * `maxHamming` of its [[perceptualHash]], and the min-id-owner
+    * `keep` verdict (a row is pruned iff a LOWER-id neighbour exists —
+    * the engine-wide deterministic survivor rule).
+    *
+    * Scale shape: blobs are decoded ONCE into 8-byte fingerprints;
+    * everything after runs on the fingerprint index. Candidates come
+    * from multi-index banding (4 × 16-bit bands — any pair at Hamming
+    * <= 3 differs in at most 3 bands, so it collides EXACTLY on at
+    * least one: the banding is complete at the default radius, not
+    * approximate), grouped through [[Dedup.pairsFromGroups]] with its
+    * hot-band df cap; the Hamming verify runs on candidate pairs only
+    * (XOR+popcount on longs — [[Similarity.hammingDist]]). Blobs never
+    * shuffle; the pair stage never sees more than band-collision
+    * candidates. */
+  def perceptualDedup(media: Dataset[Media], maxHamming: Int = 3): DataFrame = {
+    val ph = perceptualHash(media)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = ph.select(col("media_id").as("doc_id"), col("kind"),
+      posexplode(array((0 until 4).map(b =>
+        expr(s"(phash >> ${b * 16}) & 65535")): _*)))
+      .toDF("doc_id", "kind", "band_no", "band")
+    val cand = Dedup.pairsFromGroups(bands, Seq("kind", "band_no", "band"))
+      .distinct()
+    val withH = cand
+      .join(ph.select(col("media_id").as("a"), col("phash").as("pa")), "a")
+      .join(ph.select(col("media_id").as("b"), col("phash").as("pb")), "b")
+      .filter(Similarity.hammingDist(col("pa"), col("pb")) <= maxHamming)
+    val nbrs = withH.select(col("a").as("media_id"), col("b").as("nbr"))
+      .unionAll(withH.select(col("b").as("media_id"), col("a").as("nbr")))
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_nbrs"), min("nbr").as("min_nbr"))
+    ph.join(nbrs, Seq("media_id"), "left")
+      .select(col("media_id"), col("kind"), col("phash"),
+        coalesce(col("n_nbrs"), lit(0L)).as("n_nbrs"),
+        (col("min_nbr").isNull || col("min_nbr") > col("media_id"))
+          .as("keep"))
+  }
+
+  /** The declared media table for [[qMmDedup]]: the synthesized corpus
+    * plus PLANTED duplicates — every 50th media re-registered under
+    * id+100000 with identical bytes (the re-upload case; same practice
+    * as the planted PII/nulls: the fixture has no organic media dups,
+    * because each raster mixes its media_id into the pixel bits). */
+  private def mediaWithPlants(s: SparkSession, d: String): Dataset[Media] = {
+    import s.implicits._
+    val base = mediaTable(s, d)
+    base.unionAll(base.filter(_.media_id % 50 == 0)
+      .map(m => m.copy(media_id = m.media_id + 100000L)))
+  }
+
+  /** Perceptual dedup report over the planted corpus. Pixel-derived
+    * hashes have no SQL spelling -> no oracle; MultimodalSpec replays
+    * the full pipeline (hash + brute-force neighbours + survivors)
+    * through the Codecs directly. */
+  val qMmDedup = Q(
+    "q_mm_dedup",
+    (s, d) => perceptualDedup(mediaWithPlants(s, d)).orderBy("media_id"),
+    None)
+
   val all: Seq[Q] =
-    Seq(qMmFeatures, qMmFrameSample, qMmMetaStats, qMmAudioStats)
+    Seq(qMmFeatures, qMmFrameSample, qMmMetaStats, qMmAudioStats, qMmDedup)
 }

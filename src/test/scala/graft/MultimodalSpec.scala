@@ -149,4 +149,40 @@ class MultimodalSpec extends SparkSpec {
     assert(row.getDouble(0) === 1.0)
     assert(row.getDouble(1) === 11.0)
   }
+
+  test("perceptual dedup: hashes, neighbours, and survivors replay locally") {
+    val out = Multimodal.qMmDedup.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    val base = media.collect()
+    val planted = base.filter(_.media_id % 50 == 0)
+      .map(m => m.copy(media_id = m.media_id + 100000L))
+    val allm = base ++ planted
+    def hash(m: Multimodal.Media): Long = m.kind match {
+      case "audio" => Codecs.audioHash(Codecs.decodeAudio(m.bytes))
+      case "video" =>
+        val (w, h, px) =
+          Codecs.decodeImage(Codecs.videoFramePngs(m.bytes).head)
+        Codecs.aHash(px, w, h)
+      case _ =>
+        val (w, h, px) = Codecs.decodeImage(m.bytes)
+        Codecs.aHash(px, w, h)
+    }
+    val hs = allm.map(m => (m.media_id, m.kind, hash(m)))
+    val expected = hs.sortBy(_._1).toSeq.map { case (id, k, h) =>
+      val nbrs = hs.filter(o => o._1 != id && o._2 == k &&
+        java.lang.Long.bitCount(o._3 ^ h) <= 3).map(_._1)
+      (id, k, h, nbrs.length.toLong, nbrs.forall(_ > id))
+    }
+    // the 4x16-bit multi-index banding is COMPLETE at radius 3, so the
+    // engine must equal the brute force exactly
+    assert(out.toSeq === expected)
+    // every plant resolves: >= 1 neighbour (its source) and pruned
+    planted.foreach { m =>
+      val row = out.find(_._1 == m.media_id).get
+      assert(row._4 >= 1 && !row._5, s"plant ${m.media_id} not caught")
+    }
+    // the organic corpus is mostly unique (ids perturb the rasters)
+    assert(out.count(_._5) > out.length / 2)
+  }
 }
