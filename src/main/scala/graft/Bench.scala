@@ -102,10 +102,12 @@ object Bench {
       }.min
     // A failed query must not masquerade as a fast one: it reports -1 in
     // `queries`, lands in `failures`, and contributes nothing to `value`.
+    val evict = sys.env.contains("SPARK_GRAFT_EVICT")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
         try {
+          if (evict) graft.Graft.clearCaches(spark)
           (name, minOf(() =>
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()), true)
         } catch { case e: Throwable =>

@@ -831,21 +831,16 @@ object Curation {
       textCol: String,
       targetPred: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
     // Two consumers (bucket counts + scoring) — persist the compact
-    // per-doc token ARRAYS so the scan+split runs once; the exploded
-    // feature rows are corpus-sized and deliberately not cached.
-    // Evicted by [[graft.Graft.clearCaches]].
-    val tokArrays = rows
+    // per-doc bucket ARRAYS (one fused DsirFeatureBuckets pass: one
+    // incremental md5 per feature, no interpreted lambdas) so the hash
+    // work runs once; the exploded rows are corpus-sized and
+    // deliberately not cached. Evicted by [[graft.Graft.clearCaches]].
+    val bucketArrays = rows
       .select(col(idCol), targetPred.as("is_tgt"),
-        split(col(textCol), " ").as("tk"))
+        graft.functions.DsirFeatureBuckets.buckets(col(textCol)).as("bs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val feats = tokArrays
-      .select(col(idCol), col("is_tgt"),
-        explode(concat(col("tk"),
-          zip_with(slice(col("tk"), lit(1), size(col("tk")) - 1),
-            slice(col("tk"), lit(2), size(col("tk")) - 1),
-            (a, b) => concat_ws(" ", a, b)))).as("f"))
-      .select(col(idCol), col("is_tgt"),
-        substring(md5(col("f").cast("binary")), 1, 2).as("b"))
+    val feats = bucketArrays
+      .select(col(idCol), col("is_tgt"), explode(col("bs")).as("b"))
     val counts = feats.groupBy("b").agg(
       count(lit(1)).as("cr"),
       sum(when(col("is_tgt"), 1L).otherwise(0L)).as("ct"))

@@ -268,10 +268,18 @@ object Multimodal {
     * the length-prefixed PNG-frame container. Content derives from the
     * embedding floats, metadata from the label. Stands in for
     * `read.format("binaryFile")` / a parquet blob table at scale. */
-  def mediaTable(s: SparkSession, d: String): Dataset[Media] = {
+  def mediaTable(s: SparkSession, d: String): Dataset[Media] =
+    mediaFrom(s,
+      T.embeddings(s, d).select(col("vec_id"), col("embedding"), col("label")))
+
+  /** The synthesis map over an (id, embedding, label) frame — factored
+    * out so a FILTERED source only encodes the blobs it keeps (the
+    * planted-duplicate branch of [[qMmDedup]] pushes its predicate to
+    * the embeddings scan instead of re-encoding the whole corpus). */
+  private def mediaFrom(s: SparkSession,
+      src: org.apache.spark.sql.DataFrame): Dataset[Media] = {
     import s.implicits._
-    T.embeddings(s, d).select(col("vec_id"), col("embedding"), col("label"))
-      .as[(Long, Array[Float], Int)]
+    src.as[(Long, Array[Float], Int)]
       .map { case (id, emb, label) =>
         val kind = (id % 3) match {
           case 0 => "video"
@@ -539,9 +547,13 @@ object Multimodal {
     * because each raster mixes its media_id into the pixel bits). */
   private def mediaWithPlants(s: SparkSession, d: String): Dataset[Media] = {
     import s.implicits._
-    val base = mediaTable(s, d)
-    base.unionAll(base.filter(_.media_id % 50 == 0)
-      .map(m => m.copy(media_id = m.media_id + 100000L)))
+    // the plant branch filters at the embeddings SCAN, so only the ~2%
+    // planted blobs are encoded a second time — not the whole corpus
+    mediaTable(s, d).unionAll(
+      mediaFrom(s, T.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"), col("label"))
+        .filter(col("vec_id") % 50 === 0))
+        .map(m => m.copy(media_id = m.media_id + 100000L)))
   }
 
   /** Perceptual dedup report over the planted corpus. Pixel-derived
