@@ -414,7 +414,7 @@ object Corpus {
   /** The md5-range split frame both contamination queries scan: the
     * same hash ranges as [[Curation.qSampleSplit]] — the split this
     * check exists to protect. */
-  private def splitDocs(s: org.apache.spark.sql.SparkSession,
+  private[ops] def splitDocs(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     T.documents(s, d)
       .select(col("doc_id"), col("text"),

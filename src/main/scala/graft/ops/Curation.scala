@@ -685,6 +685,127 @@ object Curation {
          FROM flag GROUP BY source ORDER BY source"""
     })
 
+  /** Flat integer penalty (bits) for a bigram the train split never
+    * saw — the stupid-backoff discount quantized to the bit grid. */
+  val BackoffBits = 4L
+
+  /** Every [[ModelDocStride]]-th train-split doc feeds the bigram LM —
+    * the CCNet asymmetry (the clean LM corpus is orders of magnitude
+    * smaller than what it scores; Wikipedia vs CommonCrawl). On this
+    * fixture the stride is also what makes backoff REAL: the synthetic
+    * vocabulary is so small that the full train split covers every
+    * bigram in the corpus (0 backoffs measured), while the strided
+    * model leaves ~24% of positions train-unseen. */
+  val ModelDocStride = 17L
+
+  /** Bigram-LM surprisal with held-out backoff — the KenLM-shaped
+    * upgrade of [[qTextSurprisal]], and the honest CCNet shape: the LM
+    * is estimated on a SMALL clean subcorpus (every [[ModelDocStride]]-th
+    * train-split doc of the md5 split in [[Corpus.splitDocs]]) and
+    * scores EVERY document, so scored text genuinely contains unseen
+    * bigrams and the backoff path carries real traffic (self-scored
+    * corpora never back off — every observed bigram is in its own
+    * counts). Per token: conditional surprisal
+    * `bitlength(cnt1(prev) div cnt2(prev, cur))` when the train split
+    * saw the bigram; otherwise [[BackoffBits]] + the add-one-smoothed
+    * unigram bits `bitlength((T+1) div (cnt1(cur)+1))` (first tokens
+    * pay plain unigram bits, no penalty). All integer space — the
+    * [[qTextSurprisal]] determinism cure — so the oracle is exact.
+    * Output per doc adds `n_backoff`, the count of train-unseen
+    * bigrams: a novelty-vs-train signal in its own right.
+    *
+    * Scale shape: positions come from one posexplode with the previous
+    * token read from the SAME row's array (`get(tk, pos-1)` — no
+    * self-join, no per-doc window); the model frames (unigram counts,
+    * bigram counts) are vocab-bounded aggregations; scoring is three
+    * equi-joins keyed on those frames plus one broadcast scalar, then
+    * the per-doc sum. */
+  val qTextSurprisalBigram = Q(
+    "q_text_surprisal_bigram",
+    (s, d) => {
+      val toks = Corpus.splitDocs(s, d)
+        .select(col("doc_id"), col("split"), split(col("text"), " ").as("tk"))
+        .select(col("doc_id"), col("split"), col("tk"),
+          posexplode(col("tk")))
+        .select(col("doc_id"), col("split"), col("col").as("tok"),
+          get(col("tk"), col("pos") - 1).as("prev"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val model = toks.filter(col("split") === "train" &&
+        col("doc_id") % ModelDocStride === 0)
+      val cnt1 = model.groupBy("tok").agg(count(lit(1)).as("c1"))
+      val t1 = cnt1.agg(sum("c1").as("t"))
+      val cnt2 = model.filter(col("prev").isNotNull)
+        .groupBy("prev", "tok").agg(count(lit(1)).as("c2"))
+      val bitlen: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        c => length(bin(c)).cast("long")
+      toks
+        .join(cnt1.toDF("prev", "c1prev"), Seq("prev"), "left")
+        .join(cnt2, Seq("prev", "tok"), "left")
+        .join(cnt1.toDF("tok", "c1cur"), Seq("tok"), "left")
+        .crossJoin(broadcast(t1))
+        .withColumn("ub",
+          bitlen(expr("(t + 1) div (coalesce(c1cur, 0L) + 1)")))
+        .withColumn("bits",
+          when(col("c2").isNotNull, bitlen(expr("c1prev div c2")))
+            .when(col("prev").isNull, col("ub"))
+            .otherwise(lit(BackoffBits) + col("ub")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"), sum("bits").as("bits_sum"),
+          sum(when(col("prev").isNotNull && col("c2").isNull, 1L)
+            .otherwise(0L)).as("n_backoff"))
+        .select(col("doc_id"), col("n_tok"), col("bits_sum"),
+          col("n_backoff"),
+          r2(col("bits_sum").cast("double") / col("n_tok")).as("mean_bits"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH sp AS (SELECT doc_id, text,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                      THEN 'train'
+                    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                      THEN 'val'
+                    ELSE 'test' END AS split FROM documents),
+             tkc AS (SELECT doc_id, split, string_split(text, ' ') AS tk
+                     FROM sp),
+             toks AS (SELECT doc_id, split, unnest(tk) AS tok,
+                        unnest(list_concat([CAST(NULL AS VARCHAR)],
+                          tk[1:len(tk)-1])) AS prev
+                      FROM tkc),
+             c1 AS (SELECT tok, count(*) AS c1 FROM toks
+                    WHERE split = 'train' AND doc_id % $ModelDocStride = 0
+                    GROUP BY tok),
+             t1 AS (SELECT CAST(sum(c1) AS BIGINT) AS t FROM c1),
+             c2 AS (SELECT prev, tok, count(*) AS c2 FROM toks
+                    WHERE split = 'train' AND doc_id % $ModelDocStride = 0
+                      AND prev IS NOT NULL
+                    GROUP BY prev, tok),
+             scrd AS (SELECT s.doc_id, s.prev, c2.c2,
+                        CAST(length(printf('%b',
+                          (t1.t + 1) // (coalesce(cc.c1, 0) + 1)))
+                          AS BIGINT) AS ub,
+                        CASE WHEN c2.c2 IS NOT NULL THEN
+                               CAST(length(printf('%b', cp.c1 // c2.c2))
+                                 AS BIGINT)
+                             WHEN s.prev IS NULL THEN
+                               CAST(length(printf('%b',
+                                 (t1.t + 1) // (coalesce(cc.c1, 0) + 1)))
+                                 AS BIGINT)
+                             ELSE $BackoffBits +
+                               CAST(length(printf('%b',
+                                 (t1.t + 1) // (coalesce(cc.c1, 0) + 1)))
+                                 AS BIGINT) END AS bits
+                      FROM toks s
+                      LEFT JOIN c2 ON c2.prev = s.prev AND c2.tok = s.tok
+                      LEFT JOIN c1 cp ON cp.tok = s.prev
+                      LEFT JOIN c1 cc ON cc.tok = s.tok
+                      CROSS JOIN t1)
+           SELECT doc_id, count(*) AS n_tok,
+                  CAST(sum(bits) AS BIGINT) AS bits_sum,
+                  CAST(sum(CASE WHEN prev IS NOT NULL AND c2 IS NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_backoff,
+                  ${sqlR2("CAST(sum(bits) AS BIGINT)::DOUBLE / count(*)")}
+                    AS mean_bits
+           FROM scrd GROUP BY doc_id ORDER BY doc_id"""))
+
   /** Decile threshold above which [[qTextQualityCalibrated]] keeps a
     * document — top 30% by classifier score. */
   val CalibKeepDecile = 7L
@@ -897,5 +1018,6 @@ object Curation {
     qTextRepetition, qSampleHash, qSampleStratified, qAggHeavyHitters,
     qTextPiiScrub, qSampleSplit, qAggHeavyHittersSketch, qTextSurprisal,
     qTextQualityClassifier, qTextGopherRules, qCurationFunnel,
-    qDsirWeights, qTextQualityCalibrated, qCurriculumPhases)
+    qDsirWeights, qTextQualityCalibrated, qCurriculumPhases,
+    qTextSurprisalBigram)
 }

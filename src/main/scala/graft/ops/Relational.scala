@@ -1263,6 +1263,40 @@ object Relational {
     },
     Some(sqlTopSupplierSql))
 
+  /** TPC-H Q5 (local supplier volume) through the SQL front-end — the
+    * seventh single-spelling query, and the widest join in the family:
+    * SIX tables with the customer-and-supplier-share-a-nation equality
+    * that makes Q5 the canonical join-order stress (the region/nation
+    * dims must broadcast; the c_nationkey = s_nationkey constraint
+    * closes the snowflake into a cycle Catalyst has to order well).
+    * Revenue through the Det scaled-decimal sum; n_name tie-break makes
+    * the DESC ordering total. */
+  val sqlLocalSupplierVolumeSql: String =
+    s"""SELECT n_name,
+          ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name"""
+
+  val qSqlLocalSupplierVolume = Q(
+    "q_sql_local_supplier_volume",
+    (s, d) => {
+      T.customer(s, d).createOrReplaceTempView("customer")
+      T.orders(s, d).createOrReplaceTempView("orders")
+      T.lineitem(s, d).createOrReplaceTempView("lineitem")
+      T.supplier(s, d).createOrReplaceTempView("supplier")
+      T.nation(s, d).createOrReplaceTempView("nation")
+      T.region(s, d).createOrReplaceTempView("region")
+      s.sql(sqlLocalSupplierVolumeSql)
+    },
+    Some(sqlLocalSupplierVolumeSql))
+
   /** `cume_dist` — the one ranking function the rank-family query
     * doesn't cover: the cumulative distribution of quantity within each
     * returnflag. Spelled aggregate-then-window (the [[qAggMode]] trick):
@@ -1362,7 +1396,8 @@ object Relational {
   val all: Seq[Q] = Seq(
     qAggStatsMoments, qJoinNullsafe, qSqlShippingPriority,
     qSqlPricingSummary, qSqlReturnedCustomers, qSqlCustDistribution,
-    qSqlLargeVolume, qSqlTopSupplier, qAggArgmax, qAggMode,
+    qSqlLargeVolume, qSqlTopSupplier, qSqlLocalSupplierVolume,
+    qAggArgmax, qAggMode,
     qScanProject, qFilterPred,
     qJoinInner, qJoinBroadcast, qJoinLeft, qJoinFull, qJoinSemi, qJoinAnti,
     qJoinThetaRange, qJoinThetaRangeBinned, qJoinMultiway,

@@ -395,4 +395,50 @@ class CurationSpec extends SparkSpec {
         s"phase ${p._1} mass ${p._3} exceeds target $target + maxGroup $maxGroup")
     }
   }
+
+  test("q_text_surprisal_bigram replays the train-split backoff LM in plain Scala") {
+    val out = Curation.qTextSurprisalBigram.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def splitOf(id: Long): String = {
+      val h = md5hex(id.toString).substring(0, 2)
+      if (h < "cc") "train" else if (h < "e6") "val" else "test"
+    }
+    val toks = docs.map { case (id, t) => (id, t.split(" ", -1).toSeq) }
+    def inModel(id: Long): Boolean =
+      splitOf(id) == "train" && id % Curation.ModelDocStride == 0
+    val trainToks = toks.filter(d => inModel(d._1)).flatMap(_._2)
+    val trainPairs = toks.filter(d => inModel(d._1))
+      .flatMap { case (_, tk) => tk.zip(tk.drop(1)) }
+    val c1 = trainToks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c2 = trainPairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val t1 = c1.values.sum
+    def bitlen(x: Long): Long = (64 - java.lang.Long.numberOfLeadingZeros(x)).toLong
+    def ub(w: String): Long = bitlen((t1 + 1) / (c1.getOrElse(w, 0L) + 1))
+    val expected = toks.sortBy(_._1).map { case (id, tk) =>
+      var bits = 0L; var back = 0L
+      tk.zipWithIndex.foreach { case (w, i) =>
+        if (i == 0) bits += ub(w)
+        else c2.get((tk(i - 1), w)) match {
+          case Some(n2) => bits += bitlen(c1(tk(i - 1)) / n2)
+          case None => back += 1; bits += Curation.BackoffBits + ub(w)
+        }
+      }
+      val mean = math.floor(bits.toDouble / tk.length * 100.0 + 0.5) / 100.0
+      (id, tk.length.toLong, bits, back, mean)
+    }
+    assert(out.toSeq === expected.toSeq)
+    // the backoff path must carry real traffic: scored docs outside the
+    // strided model subcorpus contain model-unseen bigrams
+    assert(out.filter(r => !inModel(r._1)).exists(_._4 > 0),
+      "no held-out doc ever backed off")
+    // and model docs never back off on themselves
+    assert(out.filter(r => inModel(r._1)).forall(_._4 == 0L))
+  }
 }
