@@ -341,6 +341,57 @@ object Similarity {
 
   val qSimIvfTopk = Q("q_sim_ivf_topk", (s, d) => ivfTopk(s, d), None)
 
+  /** IVF-PQ top-k — the two index stages composed the way a production
+    * vector index ships them (FAISS's IVFxx,PQyy: Jégou et al. 2011
+    * §V): the coarse quantizer (IVF cells) bounds WHICH vectors are
+    * scored, the product quantizer bounds WHAT each scoring costs.
+    * Per query: probe the `nprobe` nearest cells, then rank the probed
+    * cells' members by PQ asymmetric distance — 8 LUT lookups per
+    * candidate, no vector arithmetic, on a candidate set already cut
+    * to ~(nprobe/k)·n. At 100 TB this is the only tractable shape: the
+    * scan reads (cell, 32-bit code) pairs — neither the full vectors
+    * nor the full corpus.
+    *
+    * Output carries the winning candidate's cell so the spec can pin
+    * containment (every hit lies in a probed cell). No SQL oracle
+    * (cell layout is engine-specific — the ivfTopk argument);
+    * SimilaritySpec replays probes + ADC + ranking from the engine's
+    * own index frames and pins the containment invariant. */
+  def ivfPqTopk(s: SparkSession, d: String, topk: Int = 3, k: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    val (cells, cents) = ivfIndex(s, d, k)
+    val flat = pqFlat(pqSeeds(s, d))
+    val coded = cells.select(col("vec_id"), col("cell"),
+      graft.functions.PqFunctions.codes(
+        col("v"), flat, PqCodebook, PqSubspaces).as("codes"))
+    val centroids = cents.withColumnRenamed("cell", "pcell")
+    val q = cells.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val wp = Window.partitionBy(col("qid")).orderBy(col("pdist"), col("pcell"))
+    val probes = q.join(broadcast(centroids))
+      .withColumn("pdist",
+        -graft.functions.VectorFunctions.dot(col("qv"), col("cv"))
+          + graft.functions.VectorFunctions.dot(col("cv"), col("cv")) / 2)
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"),
+        graft.functions.PqFunctions.luts(
+          col("qv"), flat, PqCodebook, PqSubspaces).as("luts"),
+        col("pcell"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
+    broadcast(probes)
+      .join(coded, col("pcell") === col("cell") && col("vec_id") =!= col("qid"))
+      .withColumn("dist",
+        graft.functions.PqFunctions.adc(col("luts"), col("codes")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topk)
+      .select(col("qid"), col("vec_id"), col("cell"),
+        r2(col("dist")).as("adc_dist"))
+      .orderBy("qid", "vec_id")
+  }
+
+  val qSimIvfpqTopk = Q("q_sim_ivfpq_topk", (s, d) => ivfPqTopk(s, d), None)
+
   /** Int8 vector quantization summary per embedding — the compression
     * pass a vector store runs at ingest. One fused codegen expression
     * ([[graft.functions.QuantizeStats]]) computes max|x|, the 127/max
@@ -729,5 +780,5 @@ object Similarity {
 
   val all: Seq[Q] = Seq(qSimCosineTopk, qSimLshBuckets, qSimLshTopk,
     qSimIvfTopk, qVecQuantize, qVecPq, qSimPqTopk, qSimHammingTopk,
-    qEmbedCentroids, qJoinTextEmbedding, qSimRecallReport)
+    qSimIvfpqTopk, qEmbedCentroids, qJoinTextEmbedding, qSimRecallReport)
 }

@@ -290,6 +290,67 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ topk replays from the engine's own index frames; hits lie in probed cells") {
+    val cellRows = Similarity.ivfCells(spark, sf)
+      .select("vec_id", "v", "cell").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray, r.getLong(2)))
+    val e = cellRows.map(r => r._1 -> r._2).toMap
+    val cellOf = cellRows.map(r => r._1 -> r._3).toMap
+    val cents = Similarity.ivfIndex(spark, sf)._2.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    // PQ codebook replay — the stride-seed construction the PQ spec pins
+    val k = Similarity.PqCodebook
+    val M = Similarity.PqSubspaces
+    val stride = math.max(e.size.toLong / k, 1L)
+    val seeds = e.keys.toSeq.sorted
+      .filter(id => id % stride == 0 && id < stride * k)
+      .map(id => (id / stride) -> e(id))
+    val sub = e.head._2.length / M
+    def subDist(a: Array[Double], b: Array[Double], m: Int): Double = {
+      var dd = 0.0
+      (0 until sub).foreach { i =>
+        val diff = a(m * sub + i) - b(m * sub + i); dd += diff * diff
+      }
+      dd
+    }
+    val codes = e.view.mapValues { v =>
+      (0 until M).map(m => seeds.map { case (j, cv) =>
+        (subDist(v, cv, m), j)
+      }.min._2)
+    }.toMap
+    val expect = e.keys.toSeq.sorted.filter(_ < 10).flatMap { qid =>
+      val qv = e(qid)
+      val probed = cents
+        .map { case (c, cv) => (-dot(qv, cv) + dot(cv, cv) / 2, c) }
+        .sortBy(identity).take(4).map(_._2).toSet
+      val lut = (0 until M).map(m =>
+        seeds.map { case (j, cv) => j -> subDist(qv, cv, m) }.toMap)
+      e.keys.toSeq.filter(id => id != qid && probed(cellOf(id)))
+        .map { id =>
+          var dist = 0.0
+          (0 until M).foreach(m => dist += lut(m)(codes(id)(m)))
+          (qid, id, cellOf(id), dist)
+        }
+        .sortBy { case (_, id, _, dist) => (dist, id) }
+        .take(3)
+        .map { case (q, id, c, dist) =>
+          (q, id, c, math.floor(dist * 100 + 0.5) / 100) }
+    }.sortBy(t => (t._1, t._2))
+    val got = Similarity.qSimIvfpqTopk.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    assert(got === expect)
+    // the coarse stage genuinely prunes: every query got 3 hits, all
+    // drawn from at most nprobe=4 cells
+    assert(got.groupBy(_._1).forall(_._2.length == 3))
+    assert(got.groupBy(_._1).forall(_._2.map(_._3).distinct.size <= 4))
+  }
+
   test("hamming topk replays a plain-Scala sign-code brute force") {
     val e = Tables.embeddings(spark, sf)
       .selectExpr("vec_id", "cast(embedding as array<double>) as v")
