@@ -208,6 +208,40 @@ class FacadeSpec extends SparkSpec {
     assert(mix("big") < 100L)
   }
 
+  test("round-7 selection facade entries run on ad-hoc frames") {
+    import spark.implicits._
+    // fuzzy decontamination: an exact copy is always an LSH candidate
+    // (identical signature -> identical bands) and passes the Jaccard
+    // verify; an unrelated doc shares no band
+    val probe = Seq((1L, "a b c d e f")).toDF("id", "txt")
+    val corpus = Seq((11L, "a b c d e f"), (12L, "q r s t u v"))
+      .toDF("id", "txt")
+    val fz = Graft.contaminationScanFuzzy(probe, corpus, "id", "txt")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(fz.toSeq === Seq((1L, 1L, true)))
+
+    // DSIR weights: a doc made of target-side tokens must outscore a
+    // doc made of raw-only tokens under the target's distribution
+    val rows = Seq(
+      (1L, "t", "alpha alpha beta"), (2L, "t", "alpha beta beta"),
+      (3L, "r", "gamma delta gamma"), (4L, "r", "delta gamma delta"),
+      (5L, "r", "alpha beta alpha"), (6L, "r", "gamma delta delta"))
+      .toDF("id", "src", "txt")
+    val dw = Graft.dsirWeights(rows, "id", "txt", col("src") === "t")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(dw(5L) > dw(6L),
+      s"target-like doc 5 (${dw(5L)}) must outscore raw-like doc 6 (${dw(6L)})")
+
+    // binary sign codes: 3 flipped dimensions = Hamming 3
+    val va = Array.fill(64)(1.0)
+    val vb = va.clone(); vb(3) = -1.0; vb(17) = -1.0; vb(42) = -1.0
+    val h = Seq((va, vb)).toDF("a", "b")
+      .select(Graft.hammingDist(
+        Graft.binarySignCode("a"), Graft.binarySignCode("b")).as("h"))
+      .head().getLong(0)
+    assert(h === 3L)
+  }
+
   test("bloomSemiJoin equals the plain left-semi join on any key type") {
     import spark.implicits._
     val big = (1L to 2000L).map(i => (i, s"row$i")).toDF("k", "v")
