@@ -149,6 +149,17 @@ object Bench {
           base.filter(col("event_type") === "purchase"),
           toleranceSec = 60, watermark = "1 hour")
       }),
+      // stream-static broadcast enrichment — the stateless shape (no
+      // watermark, no state store); the dim side is a batch aggregate
+      // of the same table, broadcast into every micro-batch
+      ("q_stream_enrich", "append", df => {
+        val dim = Tables.events(df.sparkSession, sfDir)
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"))
+        graft.stream.Pipelines.enrichStatic(
+          df.select("event_id", "user_id", "event_type", "value"),
+          dim, "user_id")
+      }),
       // transformWithState sessionization on the RocksDB store — the
       // Spark 4 state-API path. LAST probe: the provider conf applies to
       // every stream started after it, and the bench session ends here.

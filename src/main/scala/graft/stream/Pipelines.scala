@@ -188,6 +188,20 @@ object Pipelines {
     * distance, so Spark can evict state on both sides — nothing
     * accumulates unboundedly. Expects (key, ts) on both inputs; hit
     * columns prefixed h_, trigger columns t_. */
+  /** Stream-static enrichment — the stateless streaming shape the
+    * stateful probes don't cover: every micro-batch equi-joins a BATCH
+    * dimension frame on `key` (no watermark, no state store; Spark
+    * re-broadcasts the static side per batch, so a dim refresh between
+    * batches is picked up). The canonical "attach the user profile /
+    * document metadata to a live stream" step; at cluster scale the
+    * static side must be broadcast-sized — for a big dim, pre-bucket
+    * both sides instead. Left join: an event without a dim row flows
+    * through with nulls rather than silently dropping. */
+  def enrichStatic(events: DataFrame, dim: DataFrame,
+      key: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(dim),
+      Seq(key), "left")
+
   def coincidence(hits: DataFrame, triggers: DataFrame,
       toleranceSec: Int = 5, watermark: String = "30 seconds"): DataFrame = {
     val h = hits.withWatermark("ts", watermark)

@@ -361,4 +361,25 @@ class StreamingSpec extends SparkSpec {
       .toSet
     assert(streamed === batch)
   }
+
+  test("stream-static enrichment joins the broadcast dim per batch, left-outer") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val in = MemoryStream[(Long, Long)]
+    val q = Pipelines.enrichStatic(
+        in.toDF().toDF("event_id", "user_id"), dim, "user_id")
+      .writeStream.format("memory").queryName("enrich").outputMode("append")
+      .start()
+    in.addData((100L, 1L), (101L, 2L), (102L, 9L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = s.sql("SELECT event_id, user_id, tier FROM enrich").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSet
+    // matched rows enrich; the dim-less user flows through with null
+    assert(rows === Set((100L, 1L, "gold"), (101L, 2L, "silver"),
+      (102L, 9L, null)))
+  }
 }
