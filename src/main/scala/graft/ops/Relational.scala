@@ -445,6 +445,46 @@ object Relational {
         .orderBy("event_type"),
     None)
 
+  /** MERGEABLE distinct-count sketches — the property one-shot
+    * `approx_count_distinct` can't give you and the reason sketch
+    * columns exist in warehouse tables at all: build one Datasketches
+    * HLL per (event_type, day), store it, and answer ANY coarser
+    * rollup later by UNIONING sketches — the raw data is never
+    * re-scanned. Per event_type: days covered, exact distinct users
+    * (the verification target), the estimate from unioning the daily
+    * sketches, and the estimate from sketching the whole slice
+    * directly. HLL register merge is a max — associative, commutative,
+    * idempotent — so `est_union` equals `est_direct` EXACTLY under any
+    * partitioning (RelationalSpec pins the equality and the accuracy
+    * envelope vs exact; the spec's pin is the semantic content — no
+    * SQL oracle, DuckDB's HLL is a different sketch).
+    *
+    * Scale shape: the daily sketch agg is two-phase (ObjectHashAggregate
+    * partial map-side); ONE fixed-size sketch row per (type, day)
+    * crosses the wire, and the union pass shuffles |types|·|days| rows
+    * regardless of corpus size — at 100 TB the rollup reads KBs. */
+  val qAggDistinctSketchUnion = Q(
+    "q_agg_distinct_sketch_union",
+    (s, d) => {
+      val e = T.events(s, d)
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          col("user_id"))
+      val daily = e.groupBy("event_type", "day")
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      val rolled = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_union"))
+      val whole = e.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact"),
+          hll_sketch_estimate(hll_sketch_agg(col("user_id")))
+            .as("est_direct"))
+      rolled.join(whole, "event_type")
+        .select(col("event_type"), col("n_days"), col("n_exact"),
+          col("est_union"), col("est_direct"))
+        .orderBy("event_type")
+    },
+    None)
+
   // -------------------------------------------------------------- windows
 
   private val wCust = Window.partitionBy(col("o_custkey"))
@@ -1403,6 +1443,7 @@ object Relational {
     qJoinThetaRange, qJoinThetaRangeBinned, qJoinMultiway,
     qAggGroup, qAggDistinct, qAggRollup, qAggCube, qAggGroupingSets,
     qAggHistogram, qAggHistogramSketch, qAggApproxDistinct,
+    qAggDistinctSketchUnion,
     qAggApproxPercentile,
     qWindowRank, qWindowRankFamily, qWindowCumeDist, qWindowFirstLast, qWindowRunning, qWindowLag,
     qWindowFrameRange, qWindowRangeTime, qAggPercentile, qAggPivot, qUnpivot, qAggConditional,

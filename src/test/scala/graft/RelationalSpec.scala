@@ -242,4 +242,21 @@ class RelationalSpec extends SparkSpec {
     assert(binned === plain, "the skew-proof rewrite changed the result")
     assert(plain.nonEmpty, "vacuous: no qualifying pairs at this sf")
   }
+
+  test("HLL sketch union: merged daily sketches equal the direct sketch exactly") {
+    val rows = Relational.qAggDistinctSketchUnion.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, nDays, exact, estUnion, estDirect) =>
+      // register max-merge is associative/commutative/idempotent, so
+      // the union of daily sketches IS the whole-slice sketch
+      assert(estUnion === estDirect,
+        s"$t: union estimate $estUnion != direct $estDirect")
+      // default lgConfigK=12 -> rel err ~1.6%/sqrt-ish; generous 10%
+      assert(math.abs(estUnion - exact).toDouble / exact < 0.10,
+        s"$t: estimate $estUnion vs exact $exact")
+      assert(nDays > 1, s"$t: need multiple days for the union to be real")
+    }
+  }
 }
