@@ -478,6 +478,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("ntile") && !p.contains("percent_rank"), p)
   }
 
+  test("q_agg_distinct_sketch_union: two-phase sketch aggs — fixed-size " +
+      "rows cross the wire, the union runs on the day frame") {
+    val p = plan("q_agg_distinct_sketch_union")
+    // daily sketch + union + direct sketch are all partial-aggregated
+    // ObjectHashAggregates (map-side combine before any exchange)
+    assert(count(p, "ObjectHashAggregate") >= 4, p)
+    assert(p.contains("hll_sketch_agg"), p)
+    assert(p.contains("hll_union_agg"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q_sim_pq_topk: fused PQ kernels, query side broadcasts, corpus " +
       "never shuffles before the top-k window") {
     val p = plan("q_sim_pq_topk")
