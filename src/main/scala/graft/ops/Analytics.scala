@@ -253,7 +253,86 @@ object Analytics {
              USING (user_id, day_ms)
            ORDER BY a.user_id, a.day_ms"""))
 
+  /** Statistical outlier scan over the event stream — the anomaly filter
+    * a telemetry (or training-data) pipeline runs before trusting a
+    * value column: per event_type, the 3-sigma outlier census plus the
+    * single worst offender. Moments come from EXACT scaled-integer sums
+    * ([[graft.util.Det.dsumRaw]] — the q_agg_stats_moments discipline),
+    * so mean/variance are bit-identical in both engines; the per-row
+    * test compares (v-mean)² against 9·var entirely in doubles derived
+    * through the same IEEE-754 op sequence, so the outlier verdict and
+    * the argmax boundary can't flip across engines. Scale shape: one
+    * corpus aggregation to a |types|-row stats frame, stats broadcast
+    * BACK onto the stream (the corpus never shuffles to be scored), one
+    * final two-phase aggregation — the mixWeights small-frame
+    * discipline; the worst offender rides the same lexicographic
+    * struct-max as [[Relational.qAggArgmax]], so there is no window and
+    * no corpus sort anywhere. */
+  val qEventsAnomaly = Q(
+    "q_events_anomaly",
+    (s, d) => {
+      import graft.util.Det.{dsumRaw, r2}
+      val e = T.events(s, d)
+        .select(col("event_type"), col("event_id"), col("value"))
+      val n = count(lit(1))
+      val stats = e.groupBy("event_type")
+        .agg(n.as("n"),
+          (dsumRaw(col("value")) / n.cast("double")).as("mean_v"),
+          (dsumRaw(col("value") * col("value")) / n.cast("double"))
+            .as("m2"))
+        .withColumn("var_v", col("m2") - col("mean_v") * col("mean_v"))
+        .drop("m2")
+      val scored = e.join(broadcast(stats), Seq("event_type"))
+        .withColumn("dev2",
+          (col("value") - col("mean_v")) * (col("value") - col("mean_v")))
+      scored.groupBy("event_type")
+        .agg(min("n").as("n"), min("mean_v").as("mean_v"),
+          min("var_v").as("var_v"),
+          count(when(col("dev2") > lit(9) * col("var_v"), 1))
+            .as("n_outliers"),
+          max(struct(col("dev2").as("d2"),
+            (-col("event_id")).as("nid"))).as("top"))
+        .select(col("event_type"), col("n"),
+          r2(col("mean_v")).as("mean_v"),
+          r2(sqrt(col("var_v"))).as("sd_v"),
+          col("n_outliers"),
+          (-col("top.nid")).as("top_event_id"),
+          r2(sqrt(col("top.d2") / col("var_v"))).as("top_z"))
+        .orderBy("event_type")
+    },
+    Some {
+      import graft.util.Det.{sqlDsumRaw, sqlR2}
+      val n = "CAST(count(*) AS DOUBLE)"
+      s"""WITH stats AS (
+            SELECT event_type, count(*) AS n,
+              ${sqlDsumRaw("value")} / $n AS mean_v,
+              ${sqlDsumRaw("value * value")} / $n
+                - (${sqlDsumRaw("value")} / $n) * (${sqlDsumRaw("value")} / $n)
+                AS var_v
+            FROM events GROUP BY event_type),
+          scored AS (
+            SELECT e.event_type, e.event_id, s.n, s.mean_v, s.var_v,
+              (e.value - s.mean_v) * (e.value - s.mean_v) AS dev2
+            FROM events e JOIN stats s USING (event_type)),
+          agg AS (
+            SELECT event_type, min(n) AS n, min(mean_v) AS mean_v,
+              min(var_v) AS var_v,
+              count(*) FILTER (WHERE dev2 > 9 * var_v) AS n_outliers
+            FROM scored GROUP BY event_type),
+          top AS (
+            SELECT event_type, event_id AS top_event_id, dev2 FROM (
+              SELECT event_type, event_id, dev2,
+                row_number() OVER (PARTITION BY event_type
+                  ORDER BY dev2 DESC, event_id) AS rk
+              FROM scored) WHERE rk = 1)
+          SELECT a.event_type, a.n, ${sqlR2("a.mean_v")} AS mean_v,
+            ${sqlR2("sqrt(a.var_v)")} AS sd_v, a.n_outliers,
+            t.top_event_id, ${sqlR2("sqrt(t.dev2 / a.var_v)")} AS top_z
+          FROM agg a JOIN top t USING (event_type)
+          ORDER BY a.event_type"""
+    })
+
   val all: Seq[Q] = Seq(
     qEventsFunnel, qEventsCohort, qJoinIntervalBinned, qEventsTransitions,
-    qEventsGapfill, qEventsOhlc)
+    qEventsGapfill, qEventsOhlc, qEventsAnomaly)
 }

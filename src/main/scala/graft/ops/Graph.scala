@@ -302,5 +302,46 @@ object Graph {
           SELECT comp, doc_id AS survivor, n_tok AS survivor_tokens, sz
           FROM ranked WHERE rn = 1 ORDER BY comp"""))
 
-  val all: Seq[Q] = Seq(qDedupComponents, qDedupClusterSizes, qDedupSurvivors)
+  /** Degree distribution of the candidate-pair graph — the dedup-run
+    * health dashboard read BEFORE trusting the clustering: a healthy
+    * near-dup graph is almost all degree-0 with a thin tail of small
+    * cliques; a fat tail (one doc with hundreds of partners) means a
+    * boilerplate shingle or an under-capped hot band is about to chain
+    * half the corpus into one component, and this histogram is where
+    * that shows first. Per degree: doc count + id extents; degree-0
+    * docs are closed in by a left join against the corpus (the
+    * interesting row — "how much of the corpus is dup-free" — would
+    * otherwise be missing). Scale shape: both union legs reuse ONE
+    * cached pair frame; degrees aggregate on doc_id (near-dup-sized,
+    * not corpus-sized), and the final histogram is bounded by the max
+    * degree, which the band df-cap already bounds at [[Dedup.MaxPostingDf]]. */
+  val qDedupPairDegree = Q(
+    "q_dedup_pair_degree",
+    (s, d) => {
+      val pairs = Dedup.minhashPairs(s, d)
+      val deg = pairs.select(col("a").as("doc_id"))
+        .unionAll(pairs.select(col("b").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+      T.documents(s, d).select(col("doc_id"))
+        .join(deg, Seq("doc_id"), "left")
+        .withColumn("degree", coalesce(col("degree"), lit(0L)))
+        .groupBy("degree")
+        .agg(count(lit(1)).as("n_docs"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .orderBy("degree")
+    },
+    Some(s"""WITH ${Dedup.minhashPairsSqlCte},
+           ends AS (SELECT a AS doc_id FROM cand
+                    UNION ALL SELECT b AS doc_id FROM cand),
+           deg0 AS (SELECT doc_id, count(*) AS degree
+                    FROM ends GROUP BY doc_id),
+           deg AS (SELECT d.doc_id,
+                     coalesce(g.degree, CAST(0 AS BIGINT)) AS degree
+                   FROM documents d LEFT JOIN deg0 g USING (doc_id))
+           SELECT degree, count(*) AS n_docs,
+             min(doc_id) AS min_doc, max(doc_id) AS max_doc
+           FROM deg GROUP BY degree ORDER BY degree"""))
+
+  val all: Seq[Q] = Seq(qDedupComponents, qDedupClusterSizes, qDedupSurvivors,
+    qDedupPairDegree)
 }

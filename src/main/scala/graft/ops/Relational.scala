@@ -1337,6 +1337,66 @@ object Relational {
     },
     Some(sqlLocalSupplierVolumeSql))
 
+  /** TPC-H Q4 (order priority checking) through the SQL front-end — the
+    * eighth single-spelling query and the EXISTS shape the family
+    * lacked: a correlated EXISTS subquery both engines must decorrelate
+    * into a left-semi join before planning (Spark: RewritePredicateSubquery
+    * → LeftSemi; the fixture's lineitem has no commit/receipt dates, so
+    * the inner predicate is the high-quantity slice — identical
+    * decorrelation work, dialect-portable spelling). Pure integer
+    * output; o_orderpriority totalizes the order. */
+  val sqlOrderPrioritySql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-07-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority"""
+
+  val qSqlOrderPriority = Q(
+    "q_sql_order_priority",
+    (s, d) => {
+      T.orders(s, d).createOrReplaceTempView("orders")
+      T.lineitem(s, d).createOrReplaceTempView("lineitem")
+      s.sql(sqlOrderPrioritySql)
+    },
+    Some(sqlOrderPrioritySql))
+
+  /** TPC-H Q14 (promotion effect) through the SQL front-end — the ninth
+    * single-spelling query and the family's first RATIO-of-aggregates:
+    * promo revenue share per ship month. The percent is a division of
+    * two Det scaled-decimal sums lifted to double — both operands exit
+    * the exact integer space through the identical op sequence in both
+    * engines, so the quotient (and its 2dp floor-round) is bit-identical
+    * by construction; the denominator can't be zero because a group
+    * exists only if it has revenue rows. The part join broadcasts (3.4k
+    * rows at sf0.01 — a dim table at any sf). */
+  val sqlPromoRevenueSql: String = {
+    val disc = "l_extendedprice * (1 - l_discount)"
+    val promo = s"CASE WHEN p_type = 'PROMO' THEN $disc ELSE 0 END"
+    s"""SELECT date_trunc('month', l_shipdate) AS mon,
+          ${sqlR2(s"100 * ${sqlDsumRaw(promo)} / ${sqlDsumRaw(disc)}")}
+            AS promo_pct,
+          ${sqlDsum(disc)} AS revenue
+        FROM lineitem, part
+        WHERE l_partkey = p_partkey
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY date_trunc('month', l_shipdate)
+        ORDER BY mon"""
+  }
+
+  val qSqlPromoRevenue = Q(
+    "q_sql_promo_revenue",
+    (s, d) => {
+      T.lineitem(s, d).createOrReplaceTempView("lineitem")
+      T.part(s, d).createOrReplaceTempView("part")
+      s.sql(sqlPromoRevenueSql)
+    },
+    Some(sqlPromoRevenueSql))
+
   /** `cume_dist` — the one ranking function the rank-family query
     * doesn't cover: the cumulative distribution of quantity within each
     * returnflag. Spelled aggregate-then-window (the [[qAggMode]] trick):
@@ -1437,6 +1497,7 @@ object Relational {
     qAggStatsMoments, qJoinNullsafe, qSqlShippingPriority,
     qSqlPricingSummary, qSqlReturnedCustomers, qSqlCustDistribution,
     qSqlLargeVolume, qSqlTopSupplier, qSqlLocalSupplierVolume,
+    qSqlOrderPriority, qSqlPromoRevenue,
     qAggArgmax, qAggMode,
     qScanProject, qFilterPred,
     qJoinInner, qJoinBroadcast, qJoinLeft, qJoinFull, qJoinSemi, qJoinAnti,

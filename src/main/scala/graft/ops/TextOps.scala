@@ -537,9 +537,60 @@ object TextOps {
              min(n_tok) AS min_tok, max(n_tok) AS max_tok
            FROM t GROUP BY source, bucket ORDER BY source, bucket"""))
 
+  /** Token-entropy quality signal per document — the lexical-diversity
+    * complement of the repetition rules: a gibberish generator or a
+    * template spammer both collapse the within-doc unigram distribution,
+    * and Shannon entropy over it is the standard scalar for that
+    * (low-entropy = repetitive/templated, suspiciously-high = random
+    * noise). True entropy is float log in data-dependent order, so the
+    * score is the integer-quantized form (the q_text_surprisal cure):
+    * each token position pays `bitlength(n_tok div cnt)` bits — a
+    * ceil-ish log2 of its inverse in-doc frequency — and the doc's
+    * ent_bits is the exact integer sum, with mean bits/token and
+    * type-token ratio at the Det 2dp grid. Scale shape: one map-side
+    * explode carrying the per-doc token count computed AT THE SCAN
+    * (no second pass, no window), one (doc, tok)-keyed two-phase count,
+    * one doc-keyed rollup; the sort is the only corpus-wide exchange. */
+  val qTextEntropy = Q(
+    "q_text_entropy",
+    (s, d) =>
+      T.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          explode(split(col("text"), " ")).as("tok"))
+        .groupBy("doc_id", "source", "n_tok", "tok")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("bits",
+          length(bin(expr("n_tok div cnt"))).cast("long"))
+        .groupBy("doc_id", "source", "n_tok")
+        .agg(count(lit(1)).as("n_vocab"),
+          sum(col("cnt") * col("bits")).as("ent_bits"))
+        .select(col("doc_id"), col("source"), col("n_tok"), col("n_vocab"),
+          col("ent_bits"),
+          r2(col("ent_bits").cast("double") / col("n_tok").cast("double"))
+            .as("mean_bits"),
+          r2(col("n_vocab").cast("double") / col("n_tok").cast("double"))
+            .as("ttr"))
+        .orderBy("doc_id"),
+    Some(s"""WITH t AS (SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               unnest(string_split(text, ' ')) AS tok FROM documents),
+             c AS (SELECT doc_id, source, n_tok, tok, count(*) AS cnt
+               FROM t GROUP BY doc_id, source, n_tok, tok),
+             b AS (SELECT doc_id, source, n_tok, cnt,
+               CAST(length(printf('%b', n_tok // cnt)) AS BIGINT) AS bits
+               FROM c)
+           SELECT doc_id, source, n_tok, count(*) AS n_vocab,
+             CAST(sum(cnt * bits) AS BIGINT) AS ent_bits,
+             ${sqlR2("CAST(sum(cnt * bits) AS DOUBLE) / CAST(n_tok AS DOUBLE)")}
+               AS mean_bits,
+             ${sqlR2("CAST(count(*) AS DOUBLE) / CAST(n_tok AS DOUBLE)")}
+               AS ttr
+           FROM b GROUP BY doc_id, source, n_tok ORDER BY doc_id"""))
+
   val all: Seq[Q] =
     Seq(qArrayExplode, qTextStats, qTextTokens, qTextFingerprint,
       qTextLanguage, qTextLanguageNgram, qTextTokensRegex, qTextTokensBpe,
       qTextFertility, qTextWinnowPairs, qPipelineFilter, qScalarArray,
-      qTextTfidf, qScalarLambda, qTextLengthHist)
+      qTextTfidf, qScalarLambda, qTextLengthHist, qTextEntropy)
 }
