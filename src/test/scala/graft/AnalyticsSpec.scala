@@ -98,4 +98,47 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
     assert(binned === naive && binned.nonEmpty)
   }
+
+  test("anomaly census replays in plain Scala: 3-sigma verdicts + worst offender") {
+    val rows = graft.Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val expected = rows.groupBy(_._1).map { case (t, es) =>
+      val n = es.length
+      // the exact op sequence of Det.dsumRaw / the engine's moments
+      val s1 = es.map(e => math.floor(e._3 * 1e6 + 0.5).toLong).sum
+      val s2 = es.map(e => math.floor(e._3 * e._3 * 1e6 + 0.5).toLong).sum
+      val mean = s1.toDouble / 1e6 / n
+      val vr = s2.toDouble / 1e6 / n - mean * mean
+      val dev2 = es.map(e => (e._2, (e._3 - mean) * (e._3 - mean)))
+      val top = dev2.minBy(p => (-p._2, p._1))
+      t -> ((n.toLong, dev2.count(_._2 > 9 * vr).toLong, top._1))
+    }
+    val got = Analytics.qEventsAnomaly.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got === expected && got.nonEmpty)
+  }
+
+  test("binned interval-overlap join equals the naive overlap predicate") {
+    val W = 21600000L
+    val ms = unix_millis(col("ts"))
+    val ui = graft.Tables.events(spark, sf)
+      .groupBy(col("user_id"),
+        unix_millis(date_trunc("day", col("ts"))).as("day_ms"))
+      .agg(min(ms).as("a_start"), max(ms).as("a_end"))
+    val wins = ui.select("day_ms").distinct()
+      .select(col("day_ms"), explode(typedLit(Seq(0L, 1L, 2L, 3L))).as("k"))
+      .select((col("day_ms") + col("k") * W).as("w_start"),
+        (col("day_ms") + col("k") * W + 5400000L).as("w_end"))
+    val naive = wins
+      .join(ui, col("a_start") <= col("w_end") && col("w_start") <= col("a_end"))
+      .groupBy("w_start", "w_end")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        min("user_id").as("min_user"), max("user_id").as("max_user"))
+      .orderBy("w_start").collect().map(_.toSeq).toSeq
+    val binned = Analytics.qJoinIntervalOverlap.fn(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(binned === naive && binned.nonEmpty)
+  }
 }

@@ -181,4 +181,15 @@ class GraphSpec extends SparkSpec {
     assert(surv.map(r => r._1 -> ((r._2, r._4))).toMap === expected)
     surv.foreach { case (_, s, st, _) => assert(nTok(s) === st) }
   }
+  test("pair-degree histogram conserves edge endpoints and the corpus") {
+    val hist = Graph.qDedupPairDegree.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nPairs = Dedup.minhashPairs(spark, sf).count()
+    val nDocs = Tables.documents(spark, sf).count()
+    // every pair contributes exactly two endpoints; every doc lands in
+    // exactly one degree row (degree 0 included)
+    assert(hist.map { case (d, n) => d * n }.sum === 2 * nPairs)
+    assert(hist.map(_._2).sum === nDocs)
+    assert(hist.map(_._1).distinct.length === hist.length)
+  }
 }

@@ -503,4 +503,22 @@ class PlanSpec extends SparkSpec {
     // the only corpus shuffle is the top-k window's qid partitioning
     assert(count(p, "hashpartitioning\\(qid") >= 1, p)
   }
+
+  test("q_join_interval_overlap: two-sided bin expansion stays an equi-join") {
+    val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("q_join_interval_overlap")
+      assert(count(p, "NestedLoop") == 0 && count(p, "CartesianProduct") == 0,
+        "interval-overlap join fell back to a pair loop:\n" + p)
+      assert(count(p, "HashJoin|SortMergeJoin") >= 1, p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+  }
+
+  test("q_agg_quantile_hist_union: both paths aggregate fixed-size sketch rows") {
+    val p = plan("q_agg_quantile_hist_union")
+    // two sketch paths (daily + direct), each two-phase ObjectHashAggregate
+    assert(count(p, "ObjectHashAggregate") >= 4, p)
+    assert(p.contains("graft_histogram"), p)
+  }
 }

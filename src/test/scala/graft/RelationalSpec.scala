@@ -259,4 +259,27 @@ class RelationalSpec extends SparkSpec {
       assert(nDays > 1, s"$t: need multiple days for the union to be real")
     }
   }
+
+  test("histogram-quantile union: buckets replay in plain Scala, union == direct") {
+    val rows = Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val expected = rows.groupBy(_._1).map { case (t, es) =>
+      val counts = es.groupBy(e => math.floor(e._2 / 5.0).toLong)
+        .view.mapValues(_.length.toLong).toSeq.sortBy(_._1)
+      val total = counts.map(_._2).sum
+      val cums = counts.scanLeft((Long.MinValue, 0L)) {
+        case ((_, c), (b, n)) => (b, c + n) }.tail
+      t -> ((total,
+        cums.collectFirst { case (b, c) if 2 * c >= total => b }.get,
+        cums.collectFirst { case (b, c) if 10 * c >= 9 * total => b }.get))
+    }
+    val got = Relational.qAggQuantileHistUnion.fn(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(7))))
+      .toMap
+    assert(got.view.mapValues(v => (v._1, v._2, v._3)).toMap === expected)
+    // the mergeability pin: the union-of-daily path must equal direct
+    got.values.foreach { case (_, _, _, eq) => assert(eq) }
+  }
 }

@@ -404,4 +404,33 @@ class SimilaritySpec extends SparkSpec {
       .select(Similarity.binarySignCode("v").as("c")).head().getLong(0)
     assert(zero === 0L && ones === -1L)
   }
+
+  test("dim-truncation sweep replays brute force; dim 64 is self-consistent") {
+    val e = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double], d: Int): Double = {
+      var s = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < d) {
+        s += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      s / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def topk(dim: Int): Set[(Long, Long)] =
+      e.keys.filter(_ < 10).toSeq.flatMap { qid =>
+        e.keys.filter(_ != qid).toSeq
+          .map(id => (id, cos(e(qid), e(id), dim)))
+          .sortBy { case (id, s) => (-s, id) }.take(3)
+          .map { case (id, _) => (qid, id) }
+      }.toSet
+    val truth = topk(64)
+    val expected = Seq(8, 16, 32, 64)
+      .map(dd => dd.toLong -> (topk(dd) & truth).size.toLong).toMap
+    val got = Similarity.qSimDimSweep.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    assert(got(64L) === 30L) // self-consistency control
+  }
 }

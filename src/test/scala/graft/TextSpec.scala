@@ -200,4 +200,23 @@ class TextSpec extends SparkSpec {
     assert(got(2L) === ((2L, 11L, 4L, 7L)))  // {4, 7}
     assert(got(3L) === ((1L, 8L, 8L, 8L)))   // {8}
   }
+
+  test("token entropy replays in plain Scala: quantized bits, vocab, ttr") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def bitlen(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    val expected = docs.map { case (id, text) =>
+      val toks = text.split(" ", -1) // Spark split keeps trailing empties
+      val n = toks.length.toLong
+      val cnts = toks.groupBy(identity).map(_._2.length.toLong)
+      id -> ((n, cnts.size.toLong, cnts.map(c => c * bitlen(n / c)).sum))
+    }.toMap
+    val got = TextOps.qTextEntropy.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got === expected && got.nonEmpty)
+    // a doc of all-distinct tokens pays ~log2(n) bits per token; a doc of
+    // one repeated token pays exactly 1 bit per token (bitlength(1)=1)
+    got.values.foreach { case (n, v, e) => assert(e >= n && v <= n) }
+  }
 }
