@@ -387,7 +387,62 @@ object Analytics {
              ON u.a_start <= w.w_end AND w.w_start <= u.a_end
            GROUP BY w_start, w_end ORDER BY w_start"""))
 
+  /** DAU / WAU / MAU with stickiness — the engagement triple every
+    * product-analytics stack reports, and a ROLLING DISTINCT count,
+    * which no window frame can express (distinct doesn't decompose over
+    * sliding frames). The scale spelling: the corpus first collapses to
+    * the distinct (day, user) activity frame — the only corpus-sized
+    * shuffle — then each activity row fans out to the ≤28 future days
+    * it keeps a user "active" for (an explicit bounded explode, NOT a
+    * range self-join), and one (day)-keyed aggregation takes both
+    * trailing-7 and trailing-28 distinct counts via a conditional
+    * distinct. Work is |activity|·28 rows of (day, user_id) longs
+    * regardless of event volume; no window ever total-orders anything.
+    * Early days legitimately report truncated trailing windows (both
+    * engines identically). Stickiness = DAU/WAU on the Det 2dp grid. */
+  val qEventsActiveUsers = Q(
+    "q_events_active_users",
+    (s, d) => {
+      // midnight-UTC epoch-ms is an exact multiple of 86400000, so the
+      // double division is integer-valued and the cast is exact
+      val day = (unix_millis(date_trunc("day", col("ts"))) / 86400000L)
+        .cast("long")
+      val du = T.events(s, d).select(day.as("day"), col("user_id")).distinct()
+      val dau = du.groupBy("day").agg(count(lit(1)).as("dau"))
+      val roll = du
+        .withColumn("tday", explode(sequence(col("day"), col("day") + 27)))
+        .groupBy("tday")
+        .agg(
+          countDistinct(when(col("tday") - col("day") <= 6, col("user_id")))
+            .as("wau"),
+          countDistinct(col("user_id")).as("mau"))
+      dau.join(roll, dau("day") === roll("tday"))
+        .select(col("day"), col("dau"), col("wau"), col("mau"),
+          graft.util.Det.r2(col("dau").cast("double") /
+            col("wau").cast("double")).as("stickiness"))
+        .orderBy("day")
+    },
+    Some(s"""WITH du AS (SELECT DISTINCT
+               epoch_ms(date_trunc('day', ts)) // 86400000 AS day, user_id
+             FROM events),
+           dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day),
+           roll AS (SELECT day + k AS tday,
+               count(DISTINCT CASE WHEN k <= 6 THEN user_id END) AS wau,
+               count(DISTINCT user_id) AS mau
+             FROM du, (VALUES (0), (1), (2), (3), (4), (5), (6), (7),
+               (8), (9), (10), (11), (12), (13), (14), (15), (16), (17),
+               (18), (19), (20), (21), (22), (23), (24), (25), (26), (27))
+               t(k)
+             GROUP BY day + k)
+           SELECT d.day, d.dau, r.wau, r.mau,
+             ${graft.util.Det.sqlR2(
+                "CAST(d.dau AS DOUBLE) / CAST(r.wau AS DOUBLE)")}
+               AS stickiness
+           FROM dau d JOIN roll r ON r.tday = d.day
+           ORDER BY d.day"""))
+
   val all: Seq[Q] = Seq(
     qEventsFunnel, qEventsCohort, qJoinIntervalBinned, qEventsTransitions,
-    qEventsGapfill, qEventsOhlc, qEventsAnomaly, qJoinIntervalOverlap)
+    qEventsGapfill, qEventsOhlc, qEventsAnomaly, qJoinIntervalOverlap,
+    qEventsActiveUsers)
 }

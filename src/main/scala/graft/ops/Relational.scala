@@ -1478,6 +1478,39 @@ object Relational {
     },
     Some(sqlPromoRevenueSql))
 
+  /** TPC-H Q19 (discounted revenue) through the SQL front-end — the
+    * tenth single-spelling query and the family's disjunctive-predicate
+    * stress: three OR-ed conjunction groups mixing join-side (p_brand,
+    * p_size) and fact-side (l_quantity) conditions. The planner work
+    * under test is what each engine extracts from the disjunction — the
+    * common `l_partkey = p_partkey` must still join hash/merge, and the
+    * shared quantity/size envelopes are pushable as a coarse pre-filter
+    * even though no single branch is. Revenue per brand through the Det
+    * scaled-decimal sum; brand totalizes the order. */
+  val sqlDiscountedRevenueSql: String =
+    s"""SELECT p_brand,
+          count(*) AS n_items,
+          ${sqlDsum("l_extendedprice * (1 - l_discount)")} AS revenue
+        FROM lineitem, part
+        WHERE l_partkey = p_partkey
+          AND ((p_brand = 'Brand#1' AND p_size <= 15
+                AND l_quantity >= 1 AND l_quantity <= 21)
+            OR (p_brand = 'Brand#12' AND p_size <= 25
+                AND l_quantity >= 10 AND l_quantity <= 30)
+            OR (p_brand = 'Brand#23' AND p_size <= 35
+                AND l_quantity >= 20 AND l_quantity <= 40))
+        GROUP BY p_brand
+        ORDER BY p_brand"""
+
+  val qSqlDiscountedRevenue = Q(
+    "q_sql_discounted_revenue",
+    (s, d) => {
+      T.lineitem(s, d).createOrReplaceTempView("lineitem")
+      T.part(s, d).createOrReplaceTempView("part")
+      s.sql(sqlDiscountedRevenueSql)
+    },
+    Some(sqlDiscountedRevenueSql))
+
   /** `cume_dist` — the one ranking function the rank-family query
     * doesn't cover: the cumulative distribution of quantity within each
     * returnflag. Spelled aggregate-then-window (the [[qAggMode]] trick):
@@ -1578,7 +1611,7 @@ object Relational {
     qAggStatsMoments, qJoinNullsafe, qSqlShippingPriority,
     qSqlPricingSummary, qSqlReturnedCustomers, qSqlCustDistribution,
     qSqlLargeVolume, qSqlTopSupplier, qSqlLocalSupplierVolume,
-    qSqlOrderPriority, qSqlPromoRevenue,
+    qSqlOrderPriority, qSqlPromoRevenue, qSqlDiscountedRevenue,
     qAggArgmax, qAggMode,
     qScanProject, qFilterPred,
     qJoinInner, qJoinBroadcast, qJoinLeft, qJoinFull, qJoinSemi, qJoinAnti,

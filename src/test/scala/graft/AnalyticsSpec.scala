@@ -141,4 +141,23 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(binned === naive && binned.nonEmpty)
   }
+
+  test("active users: rolling distinct replays in plain Scala") {
+    val act = graft.Tables.events(spark, sf)
+      .select((unix_millis(date_trunc("day", col("ts"))) / 86400000L)
+        .cast("long").as("day"), col("user_id"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val days = act.map(_._1).distinct.sorted
+    val expected = days.map { d =>
+      def active(w: Long) =
+        act.filter(a => a._1 <= d && d - a._1 < w).map(_._2).distinct.length.toLong
+      d -> ((active(1), active(7), active(28)))
+    }.toMap
+    val got = Analytics.qEventsActiveUsers.fn(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got === expected && got.nonEmpty)
+    // envelope: dau <= wau <= mau on every day
+    got.values.foreach { case (d, w, m) => assert(d <= w && w <= m) }
+  }
 }

@@ -521,4 +521,11 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "ObjectHashAggregate") >= 4, p)
     assert(p.contains("graft_histogram"), p)
   }
+
+  test("q_sql_discounted_revenue: the OR-ed predicate keeps a hash/merge join") {
+    val p = plan("q_sql_discounted_revenue")
+    assert(count(p, "NestedLoop") == 0 && count(p, "CartesianProduct") == 0,
+      "disjunctive predicate broke the equi-join extraction:\n" + p)
+    assert(count(p, "HashJoin|SortMergeJoin") >= 1, p)
+  }
 }
