@@ -253,6 +253,30 @@ object Graft {
       .withColumn("tk",
         filter(split(col(textCol), " "), t => length(t) > 0)))
 
+  /** Binned interval-overlap join: pairs of `left`/`right` rows whose
+    * integer intervals `[lStart, lEnd]` / `[rStart, rEnd]` overlap
+    * (inclusive). Both sides explode to covered `binWidth` bins and
+    * equi-join on the bin — no nested loop at any scale; pick binWidth
+    * near the typical interval length. */
+  def overlapJoin(left: DataFrame, right: DataFrame,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      binWidth: Long): DataFrame =
+    ops.Analytics.overlapJoin(left, right, lStart, lEnd, rStart, rEnd,
+      binWidth)
+
+  /** Per-group 3-sigma outlier census over a value column: n, mean, sd,
+    * outlier count, worst offender id + z — moments from exact
+    * scaled-integer sums, deterministic under any partitioning. */
+  def anomalyScan(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String): DataFrame =
+    ops.Analytics.anomalyScan(df, groupCol, idCol, valueCol)
+
+  /** DAU/WAU/MAU + stickiness per day from a (timestamp, user) event
+    * frame — rolling distinct counts via a bounded fan-out explode over
+    * the distinct activity frame, never a range self-join. */
+  def activeUsers(df: DataFrame, tsCol: String, userCol: String): DataFrame =
+    ops.Analytics.activeUsers(df, tsCol, userCol)
+
   /** BPE-encode a text column against the compiled-in merge table (one
     * map-side codegen pass; see [[graft.functions.BpeEncode]]). */
   def bpeEncode(c: Column): Column = functions.BpeEncode.encode(c)

@@ -268,38 +268,41 @@ object Analytics {
     * discipline; the worst offender rides the same lexicographic
     * struct-max as [[Relational.qAggArgmax]], so there is no window and
     * no corpus sort anywhere. */
+  def anomalyScan(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String): DataFrame = {
+    import graft.util.Det.{dsumRaw, r2}
+    val e = df.select(col(groupCol), col(idCol), col(valueCol).as("v"))
+    val n = count(lit(1))
+    val stats = e.groupBy(groupCol)
+      .agg(n.as("n"),
+        (dsumRaw(col("v")) / n.cast("double")).as("mean_v"),
+        (dsumRaw(col("v") * col("v")) / n.cast("double")).as("m2"))
+      .withColumn("var_v", col("m2") - col("mean_v") * col("mean_v"))
+      .drop("m2")
+    val scored = e.join(broadcast(stats), Seq(groupCol))
+      .withColumn("dev2",
+        (col("v") - col("mean_v")) * (col("v") - col("mean_v")))
+    scored.groupBy(groupCol)
+      .agg(min("n").as("n"), min("mean_v").as("mean_v"),
+        min("var_v").as("var_v"),
+        count(when(col("dev2") > lit(9) * col("var_v"), 1))
+          .as("n_outliers"),
+        max(struct(col("dev2").as("d2"),
+          (-col(idCol)).as("nid"))).as("top"))
+      .select(col(groupCol), col("n"),
+        r2(col("mean_v")).as("mean_v"),
+        r2(sqrt(col("var_v"))).as("sd_v"),
+        col("n_outliers"),
+        (-col("top.nid")).as("top_id"),
+        r2(sqrt(col("top.d2") / col("var_v"))).as("top_z"))
+  }
+
   val qEventsAnomaly = Q(
     "q_events_anomaly",
-    (s, d) => {
-      import graft.util.Det.{dsumRaw, r2}
-      val e = T.events(s, d)
-        .select(col("event_type"), col("event_id"), col("value"))
-      val n = count(lit(1))
-      val stats = e.groupBy("event_type")
-        .agg(n.as("n"),
-          (dsumRaw(col("value")) / n.cast("double")).as("mean_v"),
-          (dsumRaw(col("value") * col("value")) / n.cast("double"))
-            .as("m2"))
-        .withColumn("var_v", col("m2") - col("mean_v") * col("mean_v"))
-        .drop("m2")
-      val scored = e.join(broadcast(stats), Seq("event_type"))
-        .withColumn("dev2",
-          (col("value") - col("mean_v")) * (col("value") - col("mean_v")))
-      scored.groupBy("event_type")
-        .agg(min("n").as("n"), min("mean_v").as("mean_v"),
-          min("var_v").as("var_v"),
-          count(when(col("dev2") > lit(9) * col("var_v"), 1))
-            .as("n_outliers"),
-          max(struct(col("dev2").as("d2"),
-            (-col("event_id")).as("nid"))).as("top"))
-        .select(col("event_type"), col("n"),
-          r2(col("mean_v")).as("mean_v"),
-          r2(sqrt(col("var_v"))).as("sd_v"),
-          col("n_outliers"),
-          (-col("top.nid")).as("top_event_id"),
-          r2(sqrt(col("top.d2") / col("var_v"))).as("top_z"))
-        .orderBy("event_type")
-    },
+    (s, d) =>
+      anomalyScan(T.events(s, d), "event_type", "event_id", "value")
+        .withColumnRenamed("top_id", "top_event_id")
+        .orderBy("event_type"),
     Some {
       import graft.util.Det.{sqlDsumRaw, sqlR2}
       val n = "CAST(count(*) AS DOUBLE)"
@@ -347,6 +350,29 @@ object Analytics {
     * arithmetic is epoch-millisecond integers, so the overlap verdict
     * is dialect-exact; the oracle spells the same semantics as the
     * direct theta join DuckDB can afford at gate scale. */
+  /** Generic binned interval-overlap join core: rows of `left` and
+    * `right` pair whenever `[lStart, lEnd]` overlaps `[rStart, rEnd]`
+    * (inclusive ends, integer columns). Both sides explode to the
+    * `binWidth`-sized bins they cover, join on the bin, and a residual
+    * filter applies the exact predicate; multi-bin matches collapse via
+    * one distinct over the output columns (callers with duplicate input
+    * rows should carry a row id). Per-task pair work is bounded by
+    * intervals co-resident per bin — pick binWidth near the typical
+    * interval length. */
+  def overlapJoin(left: DataFrame, right: DataFrame,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      binWidth: Long): DataFrame = {
+    val lb = left.withColumn("graft_bin",
+      explode(sequence(expr(s"$lStart div $binWidth"),
+        expr(s"$lEnd div $binWidth"))))
+    val rb = right.withColumn("graft_bin",
+      explode(sequence(expr(s"$rStart div $binWidth"),
+        expr(s"$rEnd div $binWidth"))))
+    lb.join(rb, "graft_bin")
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .drop("graft_bin").distinct()
+  }
+
   val qJoinIntervalOverlap = Q(
     "q_join_interval_overlap",
     (s, d) => {
@@ -360,14 +386,7 @@ object Analytics {
         .select(col("day_ms"), explode(typedLit(Seq(0L, 1L, 2L, 3L))).as("k"))
         .select((col("day_ms") + col("k") * W).as("w_start"),
           (col("day_ms") + col("k") * W + 5400000L).as("w_end"))
-      val uiB = ui.withColumn("bin",
-        explode(sequence(expr(s"a_start div $W"), expr(s"a_end div $W"))))
-      val winB = wins.withColumn("bin",
-        explode(sequence(expr(s"w_start div $W"), expr(s"w_end div $W"))))
-      uiB.join(winB, "bin")
-        .filter(col("a_start") <= col("w_end") &&
-          col("w_start") <= col("a_end"))
-        .select("w_start", "w_end", "user_id", "day_ms").distinct()
+      overlapJoin(ui, wins, "a_start", "a_end", "w_start", "w_end", W)
         .groupBy("w_start", "w_end")
         .agg(countDistinct(col("user_id")).as("n_users"),
           min("user_id").as("min_user"), max("user_id").as("max_user"))
@@ -400,28 +419,29 @@ object Analytics {
     * regardless of event volume; no window ever total-orders anything.
     * Early days legitimately report truncated trailing windows (both
     * engines identically). Stickiness = DAU/WAU on the Det 2dp grid. */
+  def activeUsers(df: DataFrame, tsCol: String, userCol: String): DataFrame = {
+    // midnight-UTC epoch-ms is an exact multiple of 86400000, so the
+    // double division is integer-valued and the cast is exact
+    val day = (unix_millis(date_trunc("day", col(tsCol))) / 86400000L)
+      .cast("long")
+    val du = df.select(day.as("day"), col(userCol).as("u")).distinct()
+    val dau = du.groupBy("day").agg(count(lit(1)).as("dau"))
+    val roll = du
+      .withColumn("tday", explode(sequence(col("day"), col("day") + 27)))
+      .groupBy("tday")
+      .agg(
+        countDistinct(when(col("tday") - col("day") <= 6, col("u")))
+          .as("wau"),
+        countDistinct(col("u")).as("mau"))
+    dau.join(roll, dau("day") === roll("tday"))
+      .select(col("day"), col("dau"), col("wau"), col("mau"),
+        graft.util.Det.r2(col("dau").cast("double") /
+          col("wau").cast("double")).as("stickiness"))
+  }
+
   val qEventsActiveUsers = Q(
     "q_events_active_users",
-    (s, d) => {
-      // midnight-UTC epoch-ms is an exact multiple of 86400000, so the
-      // double division is integer-valued and the cast is exact
-      val day = (unix_millis(date_trunc("day", col("ts"))) / 86400000L)
-        .cast("long")
-      val du = T.events(s, d).select(day.as("day"), col("user_id")).distinct()
-      val dau = du.groupBy("day").agg(count(lit(1)).as("dau"))
-      val roll = du
-        .withColumn("tday", explode(sequence(col("day"), col("day") + 27)))
-        .groupBy("tday")
-        .agg(
-          countDistinct(when(col("tday") - col("day") <= 6, col("user_id")))
-            .as("wau"),
-          countDistinct(col("user_id")).as("mau"))
-      dau.join(roll, dau("day") === roll("tday"))
-        .select(col("day"), col("dau"), col("wau"), col("mau"),
-          graft.util.Det.r2(col("dau").cast("double") /
-            col("wau").cast("double")).as("stickiness"))
-        .orderBy("day")
-    },
+    (s, d) => activeUsers(T.events(s, d), "ts", "user_id").orderBy("day"),
     Some(s"""WITH du AS (SELECT DISTINCT
                epoch_ms(date_trunc('day', ts)) // 86400000 AS day, user_id
              FROM events),

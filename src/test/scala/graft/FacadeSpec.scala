@@ -285,4 +285,30 @@ class FacadeSpec extends SparkSpec {
     // the rebuilt index still answers (fresh entry is live, not poisoned)
     assert(ops.Similarity.ivfCells(spark, sf).count() > 0)
   }
+
+  test("round-8 facade entries run on ad-hoc frames") {
+    val s = spark
+    import s.implicits._
+
+    // overlapJoin: [0,10]x[5,15] overlap, [0,10]x[20,30] don't
+    val left = Seq((1L, 0L, 10L), (2L, 40L, 45L)).toDF("lid", "ls", "le")
+    val right = Seq((10L, 5L, 15L), (20L, 20L, 30L)).toDF("rid", "rs", "re")
+    val ov = Graft.overlapJoin(left, right, "ls", "le", "rs", "re", 8L)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ov.toSet === Set((1L, 10L)))
+
+    // anomalyScan: one wild outlier in group "a"
+    val vals = (1 to 50).map(i => ("a", i.toLong, 10.0)) :+ (("a", 99L, 1000.0))
+    val an = Graft.anomalyScan(vals.toDF("g", "id", "v"), "g", "id", "v")
+      .collect().head
+    assert(an.getLong(4) === 1L && an.getLong(5) === 99L)
+
+    // activeUsers: two users on day 0, one returns on day 3
+    def ts(day: Int) =
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(day * 86400L))
+    val act = Seq((ts(0), 1L), (ts(0), 2L), (ts(3), 1L)).toDF("ts", "u")
+    val au = Graft.activeUsers(act, "ts", "u").orderBy("day").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(au.toSeq === Seq((0L, 2L, 2L, 2L), (3L, 1L, 2L, 2L)))
+  }
 }
