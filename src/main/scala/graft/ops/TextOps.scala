@@ -588,9 +588,70 @@ object TextOps {
                AS ttr
            FROM b GROUP BY doc_id, source, n_tok ORDER BY doc_id"""))
 
+  /** Vocabulary size the OOV report closes over: top-[[OovVocabTopK]]
+    * corpus tokens by (count desc, token) — a deterministic boundary.
+    * 16 of the fixture's 31 token types, so both the in-vocab and OOV
+    * regimes carry real traffic at the gate. */
+  val OovVocabTopK = 16
+
+  /** Out-of-vocabulary rate per source — the tokenizer-coverage
+    * diagnostic beside fertility (`q_text_fertility`): given a vocab of
+    * the corpus's own top-K tokens (standing in for a trained
+    * tokenizer's vocabulary — any broadcastable token list drops in),
+    * what fraction of each source's token mass falls outside it. High
+    * OOV for a source = the vocab under-serves that domain, exactly
+    * what a fertility spike means for a merge table. oov_ppm is
+    * half-up integer rounding, `(2e6·oov + n) div 2n` — exact in both
+    * engines (valid while 2e6·n_oov fits an i64 per source, i.e. below
+    * ~4.6e12 OOV tokens; DuckDB widens to HUGEINT earlier). Scale
+    * shape: ONE corpus explode aggregated to the (source, token)
+    * frequency frame (persisted — the global vocab re-aggregates THAT
+    * frame, not the corpus), top-K via TakeOrderedAndProject, vocab
+    * broadcast back; everything after the first aggregation is bounded
+    * by |sources|·|vocab|. */
+  val qTextOovRate = Q(
+    "q_text_oov_rate",
+    (s, d) => {
+      val st = T.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val vocab = st.groupBy("tok").agg(sum("cnt").as("n"))
+        .orderBy(col("n").desc, col("tok")).limit(OovVocabTopK)
+        .select(col("tok"), lit(1).as("in_vocab"))
+      st.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy("source")
+        .agg(sum("cnt").as("n_tokens"),
+          sum(when(col("in_vocab").isNull, col("cnt")).otherwise(0L))
+            .as("n_oov"),
+          count(lit(1)).as("n_types"),
+          count(when(col("in_vocab").isNull, 1)).as("n_oov_types"))
+        .withColumn("oov_ppm",
+          expr("(2000000 * n_oov + n_tokens) div (2 * n_tokens)"))
+        .orderBy("source")
+    },
+    Some(s"""WITH st AS (SELECT source, tok, count(*) AS cnt FROM (
+               SELECT source, unnest(string_split(text, ' ')) AS tok
+               FROM documents) GROUP BY source, tok),
+             vocab AS (SELECT tok FROM (
+               SELECT tok, sum(cnt) AS n FROM st GROUP BY tok
+               ORDER BY n DESC, tok LIMIT $OovVocabTopK)),
+             j AS (SELECT st.source, st.cnt,
+                     (v.tok IS NOT NULL) AS iv
+                   FROM st LEFT JOIN vocab v USING (tok))
+           SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN iv THEN 0 ELSE cnt END) AS BIGINT) AS n_oov,
+             count(*) AS n_types,
+             count(*) FILTER (WHERE NOT iv) AS n_oov_types,
+             CAST((2000000 * CAST(sum(CASE WHEN iv THEN 0 ELSE cnt END)
+                     AS BIGINT) + CAST(sum(cnt) AS BIGINT))
+                  // (2 * CAST(sum(cnt) AS BIGINT)) AS BIGINT) AS oov_ppm
+           FROM j GROUP BY source ORDER BY source"""))
+
   val all: Seq[Q] =
     Seq(qArrayExplode, qTextStats, qTextTokens, qTextFingerprint,
       qTextLanguage, qTextLanguageNgram, qTextTokensRegex, qTextTokensBpe,
       qTextFertility, qTextWinnowPairs, qPipelineFilter, qScalarArray,
-      qTextTfidf, qScalarLambda, qTextLengthHist, qTextEntropy)
+      qTextTfidf, qScalarLambda, qTextLengthHist, qTextEntropy,
+      qTextOovRate)
 }

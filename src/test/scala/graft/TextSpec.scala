@@ -219,4 +219,24 @@ class TextSpec extends SparkSpec {
     // one repeated token pays exactly 1 bit per token (bitlength(1)=1)
     got.values.foreach { case (n, v, e) => assert(e >= n && v <= n) }
   }
+
+  test("OOV rate replays the top-K vocab cut in plain Scala") {
+    val docs = Tables.documents(spark, sf).select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val toks = docs.flatMap { case (s, t) => t.split(" ", -1).map(s -> _) }
+    val vocab = toks.groupBy(_._2).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (t, n) => (-n, t) }.take(TextOps.OovVocabTopK)
+      .map(_._1).toSet
+    val expected = toks.groupBy(_._1).map { case (s, ts) =>
+      val n = ts.length.toLong
+      val oov = ts.count(t => !vocab(t._2)).toLong
+      s -> ((n, oov, (2000000L * oov + n) / (2 * n)))
+    }
+    val got = TextOps.qTextOovRate.fn(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(5))))
+      .toMap
+    assert(got === expected && got.nonEmpty)
+    // both regimes must be live: some OOV mass, some in-vocab mass
+    got.values.foreach { case (n, oov, _) => assert(oov > 0 && oov < n) }
+  }
 }
