@@ -417,6 +417,51 @@ object Relational {
            count(*) AS n
            FROM events GROUP BY 1, 2 ORDER BY event_type, bucket"""))
 
+  /** MERGEABLE frequency sketches — the third leg of the sketch-union
+    * triad ([[qAggDistinctSketchUnion]] = distinct counts,
+    * [[qAggQuantileHistUnion]] = quantiles, this = point frequencies):
+    * one Count-Min sketch per (event_type, day), coarser frequency
+    * answers from UNIONING sketches with the raw data never re-scanned.
+    * CMS union is element-wise counter addition — associative,
+    * commutative, exact — so the unioned sketch is IDENTICAL to the
+    * sketch built directly over the whole slice, under any partitioning:
+    * for every probe key, est_union == est_direct exactly (the pinned
+    * semantic content), and both upper-bound the exact count. The union
+    * itself is spelled relationally (posexplode the counter arrays, sum
+    * per position, rebuild) — the merge visits |types|·|days| fixed-size
+    * rows, never the corpus. Probe keys are each type's top-3 users by
+    * exact count (deterministic ties). Rows-only: counter positions are
+    * murmur3 layout, engine-specific (the q_agg_heavy_hitters_sketch
+    * argument); RelationalSpec pins union==direct, the upper-bound
+    * property, and the 2N/width error envelope. */
+  val qAggFreqSketchUnion = Q(
+    "q_agg_freq_sketch_union",
+    (s, d) => {
+      val cm = graft.functions.CountMin
+      val e = T.events(s, d).select(col("event_type"),
+        to_date(col("ts")).as("day"), col("user_id").cast("string").as("k"))
+      val daily = e.groupBy("event_type", "day").agg(cm.cms(col("k")).as("sk"))
+      val unioned = daily
+        .select(col("event_type"), posexplode(col("sk")).as(Seq("pos", "v")))
+        .groupBy("event_type", "pos").agg(sum("v").as("v"))
+        .groupBy("event_type")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("v")))),
+          x => x.getField("v")).as("sk_u"))
+      val direct = e.groupBy("event_type").agg(cm.cms(col("k")).as("sk_d"))
+      val probes = e.groupBy("event_type", "k").agg(count(lit(1)).as("n_exact"))
+        .withColumn("rn", row_number().over(Window.partitionBy("event_type")
+          .orderBy(col("n_exact").desc, col("k"))))
+        .filter(col("rn") <= 3).drop("rn")
+      probes.join(unioned, "event_type").join(direct, "event_type")
+        .select(col("event_type"), col("k").as("user_id"), col("n_exact"),
+          cm.estimate(col("sk_u"), col("k")).as("est_union"),
+          cm.estimate(col("sk_d"), col("k")).as("est_direct"))
+        .withColumn("union_eq_direct", col("est_union") === col("est_direct"))
+        .orderBy("event_type", "user_id")
+    },
+    None)
+
   /** MERGEABLE quantiles from unioned histogram sketches — the quantile
     * twin of [[qAggDistinctSketchUnion]], and the property
     * `approx_percentile` can't give: a warehouse keeps one fixed-width
@@ -1618,7 +1663,7 @@ object Relational {
     qJoinThetaRange, qJoinThetaRangeBinned, qJoinMultiway,
     qAggGroup, qAggDistinct, qAggRollup, qAggCube, qAggGroupingSets,
     qAggHistogram, qAggHistogramSketch, qAggApproxDistinct,
-    qAggDistinctSketchUnion, qAggQuantileHistUnion,
+    qAggDistinctSketchUnion, qAggQuantileHistUnion, qAggFreqSketchUnion,
     qAggApproxPercentile,
     qWindowRank, qWindowRankFamily, qWindowCumeDist, qWindowFirstLast, qWindowRunning, qWindowLag,
     qWindowFrameRange, qWindowRangeTime, qAggPercentile, qAggPivot, qUnpivot, qAggConditional,

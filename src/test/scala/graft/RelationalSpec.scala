@@ -282,4 +282,19 @@ class RelationalSpec extends SparkSpec {
     // the mergeability pin: the union-of-daily path must equal direct
     got.values.foreach { case (_, _, _, eq) => assert(eq) }
   }
+
+  test("CMS sketch union: merged daily sketches equal the direct sketch exactly") {
+    val rows = Relational.qAggFreqSketchUnion.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getBoolean(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, exact, estU, estD, eq) =>
+      // counter addition commutes: union must be bit-identical to direct
+      assert(eq && estU === estD, s"$t: union $estU != direct $estD")
+      // CMS never under-counts, and stays within the 2N/width envelope
+      assert(estU >= exact, s"$t: estimate $estU < exact $exact")
+      val n = Tables.events(spark, sf).count()
+      assert(estU - exact <= 2 * n / 1024, s"$t: error ${estU - exact}")
+    }
+  }
 }
