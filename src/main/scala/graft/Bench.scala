@@ -149,6 +149,19 @@ object Bench {
           base.filter(col("event_type") === "purchase"),
           toleranceSec = 60, watermark = "1 hour")
       }),
+      // LEFT-OUTER stream-stream join — the unmatched-detection shape:
+      // clicks with no purchase in tolerance are emitted null-padded at
+      // state eviction, a different state-store path from the inner
+      // join's match-time output
+      ("q_stream_join_outer", "append", df => {
+        val base = df.select(col("user_id").as("key"), col("ts"),
+          col("event_type"))
+        graft.stream.Pipelines.coincidence(
+          base.filter(col("event_type") === "click"),
+          base.filter(col("event_type") === "purchase"),
+          toleranceSec = 60, watermark = "1 hour",
+          joinType = "left_outer")
+      }),
       // stream-static broadcast enrichment — the stateless shape (no
       // watermark, no state store); the dim side is a batch aggregate
       // of the same table, broadcast into every micro-batch

@@ -202,8 +202,16 @@ object Pipelines {
     events.join(org.apache.spark.sql.functions.broadcast(dim),
       Seq(key), "left")
 
+  /** `joinType = "left_outer"` turns the coincidence join into the
+    * unmatched-detection shape: a hit with NO trigger in its tolerance
+    * window is still emitted (null t_ columns) — but only once the
+    * watermark has passed its whole candidate interval, i.e. the state
+    * store proves no future trigger can match. That null-padded
+    * eviction-time emission is a genuinely different state-store code
+    * path from the inner join's match-time output. */
   def coincidence(hits: DataFrame, triggers: DataFrame,
-      toleranceSec: Int = 5, watermark: String = "30 seconds"): DataFrame = {
+      toleranceSec: Int = 5, watermark: String = "30 seconds",
+      joinType: String = "inner"): DataFrame = {
     val h = hits.withWatermark("ts", watermark)
       .select(col("key").as("h_key"), col("ts").as("h_ts"))
     val t = triggers.withWatermark("ts", watermark)
@@ -211,7 +219,8 @@ object Pipelines {
     h.join(t,
       expr(s"""h_key = t_key AND
                h_ts BETWEEN t_ts - INTERVAL $toleranceSec SECONDS
-                        AND t_ts + INTERVAL $toleranceSec SECONDS"""))
+                        AND t_ts + INTERVAL $toleranceSec SECONDS"""),
+      joinType)
   }
 
   /** Streaming occupancy histogram over decoded TDC hits: counts per

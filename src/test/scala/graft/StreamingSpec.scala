@@ -382,4 +382,42 @@ class StreamingSpec extends SparkSpec {
     assert(rows === Set((100L, 1L, "gold"), (101L, 2L, "silver"),
       (102L, 9L, null)))
   }
+
+  test("left-outer coincidence join emits unmatched hits once state evicts") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val hitsIn = MemoryStream[(Long, Timestamp)]
+    val trigIn = MemoryStream[(Long, Timestamp)]
+    val q = Pipelines.coincidence(
+        hitsIn.toDF().toDF("key", "ts"),
+        trigIn.toDF().toDF("key", "ts"),
+        toleranceSec = 5, watermark = "10 seconds",
+        joinType = "left_outer")
+      .writeStream.format("memory").queryName("coinc_outer")
+      .outputMode("append")
+      .start()
+    trigIn.addData((1L, ts("2026-01-01 00:00:10")))
+    hitsIn.addData(
+      (1L, ts("2026-01-01 00:00:08")),  // within ±5s -> match
+      (1L, ts("2026-01-01 00:01:00"))) // no trigger near -> null-padded
+    q.processAllAvailable()
+    // advance BOTH watermarks far past 00:01:00 + 5s tolerance + 10s
+    // delay so the unmatched hit's state provably cannot match anymore
+    trigIn.addData((8L, ts("2026-01-01 00:10:00")))
+    hitsIn.addData((7L, ts("2026-01-01 00:10:00")))
+    q.processAllAvailable()
+    trigIn.addData((8L, ts("2026-01-01 00:20:00")))
+    hitsIn.addData((7L, ts("2026-01-01 00:20:00")))
+    q.processAllAvailable()
+    runToCompletion(q)
+    val matched = s.sql(
+      "SELECT h_ts FROM coinc_outer WHERE h_key = 1 AND t_key IS NOT NULL")
+      .collect().map(_.getTimestamp(0).toString).toSet
+    val unmatched = s.sql(
+      "SELECT h_ts FROM coinc_outer WHERE h_key = 1 AND t_key IS NULL")
+      .collect().map(_.getTimestamp(0).toString).toSet
+    assert(matched === Set("2026-01-01 00:00:08.0"))
+    assert(unmatched === Set("2026-01-01 00:01:00.0"))
+  }
 }
