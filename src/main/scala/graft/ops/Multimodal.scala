@@ -565,6 +565,64 @@ object Multimodal {
     (s, d) => perceptualDedup(mediaWithPlants(s, d)).orderBy("media_id"),
     None)
 
+  /** Per-blob decode verdict: every blob is actually decoded through
+    * its kind's codec (ALL video frames, the full PCM stream) inside a
+    * Try — the ingest-audit primitive behind [[qMmDecodeErrors]].
+    * Same mapPartitions batch shape as [[imageFeatures]]. */
+  def decodeStatus(media: Dataset[Media]): DataFrame = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val ok = scala.util.Try {
+          m.kind match {
+            case "image" => Codecs.decodeImage(m.bytes)._3.nonEmpty
+            case "video" =>
+              val frames = Codecs.videoFramePngs(m.bytes)
+              frames.nonEmpty &&
+                frames.forall(p => Codecs.decodeImage(p)._3.nonEmpty)
+            case _ => Codecs.decodeAudio(m.bytes).nonEmpty
+          }
+        }.getOrElse(false)
+        (m.media_id, m.kind, if (ok) "ok" else "failed",
+          m.bytes.length.toLong)
+      }
+    }.toDF("media_id", "kind", "status", "n_bytes")
+  }
+
+  /** Decode-failure audit — the robustness report a real ingest runs
+    * before trusting a blob column (truncated uploads, wrong magic,
+    * re-encodes gone bad): per (kind, status), blob count, byte mass
+    * and id extents, with every blob ACTUALLY decoded (all frames, all
+    * samples) under failure capture — a throwing codec marks the row
+    * `failed` instead of killing the job, which is the operative
+    * property at 100 TB where some corruption is a statistical
+    * certainty. Corpus = the synthesized media plus PLANTED corruption
+    * (every 25th blob re-registered under id+200000 with its first 8
+    * bytes dropped — kills the PNG signature, the RIFF header and the
+    * frame-container magic alike; the qMmDedup planting practice, since
+    * the synthesized fixture contains no organic corruption). Rows-only
+    * (pixel/codec behavior has no SQL spelling); MultimodalSpec pins
+    * that exactly the planted blobs fail and counts conserve. */
+  val qMmDecodeErrors = Q(
+    "q_mm_decode_errors",
+    (s, d) => {
+      import s.implicits._
+      val base = mediaTable(s, d)
+      val corrupt = mediaFrom(s, T.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"), col("label"))
+          .filter(col("vec_id") % 25 === 0))
+        .map(m => m.copy(media_id = m.media_id + 200000L,
+          bytes = m.bytes.drop(8)))
+      decodeStatus(base.unionAll(corrupt))
+        .groupBy("kind", "status")
+        .agg(count(lit(1)).as("n"), sum("n_bytes").as("total_bytes"),
+          min("media_id").as("min_id"), max("media_id").as("max_id"))
+        .orderBy("kind", "status")
+    },
+    None)
+
   val all: Seq[Q] =
-    Seq(qMmFeatures, qMmFrameSample, qMmMetaStats, qMmAudioStats, qMmDedup)
+    Seq(qMmFeatures, qMmFrameSample, qMmMetaStats, qMmAudioStats, qMmDedup,
+      qMmDecodeErrors)
 }

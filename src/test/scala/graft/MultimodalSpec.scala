@@ -185,4 +185,25 @@ class MultimodalSpec extends SparkSpec {
     // the organic corpus is mostly unique (ids perturb the rasters)
     assert(out.count(_._5) > out.length / 2)
   }
+
+  test("decode audit: exactly the planted corrupt blobs fail, counts conserve") {
+    val rows = Multimodal.qMmDecodeErrors.fn(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(4), r.getLong(5)))
+    val nBase = Multimodal.mediaTable(spark, sf).count()
+    val nPlanted = graft.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 25 === 0).count()
+    // every planted blob fails, every original decodes
+    assert(rows.filter(_._2 == "failed").map(_._3).sum === nPlanted)
+    assert(rows.filter(_._2 == "ok").map(_._3).sum === nBase)
+    // failed rows live entirely in the planted id range, ok rows below it
+    rows.foreach { case (_, st, _, minId, maxId) =>
+      if (st == "failed") assert(minId >= 200000L)
+      else assert(maxId < 200000L)
+    }
+    // all three modalities report a failure row (the corruption is
+    // format-agnostic: the dropped header kills every codec)
+    assert(rows.filter(_._2 == "failed").map(_._1).toSet ===
+      Set("image", "audio", "video"))
+  }
 }
