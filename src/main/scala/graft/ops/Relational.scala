@@ -417,6 +417,36 @@ object Relational {
            count(*) AS n
            FROM events GROUP BY 1, 2 ORDER BY event_type, bucket"""))
 
+  /** SLIDING (overlapping) event-time windows in batch — the built-in
+    * `window(ts, "1 hour", "15 minutes")` primitive gate-checked the
+    * way [[qEventsSessionWindow]] checks `session_window`: every event
+    * lands in exactly 4 overlapping hour windows (window/slide = 4 on
+    * aligned grids), an expansion Spark performs inside the Expand
+    * operator, and the oracle replays it as explicit integer
+    * arithmetic — start_ms = (ms div 900000 - k)·900000 for k ∈ 0..3 —
+    * so the window-assignment rule itself is what hash-matches. Counts
+    * and the Det value sum per (window, type); output bounded by
+    * |grid|·|types|. */
+  val qEventsSliding = Q(
+    "q_events_sliding",
+    (s, d) =>
+      T.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("v_sum"))
+        .select(unix_millis(col("window.start")).as("w_start_ms"),
+          col("event_type"), col("n"), col("v_sum"))
+        .orderBy("w_start_ms", "event_type"),
+    Some(s"""WITH e AS (SELECT event_type, value,
+               epoch_ms(ts) AS ms FROM events),
+             x AS (SELECT event_type, value,
+               (ms // 900000 - k) * 900000 AS w_start_ms
+               FROM e, (VALUES (0), (1), (2), (3)) t(k))
+           SELECT w_start_ms, event_type, count(*) AS n,
+             ${sqlDsum("value")} AS v_sum
+           FROM x GROUP BY w_start_ms, event_type
+           ORDER BY w_start_ms, event_type"""))
+
   /** MERGEABLE frequency sketches — the third leg of the sketch-union
     * triad ([[qAggDistinctSketchUnion]] = distinct counts,
     * [[qAggQuantileHistUnion]] = quantiles, this = point frequencies):
@@ -1672,5 +1702,5 @@ object Relational {
     qTopk, qUnion, qIntersect, qExcept,
     qScalarString, qScalarDate, qScalarMath, qScalarCase, qScalarNull,
     qMapJson,
-    qEventsTumbling, qEventsSession, qEventsSessionWindow)
+    qEventsTumbling, qEventsSession, qEventsSessionWindow, qEventsSliding)
 }

@@ -297,4 +297,14 @@ class RelationalSpec extends SparkSpec {
       assert(estU - exact <= 2 * n / 1024, s"$t: error ${estU - exact}")
     }
   }
+
+  test("sliding windows: every event lands in exactly window/slide windows") {
+    val nEvents = Tables.events(spark, sf).count()
+    val rows = Relational.qEventsSliding.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    // conservation: 4 overlapping hour windows per event on a 15-min slide
+    assert(rows.map(_._2).sum === 4 * nEvents)
+    // window starts sit on the 15-minute grid
+    rows.foreach { case (ws, _) => assert(ws % 900000L === 0L) }
+  }
 }
