@@ -528,4 +528,14 @@ class PlanSpec extends SparkSpec {
       "disjunctive predicate broke the equi-join extraction:\n" + p)
     assert(count(p, "HashJoin|SortMergeJoin") >= 1, p)
   }
+
+  test("q_events_sliding: window fan-out is an Expand, agg stays two-phase") {
+    val p = plan("q_events_sliding")
+    // Spark assigns overlapping windows via Expand (4 projections on a
+    // 1h/15m grid), never a self-union of scans or a join
+    assert(p.contains("Expand"), p)
+    assert(count(p, "\\(\\d+\\) Scan parquet") == 1,
+      "sliding windows re-scanned the corpus:\n" + p)
+    assert(count(p, "HashAggregate") >= 2, p)
+  }
 }

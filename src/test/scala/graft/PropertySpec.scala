@@ -389,4 +389,33 @@ class PropertySpec extends SparkSpec {
       got == expect
     })
   }
+
+  test("binned overlap join equals the naive predicate for any intervals/width") {
+    val iv: Gen[List[(Long, Long)]] = Gen.listOfN(15,
+      for {
+        a <- Gen.chooseNum(0L, 200L)
+        len <- Gen.chooseNum(0L, 60L)
+      } yield (a, a + len))
+    val gen = for {
+      l <- iv; r <- iv
+      w <- Gen.oneOf(1L, 7L, 16L, 64L, 300L)
+    } yield (l, r, w)
+    check(Prop.forAllNoShrink(gen) { case (l, r, w) =>
+      val s = spark
+      import s.implicits._
+      val left = l.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+        .toDF("lid", "ls", "le")
+      val right = r.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+        .toDF("rid", "rs", "re")
+      val got = graft.Graft.overlapJoin(left, right, "ls", "le", "rs", "re", w)
+        .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1)))
+        .toSet
+      val want = (for {
+        ((la, lb), li) <- l.zipWithIndex
+        ((ra, rb), ri) <- r.zipWithIndex
+        if la <= rb && ra <= lb
+      } yield (li.toLong, ri.toLong)).toSet
+      got == want
+    })
+  }
 }
