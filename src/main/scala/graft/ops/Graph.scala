@@ -342,6 +342,62 @@ object Graph {
              min(doc_id) AS min_doc, max(doc_id) AS max_doc
            FROM deg GROUP BY degree ORDER BY degree"""))
 
+  /** Triangle census + global clustering coefficient of the
+    * candidate-pair graph — the graph-analytics companion to
+    * [[qDedupPairDegree]]: near-dup graphs should be CLIQUE-LIKE
+    * (members of one cluster all pair with each other → high clustering
+    * coefficient); a triangle-poor, wedge-rich graph means chains of
+    * borderline pairs are bridging unrelated documents and the
+    * components will over-merge. Triangles count via the standard
+    * ordered two-join (a<b<c, so each triangle counts exactly once);
+    * wedges from the degree frame (Σ d·(d−1)/2); coefficient =
+    * 3·triangles/wedges in half-up integer ppm. Scale: all joins key on
+    * vertex ids of the df-capped pair graph — per-vertex degree is
+    * bounded by [[Dedup.MaxPostingDf]], so the e1.b=e2.a expansion is
+    * bounded per vertex and the pair graph (near-dup-sized, never
+    * corpus-sized) is the largest frame anywhere. */
+  val qGraphTriangles = Q(
+    "q_graph_triangles",
+    (s, d) => {
+      val pairs = Dedup.minhashPairs(s, d)
+      val tri = pairs.as("e1")
+        .join(pairs.as("e2"), col("e1.b") === col("e2.a"))
+        .join(pairs.as("e3"),
+          col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val deg = pairs.select(col("a").as("v"))
+        .unionAll(pairs.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("dg"))
+      val wed = deg.agg(count(lit(1)).as("n_vertices"),
+        sum(expr("dg * (dg - 1) div 2")).as("n_wedges"))
+      val ne = pairs.agg(count(lit(1)).as("n_edges"))
+      wed.crossJoin(ne).crossJoin(tri)
+        .select(col("n_vertices"), col("n_edges"), col("n_wedges"),
+          col("n_triangles"),
+          when(col("n_wedges") === 0L, 0L)
+            .otherwise(expr(
+              "(2000000 * 3 * n_triangles + n_wedges) div (2 * n_wedges)"))
+            .as("clustering_ppm"))
+    },
+    Some(s"""WITH ${Dedup.minhashPairsSqlCte},
+           deg AS (SELECT v, count(*) AS dg FROM (
+               SELECT a AS v FROM cand UNION ALL SELECT b AS v FROM cand)
+             GROUP BY v),
+           tri AS (SELECT count(*) AS n_triangles
+                   FROM cand e1
+                   JOIN cand e2 ON e1.b = e2.a
+                   JOIN cand e3 ON e3.a = e1.a AND e3.b = e2.b),
+           wed AS (SELECT count(*) AS n_vertices,
+                     CAST(sum((dg * (dg - 1)) // 2) AS BIGINT) AS n_wedges
+                   FROM deg),
+           ne AS (SELECT count(*) AS n_edges FROM cand)
+           SELECT w.n_vertices, ne.n_edges, w.n_wedges, t.n_triangles,
+             CASE WHEN w.n_wedges = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST((2000000 * 3 * t.n_triangles + w.n_wedges)
+                            // (2 * w.n_wedges) AS BIGINT) END
+               AS clustering_ppm
+           FROM wed w, ne, tri t"""))
+
   val all: Seq[Q] = Seq(qDedupComponents, qDedupClusterSizes, qDedupSurvivors,
-    qDedupPairDegree)
+    qDedupPairDegree, qGraphTriangles)
 }

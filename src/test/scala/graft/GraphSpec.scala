@@ -192,4 +192,24 @@ class GraphSpec extends SparkSpec {
     assert(hist.map(_._2).sum === nDocs)
     assert(hist.map(_._1).distinct.length === hist.length)
   }
+
+  test("triangle census replays brute force over the pair graph") {
+    val edges = Dedup.minhashPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val verts = edges.flatMap(e => Seq(e._1, e._2))
+    def adj(x: Long, y: Long) =
+      edges((math.min(x, y), math.max(x, y)))
+    val tris = (for {
+      (a, b) <- edges; c <- verts
+      if c > b && adj(b, c) && adj(a, c)
+    } yield (a, b, c)).size.toLong
+    val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map(_._2.length.toLong)
+    val wedges = deg.map(d => d * (d - 1) / 2).sum
+    val row = Graph.qGraphTriangles.fn(spark, sf).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+      === ((verts.size.toLong, edges.size.toLong, wedges, tris)))
+    // every triangle closes three wedges
+    assert(3 * tris <= wedges || wedges == 0)
+  }
 }
