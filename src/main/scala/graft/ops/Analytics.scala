@@ -461,8 +461,58 @@ object Analytics {
            FROM dau d JOIN roll r ON r.tday = d.day
            ORDER BY d.day"""))
 
+  /** Seasonal-naive forecast BACKTEST — the baseline every time-series
+    * model must beat, and the eval-harness shape (forecast → score
+    * against actuals) run as a query: per (event_type, day), the
+    * prediction is the same weekday's count one week earlier (`lag 7`
+    * over the aggregated day frame — rows, which equals days on a
+    * gapless frame; compose with [[qEventsGapfill]]'s grid when days
+    * can be missing), scored as absolute error; per type
+    * the report gives scored-day count, total actuals, total absolute
+    * error, and MAE in half-up integer ppm of the mean daily volume.
+    * Everything is integer arithmetic — counts, |a−p|, ppm — so the
+    * gate pins the whole backtest. Scale shape: the corpus collapses to
+    * the (type, day) count frame FIRST (one shuffle); the lag window
+    * and the final rollup run on that bounded frame (|types|·|days|
+    * rows), so nothing corpus-sized is ever sorted. */
+  val qEventsForecastNaive = Q(
+    "q_events_forecast_naive",
+    (s, d) => {
+      val day = (unix_millis(date_trunc("day", col("ts"))) / 86400000L)
+        .cast("long")
+      val daily = T.events(s, d).select(col("event_type"), day.as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      daily.withColumn("pred", lag("n", 7).over(w))
+        .filter(col("pred").isNotNull)
+        .withColumn("abs_err", abs(col("n") - col("pred")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum("n").as("total_actual"),
+          sum("abs_err").as("total_abs_err"))
+        .withColumn("mae_ppm", expr(
+          "(2000000 * total_abs_err + total_actual) div (2 * total_actual)"))
+        .orderBy("event_type")
+    },
+    Some("""WITH daily AS (SELECT event_type,
+               epoch_ms(date_trunc('day', ts)) // 86400000 AS day,
+               count(*) AS n
+             FROM events GROUP BY event_type, day),
+           scored AS (SELECT event_type, n,
+               lag(n, 7) OVER (PARTITION BY event_type ORDER BY day)
+                 AS pred
+             FROM daily)
+           SELECT event_type, count(*) AS n_days,
+             CAST(sum(n) AS BIGINT) AS total_actual,
+             CAST(sum(abs(n - pred)) AS BIGINT) AS total_abs_err,
+             CAST((2000000 * CAST(sum(abs(n - pred)) AS BIGINT)
+                   + CAST(sum(n) AS BIGINT))
+                  // (2 * CAST(sum(n) AS BIGINT)) AS BIGINT) AS mae_ppm
+           FROM scored WHERE pred IS NOT NULL
+           GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(
     qEventsFunnel, qEventsCohort, qJoinIntervalBinned, qEventsTransitions,
     qEventsGapfill, qEventsOhlc, qEventsAnomaly, qJoinIntervalOverlap,
-    qEventsActiveUsers)
+    qEventsActiveUsers, qEventsForecastNaive)
 }

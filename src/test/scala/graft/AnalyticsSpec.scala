@@ -160,4 +160,25 @@ class AnalyticsSpec extends SparkSpec {
     // envelope: dau <= wau <= mau on every day
     got.values.foreach { case (d, w, m) => assert(d <= w && w <= m) }
   }
+
+  test("seasonal-naive backtest replays in plain Scala") {
+    val daily = graft.Tables.events(spark, sf)
+      .select(col("event_type"),
+        (unix_millis(date_trunc("day", col("ts"))) / 86400000L)
+          .cast("long").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = daily.groupBy(_._1).map { case (t, ds) =>
+      val seq = ds.sortBy(_._2).map(_._3)
+      val scored = seq.drop(7).zip(seq.dropRight(7))
+      val err = scored.map { case (a, p) => math.abs(a - p) }.sum
+      val tot = scored.map(_._1).sum
+      t -> ((scored.length.toLong, tot, err,
+        (2000000L * err + tot) / (2 * tot)))
+    }
+    val got = Analytics.qEventsForecastNaive.fn(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === expected && got.nonEmpty)
+  }
 }

@@ -538,4 +538,21 @@ class PlanSpec extends SparkSpec {
       "sliding windows re-scanned the corpus:\n" + p)
     assert(count(p, "HashAggregate") >= 2, p)
   }
+
+  test("q_text_oov_rate: vocab broadcasts back, one corpus explode") {
+    val p = plan("q_text_oov_rate")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "vocab should broadcast onto the frequency frame:\n" + p)
+    assert(count(p, "Generate explode") <= 1,
+      "corpus exploded more than once:\n" + p)
+  }
+
+  test("q_events_forecast_naive: lag window runs on the aggregated day frame") {
+    val p = plan("q_events_forecast_naive")
+    // the window's child must be an aggregate, never the raw scan
+    val winIdx = p.indexOf("Window")
+    assert(winIdx > 0, p)
+    assert(p.substring(0, winIdx).contains("HashAggregate"),
+      "lag window consumed the corpus, not the day frame:\n" + p)
+  }
 }
