@@ -425,16 +425,23 @@ object Analytics {
     val day = (unix_millis(date_trunc("day", col(tsCol))) / 86400000L)
       .cast("long")
     val du = df.select(day.as("day"), col(userCol).as("u")).distinct()
-    val dau = du.groupBy("day").agg(count(lit(1)).as("dau"))
-    val roll = du
-      .withColumn("tday", explode(sequence(col("day"), col("day") + 27)))
+    // DAU rides the SAME fan-out aggregation as WAU/MAU (the k=0 slice
+    // of the explode), so the distinct activity frame — and the corpus
+    // scan feeding it — is consumed exactly once; a separate dau
+    // aggregation would re-execute the shared subtree (a second full
+    // corpus scan at cluster scale). Ghost days (fan-out targets past
+    // the last active day) report dau=0 and are dropped, which is
+    // exactly the days the corpus has no activity on.
+    du.withColumn("tday", explode(sequence(col("day"), col("day") + 27)))
       .groupBy("tday")
       .agg(
+        countDistinct(when(col("tday") === col("day"), col("u")))
+          .as("dau"),
         countDistinct(when(col("tday") - col("day") <= 6, col("u")))
           .as("wau"),
         countDistinct(col("u")).as("mau"))
-    dau.join(roll, dau("day") === roll("tday"))
-      .select(col("day"), col("dau"), col("wau"), col("mau"),
+      .filter(col("dau") > 0)
+      .select(col("tday").as("day"), col("dau"), col("wau"), col("mau"),
         graft.util.Det.r2(col("dau").cast("double") /
           col("wau").cast("double")).as("stickiness"))
   }
@@ -445,8 +452,8 @@ object Analytics {
     Some(s"""WITH du AS (SELECT DISTINCT
                epoch_ms(date_trunc('day', ts)) // 86400000 AS day, user_id
              FROM events),
-           dau AS (SELECT day, count(*) AS dau FROM du GROUP BY day),
-           roll AS (SELECT day + k AS tday,
+           roll AS (SELECT day + k AS day,
+               count(DISTINCT CASE WHEN k = 0 THEN user_id END) AS dau,
                count(DISTINCT CASE WHEN k <= 6 THEN user_id END) AS wau,
                count(DISTINCT user_id) AS mau
              FROM du, (VALUES (0), (1), (2), (3), (4), (5), (6), (7),
@@ -454,12 +461,12 @@ object Analytics {
                (18), (19), (20), (21), (22), (23), (24), (25), (26), (27))
                t(k)
              GROUP BY day + k)
-           SELECT d.day, d.dau, r.wau, r.mau,
+           SELECT day, dau, wau, mau,
              ${graft.util.Det.sqlR2(
-                "CAST(d.dau AS DOUBLE) / CAST(r.wau AS DOUBLE)")}
+                "CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE)")}
                AS stickiness
-           FROM dau d JOIN roll r ON r.tday = d.day
-           ORDER BY d.day"""))
+           FROM roll WHERE dau > 0
+           ORDER BY day"""))
 
   /** Seasonal-naive forecast BACKTEST — the baseline every time-series
     * model must beat, and the eval-harness shape (forecast → score

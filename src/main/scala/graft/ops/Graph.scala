@@ -318,7 +318,11 @@ object Graph {
   val qDedupPairDegree = Q(
     "q_dedup_pair_degree",
     (s, d) => {
+      // two consumers (both union legs) — cache the near-dup-sized pair
+      // frame so the banded pair generation runs once (see
+      // [[qGraphTriangles]]); evicted by [[graft.Graft.clearCaches]]
       val pairs = Dedup.minhashPairs(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val deg = pairs.select(col("a").as("doc_id"))
         .unionAll(pairs.select(col("b").as("doc_id")))
         .groupBy("doc_id").agg(count(lit(1)).as("degree"))
@@ -359,7 +363,14 @@ object Graph {
   val qGraphTriangles = Q(
     "q_graph_triangles",
     (s, d) => {
+      // the pair frame feeds FIVE consumers (three triangle legs, the
+      // degree frame, the edge count) — without a cache the banded
+      // pair-generation aggregation re-executes per reference (the
+      // persisted bands save the corpus scan, not the pair pipeline).
+      // The pair frame itself is near-dup-sized; evicted by
+      // [[graft.Graft.clearCaches]].
       val pairs = Dedup.minhashPairs(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val tri = pairs.as("e1")
         .join(pairs.as("e2"), col("e1.b") === col("e2.a"))
         .join(pairs.as("e3"),

@@ -555,4 +555,11 @@ class PlanSpec extends SparkSpec {
     assert(p.substring(0, winIdx).contains("HashAggregate"),
       "lag window consumed the corpus, not the day frame:\n" + p)
   }
+
+  test("q_events_active_users: DAU rides the fan-out agg — one scan, no join") {
+    val p = plan("q_events_active_users")
+    assert(count(p, "\\(\\d+\\) Scan parquet") == 1,
+      "active-users re-scanned the corpus for DAU:\n" + p)
+    assert(!p.contains("Join"), "dau/roll join came back:\n" + p)
+  }
 }
