@@ -851,8 +851,57 @@ object Similarity {
              ON t.qid = tr.qid AND t.vid = tr.vid
            GROUP BY t.dim ORDER BY t.dim"""))
 
+  /** IVF nprobe CALIBRATION sweep — the tuning curve every IVF
+    * deployment reads before fixing its probe count (FAISS's nprobe:
+    * recall rises with probed cells, so does scan cost): for nprobe ∈
+    * {1, 2, 4, 8} over the 16-cell index, top-3 hits against the
+    * brute-force truth set, as integers. Pay-once (the sweep
+    * discipline): probe ranks are computed ONCE to depth 8 and the
+    * candidate join runs ONCE at that depth; each nprobe is then a
+    * filter on the probe rank — nested candidate sets by construction,
+    * so the curve is monotone and the per-curve cost is one index scan,
+    * not one per point. Rows-only (cell layout is engine-specific, the
+    * ivfTopk argument); SimilaritySpec pins monotonicity and that the
+    * nprobe=4 row reproduces q_sim_ivf_topk's hits exactly. */
+  val qSimNprobeSweep = Q(
+    "q_sim_nprobe_sweep",
+    (s, d) => {
+      val (cells, cents) = ivfIndex(s, d, 16)
+      val centroids = cents.withColumnRenamed("cell", "pcell")
+      val q = cells.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val wp = Window.partitionBy(col("qid"))
+        .orderBy(col("pdist"), col("pcell"))
+      val probes = q.join(broadcast(centroids))
+        .withColumn("pdist",
+          -graft.functions.VectorFunctions.dot(col("qv"), col("cv"))
+            + graft.functions.VectorFunctions.dot(col("cv"), col("cv")) / 2)
+        .withColumn("prank", row_number().over(wp))
+        .filter(col("prank") <= 8)
+        .select(col("qid"), col("qv"), col("pcell"), col("prank"))
+      val w = Window.partitionBy(col("np"), col("qid"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      val swept = broadcast(probes)
+        .join(cells, col("pcell") === col("cell") &&
+          col("vec_id") =!= col("qid"))
+        .withColumn("sim", cosine(col("qv"), col("v")))
+        .withColumn("np", explode(typedLit(Seq(1, 2, 4, 8))))
+        .filter(col("prank") <= col("np"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("np", "qid", "vec_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val truth = qSimCosineTopk.fn(s, d)
+        .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+      swept.join(truth, Seq("qid", "vec_id"), "left")
+        .groupBy("np")
+        .agg(count(col("hit")).as("n_hits"), count(lit(1)).as("n_pairs"))
+        .orderBy("np")
+    },
+    None)
+
   val all: Seq[Q] = Seq(qSimCosineTopk, qSimLshBuckets, qSimLshTopk,
     qSimIvfTopk, qVecQuantize, qVecPq, qSimPqTopk, qSimHammingTopk,
     qSimIvfpqTopk, qEmbedCentroids, qJoinTextEmbedding, qSimRecallReport,
-    qSimDimSweep)
+    qSimDimSweep, qSimNprobeSweep)
 }

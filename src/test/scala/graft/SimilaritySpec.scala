@@ -433,4 +433,23 @@ class SimilaritySpec extends SparkSpec {
     assert(got === expected)
     assert(got(64L) === 30L) // self-consistency control
   }
+
+  test("nprobe sweep: monotone recall, np=4 reproduces q_sim_ivf_topk") {
+    val rows = Similarity.qSimNprobeSweep.fn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq === Seq(1, 2, 4, 8))
+    // nested candidate sets: hits can only grow with probes
+    rows.sliding(2).foreach { case Array(a, b) => assert(a._2 <= b._2) }
+    // pairs per point bounded by queries x k, growing with probes
+    rows.sliding(2).foreach { case Array(a, b) => assert(a._3 <= b._3) }
+    assert(rows.forall(_._3 <= 30))
+    // cross-consistency: np=4 hit count equals the declared ivf topk's
+    val truth = Similarity.qSimCosineTopk.fn(spark, sf)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfHits = Similarity.ivfTopk(spark, sf).select("qid", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .count(truth)
+    assert(rows.find(_._1 == 4).get._2 === ivfHits.toLong)
+  }
 }
