@@ -897,9 +897,122 @@ object Dedup {
            FROM documents d LEFT JOIN st USING (doc_id)
            ORDER BY doc_id"""))
 
+  /** Banding configurations for [[qDedupBandSweep]]: (bands, rows/band)
+    * partitions of the 8-plane signature. */
+  val BandSweepConfigs: Seq[(Int, Int)] = Seq((1, 8), (2, 4), (4, 2), (8, 1))
+
+  /** LSH banding S-CURVE calibration sweep — the knob every
+    * MinHash-LSH deployment fixes before the production banding (the
+    * declared 2×4 of [[qDedupMinhash]]): for each partition of the
+    * 8-plane signature into (bands × rows/band) ∈ {1×8, 2×4, 4×2, 8×1},
+    * the candidate count and how many candidates are TRUE near-dups
+    * (exact shingle Jaccard ≥ 1/2 — `2·∩ ≥ ∪` in integer space), with
+    * precision in half-up ppm. More bands of fewer rows = higher recall,
+    * lower precision (the textbook S-curve trade); this query puts the
+    * actual curve on this corpus in front of whoever picks the config.
+    * Pay-once: signatures and shingle sets are computed ONCE (persisted
+    * base), every config's bands are slices of the same signature, and
+    * the truth join prices only the df-capped candidate pairs. Configs
+    * that produce zero candidates still report (left join against the
+    * config list), so the curve never silently loses a point. Fully
+    * DuckDB-oracled — the banding regroupings and the Jaccard verify
+    * are compositions of the q_dedup_minhash / q_dedup_minhash_quality
+    * CTEs. */
+  val qDedupBandSweep = Q(
+    "q_dedup_band_sweep",
+    (s, d) => {
+      import s.implicits._
+      val base = shingled(s, d).select(col("doc_id"),
+        array_distinct(col("sh")).as("shd"),
+        graft.functions.MinHashSig.minhash(col("sh")).as("sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bandStructs = array(BandSweepConfigs.flatMap { case (nb, rpb) =>
+        (0 until nb).map { b =>
+          struct(lit(nb).as("cfg"), lit(b).as("band_no"),
+            concat_ws("", slice(col("sig"), b * rpb + 1, rpb)).as("band"))
+        }
+      }: _*)
+      val bands = base.select(col("doc_id"), explode(bandStructs).as("bs"))
+        .select(col("doc_id"), col("bs.cfg"), col("bs.band_no"),
+          col("bs.band"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs = BandSweepConfigs.map { case (nb, _) =>
+        pairsFromGroups(bands.filter(col("cfg") === nb),
+            Seq("band_no", "band"))
+          .distinct().withColumn("cfg", lit(nb))
+      }.reduce(_ unionAll _)
+      val ja = base.select(col("doc_id").as("a"), col("shd").as("sha"))
+      val jb = base.select(col("doc_id").as("b"), col("shd").as("shb"))
+      val scored = pairs.join(ja, "a").join(jb, "b")
+        .withColumn("ni",
+          size(array_intersect(col("sha"), col("shb"))).cast("long"))
+        .withColumn("nu",
+          (size(col("sha")) + size(col("shb"))).cast("long") - col("ni"))
+      val agg = scored.groupBy("cfg")
+        .agg(count(lit(1)).as("nc"),
+          count(when(col("ni") * 2 >= col("nu"), 1)).as("nt"))
+      BandSweepConfigs.map(_._1).toDF("cfg")
+        .join(agg, Seq("cfg"), "left")
+        .select(col("cfg").as("n_bands"),
+          expr("CAST(8 div cfg AS BIGINT)").as("rows_per_band"),
+          coalesce(col("nc"), lit(0L)).as("n_candidates"),
+          coalesce(col("nt"), lit(0L)).as("n_true"))
+        .withColumn("precision_ppm",
+          when(col("n_candidates") === 0L, 0L)
+            .otherwise(expr(
+              "(2000000 * n_true + n_candidates) div (2 * n_candidates)")))
+        .orderBy("n_bands")
+    },
+    Some {
+      val bandRows = BandSweepConfigs.flatMap { case (nb, rpb) =>
+        (0 until nb).map { b =>
+          val cols = (b * rpb until (b + 1) * rpb).map(i => s"h$i")
+            .mkString(" || ")
+          s"SELECT doc_id, $nb AS cfg, $b AS band_no, $cols AS band FROM mh"
+        }
+      }.mkString("\n UNION ALL ")
+      s"""WITH $minhashPairsSqlCte,
+           bands_s AS ($bandRows),
+           bands_k AS (SELECT * FROM bands_s
+             QUALIFY count(*) OVER (PARTITION BY cfg, band_no, band)
+               <= $MaxPostingDf),
+           cand_s AS (SELECT DISTINCT x.cfg, x.doc_id AS a, y.doc_id AS b
+             FROM bands_k x JOIN bands_k y
+               ON x.cfg = y.cfg AND x.band_no = y.band_no
+              AND x.band = y.band AND x.doc_id < y.doc_id),
+           sizes AS (SELECT doc_id, count(*) AS nsh FROM sh
+                     GROUP BY doc_id),
+           inter AS (SELECT x.doc_id AS a, y.doc_id AS b,
+                       count(*) AS n_inter
+                     FROM sh x JOIN sh y
+                       ON x.sh = y.sh AND x.doc_id < y.doc_id
+                     GROUP BY 1, 2),
+           scored AS (SELECT c.cfg,
+               coalesce(i.n_inter, 0) AS ni,
+               sa.nsh + sb.nsh - coalesce(i.n_inter, 0) AS nu
+             FROM cand_s c
+             JOIN sizes sa ON sa.doc_id = c.a
+             JOIN sizes sb ON sb.doc_id = c.b
+             LEFT JOIN inter i ON i.a = c.a AND i.b = c.b),
+           agg AS (SELECT cfg, count(*) AS nc,
+               count(*) FILTER (WHERE 2 * ni >= nu) AS nt
+             FROM scored GROUP BY cfg)
+         SELECT t.cfg AS n_bands,
+           CAST(8 // t.cfg AS BIGINT) AS rows_per_band,
+           CAST(coalesce(a.nc, 0) AS BIGINT) AS n_candidates,
+           CAST(coalesce(a.nt, 0) AS BIGINT) AS n_true,
+           CASE WHEN coalesce(a.nc, 0) = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST((2000000 * coalesce(a.nt, 0) + coalesce(a.nc, 0))
+                          // (2 * coalesce(a.nc, 0)) AS BIGINT) END
+             AS precision_ppm
+         FROM (VALUES (1), (2), (4), (8)) t(cfg)
+         LEFT JOIN agg a ON a.cfg = t.cfg
+         ORDER BY n_bands"""
+    })
+
   val all: Seq[Q] = Seq(
     qDedupExact, qDedupMinhash, qDedupNgramJaccard, qDedupSimhash,
     qDedupEmbedding, qDedupEmbeddingLsh, qDedupSemantic,
     qDedupSemanticSweep, qDedupAgreement, qDedupIncremental,
-    qDedupEditdist, qDedupMinhashQuality, qDedupSubstring)
+    qDedupEditdist, qDedupMinhashQuality, qDedupSubstring, qDedupBandSweep)
 }

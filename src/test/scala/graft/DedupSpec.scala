@@ -411,4 +411,21 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(got(0) - 1.0) < 1e-12)
     assert(got(1) === 0.0)
   }
+
+  test("band sweep: candidates grow with band count, truth is monotone") {
+    val rows = graft.ops.Dedup.qDedupBandSweep.fn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq === Seq(1, 2, 4, 8))
+    // more bands of fewer rows can only add candidate pairs (any pair
+    // agreeing on a coarse band agrees on every refinement of it)...
+    rows.sliding(2).foreach { case Array(a, b) => assert(a._2 <= b._2) }
+    // ...and therefore can only add true positives
+    rows.sliding(2).foreach { case Array(a, b) => assert(a._3 <= b._3) }
+    // truth never exceeds candidates
+    rows.foreach { case (_, nc, nt) => assert(nt <= nc) }
+    // the declared production banding (2x4) is part of the sweep and
+    // must reproduce q_dedup_minhash's candidate count exactly
+    val prod = graft.ops.Dedup.qDedupMinhash.fn(spark, sf).count()
+    assert(rows.find(_._1 == 2).get._2 === prod)
+  }
 }
