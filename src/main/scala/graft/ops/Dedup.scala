@@ -901,23 +901,41 @@ object Dedup {
     * partitions of the 8-plane signature. */
   val BandSweepConfigs: Seq[(Int, Int)] = Seq((1, 8), (2, 4), (4, 2), (8, 1))
 
+  /** The sweep's OWN posting cap — deliberately tighter than the
+    * production [[MaxPostingDf]]. The coarse probe configs (8×1: one
+    * plane per band) concentrate catastrophically on low-entropy
+    * corpora — measured at sf1: under the production cap the 8×1 point
+    * alone cost 49 s of pair expansion + 187 s of truth-join work,
+    * 20× every other entry — and a bucket that big carries no
+    * similarity signal anyway (the [[MaxPostingDf]] stopword argument,
+    * earlier). The sweep therefore drops buckets over 64 docs and
+    * REPORTS the drop per config (`n_capped_bands`) — the capped count
+    * is itself calibration signal: a config whose buckets mostly blow
+    * the cap is unusable on this corpus, which is exactly what the
+    * sweep exists to reveal. */
+  val BandSweepMaxDf = 64
+
   /** LSH banding S-CURVE calibration sweep — the knob every
     * MinHash-LSH deployment fixes before the production banding (the
     * declared 2×4 of [[qDedupMinhash]]): for each partition of the
     * 8-plane signature into (bands × rows/band) ∈ {1×8, 2×4, 4×2, 8×1},
-    * the candidate count and how many candidates are TRUE near-dups
-    * (exact shingle Jaccard ≥ 1/2 — `2·∩ ≥ ∪` in integer space), with
-    * precision in half-up ppm. More bands of fewer rows = higher recall,
-    * lower precision (the textbook S-curve trade); this query puts the
-    * actual curve on this corpus in front of whoever picks the config.
-    * Pay-once: signatures and shingle sets are computed ONCE (persisted
-    * base), every config's bands are slices of the same signature, and
-    * the truth join prices only the df-capped candidate pairs. Configs
-    * that produce zero candidates still report (left join against the
-    * config list), so the curve never silently loses a point. Fully
-    * DuckDB-oracled — the banding regroupings and the Jaccard verify
-    * are compositions of the q_dedup_minhash / q_dedup_minhash_quality
-    * CTEs. */
+    * the candidate count, how many candidates are TRUE near-dups
+    * (exact shingle Jaccard ≥ 1/2 — `2·∩ ≥ ∪` in integer space),
+    * precision in half-up ppm, and the buckets each config lost to the
+    * sweep's posting cap ([[BandSweepMaxDf]] — no silent caps: the drop
+    * count is a first-class output column). More bands of fewer rows =
+    * higher recall, lower precision (the textbook S-curve trade); this
+    * query puts the actual curve on this corpus in front of whoever
+    * picks the config. Pay-once: signatures and shingle sets are
+    * computed ONCE (persisted base), every config's bands are slices of
+    * the same signature, and the truth join prices only the capped
+    * candidate pairs — per-config pair work is bounded by
+    * buckets·cap²/2 at any corpus size. Configs that produce zero
+    * candidates still report (left join against the config list), so
+    * the curve never silently loses a point. Fully DuckDB-oracled —
+    * the banding regroupings, the cap, the capped-band census and the
+    * Jaccard verify are compositions of the q_dedup_minhash /
+    * q_dedup_minhash_quality CTEs. */
   val qDedupBandSweep = Q(
     "q_dedup_band_sweep",
     (s, d) => {
@@ -936,9 +954,13 @@ object Dedup {
         .select(col("doc_id"), col("bs.cfg"), col("bs.band_no"),
           col("bs.band"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val capped = bands.groupBy("cfg", "band_no", "band")
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") > BandSweepMaxDf)
+        .groupBy("cfg").agg(count(lit(1)).as("ncap"))
       val pairs = BandSweepConfigs.map { case (nb, _) =>
         pairsFromGroups(bands.filter(col("cfg") === nb),
-            Seq("band_no", "band"))
+            Seq("band_no", "band"), BandSweepMaxDf)
           .distinct().withColumn("cfg", lit(nb))
       }.reduce(_ unionAll _)
       val ja = base.select(col("doc_id").as("a"), col("shd").as("sha"))
@@ -953,8 +975,10 @@ object Dedup {
           count(when(col("ni") * 2 >= col("nu"), 1)).as("nt"))
       BandSweepConfigs.map(_._1).toDF("cfg")
         .join(agg, Seq("cfg"), "left")
+        .join(capped, Seq("cfg"), "left")
         .select(col("cfg").as("n_bands"),
           expr("CAST(8 div cfg AS BIGINT)").as("rows_per_band"),
+          coalesce(col("ncap"), lit(0L)).as("n_capped_bands"),
           coalesce(col("nc"), lit(0L)).as("n_candidates"),
           coalesce(col("nt"), lit(0L)).as("n_true"))
         .withColumn("precision_ppm",
@@ -975,7 +999,11 @@ object Dedup {
            bands_s AS ($bandRows),
            bands_k AS (SELECT * FROM bands_s
              QUALIFY count(*) OVER (PARTITION BY cfg, band_no, band)
-               <= $MaxPostingDf),
+               <= $BandSweepMaxDf),
+           capped AS (SELECT cfg, count(*) AS ncap FROM (
+               SELECT cfg, band_no, band, count(*) AS df
+               FROM bands_s GROUP BY cfg, band_no, band)
+             WHERE df > $BandSweepMaxDf GROUP BY cfg),
            cand_s AS (SELECT DISTINCT x.cfg, x.doc_id AS a, y.doc_id AS b
              FROM bands_k x JOIN bands_k y
                ON x.cfg = y.cfg AND x.band_no = y.band_no
@@ -999,6 +1027,7 @@ object Dedup {
              FROM scored GROUP BY cfg)
          SELECT t.cfg AS n_bands,
            CAST(8 // t.cfg AS BIGINT) AS rows_per_band,
+           CAST(coalesce(cp.ncap, 0) AS BIGINT) AS n_capped_bands,
            CAST(coalesce(a.nc, 0) AS BIGINT) AS n_candidates,
            CAST(coalesce(a.nt, 0) AS BIGINT) AS n_true,
            CASE WHEN coalesce(a.nc, 0) = 0 THEN CAST(0 AS BIGINT)
@@ -1007,6 +1036,7 @@ object Dedup {
              AS precision_ppm
          FROM (VALUES (1), (2), (4), (8)) t(cfg)
          LEFT JOIN agg a ON a.cfg = t.cfg
+         LEFT JOIN capped cp ON cp.cfg = t.cfg
          ORDER BY n_bands"""
     })
 
