@@ -277,6 +277,12 @@ object Graft {
   def activeUsers(df: DataFrame, tsCol: String, userCol: String): DataFrame =
     ops.Analytics.activeUsers(df, tsCol, userCol)
 
+  /** Per-blob decode verdict over a media table — every blob decoded
+    * end-to-end (all frames, full PCM) under failure capture, so
+    * corruption costs a `failed` row, never the job. */
+  def decodeStatus(media: org.apache.spark.sql.Dataset[ops.Multimodal.Media]): DataFrame =
+    ops.Multimodal.decodeStatus(media)
+
   /** BPE-encode a text column against the compiled-in merge table (one
     * map-side codegen pass; see [[graft.functions.BpeEncode]]). */
   def bpeEncode(c: Column): Column = functions.BpeEncode.encode(c)

@@ -1205,10 +1205,50 @@ object Corpus {
     },
     None)
 
+  /** Deterministic PER-EPOCH reshuffle — the data-ordering step between
+    * an assembled corpus and a multi-epoch training run: epoch e's
+    * order is md5("e:doc_id"), so every epoch is a different but fully
+    * reproducible permutation (re-run the job, get the same batches —
+    * the q_sample_hash discipline applied to ordering, no RNG state to
+    * checkpoint). The query proves the property the gate can check
+    * without materializing 3 corpus-sized permutations: the first five
+    * documents of each epoch's order, with the order key itself in the
+    * output. Per epoch that is a TakeOrderedAndProject (top-k, never a
+    * global sort); a training run consumes the same order by sorting
+    * WITHIN shards on the same key — the global prefix here certifies
+    * the key, not a single-task total order. */
+  val qCorpusEpochShuffle = Q(
+    "q_corpus_epoch_shuffle",
+    (s, d) => {
+      val docs = T.documents(s, d).select(col("doc_id"))
+      (0 until 3).map { e =>
+        docs.select(lit(e).as("epoch"), col("doc_id"),
+            md5(concat(lit(s"$e:"), col("doc_id").cast("string"))
+              .cast("binary")).as("h"))
+          .orderBy("h", "doc_id").limit(5)
+      }.reduce(_ unionAll _)
+        .withColumn("rank", row_number().over(
+            Window.partitionBy("epoch").orderBy("h", "doc_id"))
+          .cast("long"))
+        .select("epoch", "rank", "doc_id", "h")
+        .orderBy("epoch", "rank")
+    },
+    Some("""SELECT epoch, rank, doc_id, h FROM (
+             SELECT e.epoch, d.doc_id,
+               md5(CAST(e.epoch AS VARCHAR) || ':'
+                   || CAST(d.doc_id AS VARCHAR)) AS h,
+               row_number() OVER (PARTITION BY e.epoch
+                 ORDER BY md5(CAST(e.epoch AS VARCHAR) || ':'
+                              || CAST(d.doc_id AS VARCHAR)), d.doc_id)
+                 AS rank
+             FROM documents d, (VALUES (0), (1), (2)) e(epoch))
+           WHERE rank <= 5 ORDER BY epoch, rank"""))
+
   val all: Seq[Q] =
     Seq(qPackSequences, qPackBudgetSweep, qContamination,
       qContaminationBloom, qContaminationFuzzy, qMixWeights, qMixApply,
       qMixTemperature,
       qCorpusNgramCounts, qSnapshotDiff, qCorpusUpsert, qPackSequencesBpe,
-      qCorpusDrift, qBpeLearn, qBpeApplyLearned, qPackBestfit)
+      qCorpusDrift, qBpeLearn, qBpeApplyLearned, qPackBestfit,
+      qCorpusEpochShuffle)
 }

@@ -1022,6 +1022,39 @@ object Relational {
              WHERE o_orderpriority = '1-URGENT')
            GROUP BY custkey ORDER BY custkey"""))
 
+  /** Bitwise-operator matrix over the key columns — the scalar family's
+    * integer-bit coverage (hash bucketing, bitmap flags, shard masks all
+    * reduce to these): AND/OR/XOR, shifts, popcount, aggregated to exact
+    * integer sums per returnflag so the output is small and every bit
+    * path is summed over the whole table. Dialect note: Spark's `^` is
+    * bitwise XOR while DuckDB's is exponentiation, so the oracle spells
+    * `xor()` — same function, different surface syntax. */
+  val qScalarBitwise = Q(
+    "q_scalar_bitwise",
+    (s, d) =>
+      li(s, d)
+        .select(col("l_returnflag"),
+          (col("l_orderkey").bitwiseAND(lit(255L))).as("band"),
+          (col("l_orderkey").bitwiseOR(col("l_partkey"))).as("orv"),
+          (col("l_orderkey").bitwiseXOR(col("l_partkey"))).as("xorv"),
+          shiftleft(col("l_orderkey") % 1024, 3).cast("long").as("shl"),
+          shiftright(col("l_orderkey"), 4).as("shr"),
+          bit_count(col("l_orderkey")).cast("long").as("pc"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum("band").as("sum_and"), sum("orv").as("sum_or"),
+          sum("xorv").as("sum_xor"), sum("shl").as("sum_shl"),
+          sum("shr").as("sum_shr"), sum("pc").as("sum_popcount"))
+        .orderBy("l_returnflag"),
+    Some("""SELECT l_returnflag, count(*) AS n,
+             CAST(sum(l_orderkey & 255) AS BIGINT) AS sum_and,
+             CAST(sum(l_orderkey | l_partkey) AS BIGINT) AS sum_or,
+             CAST(sum(xor(l_orderkey, l_partkey)) AS BIGINT) AS sum_xor,
+             CAST(sum((l_orderkey % 1024) << 3) AS BIGINT) AS sum_shl,
+             CAST(sum(l_orderkey >> 4) AS BIGINT) AS sum_shr,
+             CAST(sum(bit_count(l_orderkey)) AS BIGINT) AS sum_popcount
+           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   /** Null semantics: nullif manufactures nulls, coalesce/nvl2-style
     * expressions collapse them, null-safe equality compares through
     * them — the null-handling matrix over real data. */
@@ -1701,6 +1734,7 @@ object Relational {
     qExceptAll,
     qTopk, qUnion, qIntersect, qExcept,
     qScalarString, qScalarDate, qScalarMath, qScalarCase, qScalarNull,
+    qScalarBitwise,
     qMapJson,
     qEventsTumbling, qEventsSession, qEventsSessionWindow, qEventsSliding)
 }

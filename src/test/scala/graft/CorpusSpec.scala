@@ -596,4 +596,25 @@ class CorpusSpec extends SparkSpec {
     // non-vacuous: the corpus plants near-dups, some straddle the split
     assert(out.exists(_._3), "no fuzzy-contaminated doc found")
   }
+
+  test("epoch shuffle: per-epoch prefixes replay and differ across epochs") {
+    val docs = Tables.documents(spark, sf).select("doc_id").collect()
+      .map(_.getLong(0))
+    def md5hex(t: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(t.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    }
+    val expected = (0 until 3).flatMap { e =>
+      docs.map(id => (e, id, md5hex(s"$e:$id")))
+        .sortBy { case (_, id, h) => (h, id) }.take(5).zipWithIndex
+        .map { case ((ep, id, h), i) => (ep, i + 1L, id, h) }
+    }
+    val got = graft.ops.Corpus.qCorpusEpochShuffle.fn(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    assert(got === expected)
+    // the three epochs genuinely produce different orders
+    val prefixes = got.groupBy(_._1).view.mapValues(_.map(_._3)).values.toSeq
+    assert(prefixes.distinct.size === 3)
+  }
 }

@@ -311,4 +311,19 @@ class FacadeSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(au.toSeq === Seq((0L, 2L, 2L, 2L), (3L, 1L, 2L, 2L)))
   }
+
+  test("round-8b facade entries run on ad-hoc data") {
+    // decodeStatus: a valid PNG decodes ok, a truncated blob fails
+    val s = spark
+    import s.implicits._
+    import graft.ops.Multimodal.{Codecs, Media, MediaMeta}
+    val good = Codecs.encodePng(Array.fill[Byte](16 * 16 * 1)(3), 16, 16)
+    val media = Seq(
+      Media(1L, "image", good, MediaMeta("image/png", 16, 16, 0L)),
+      Media(2L, "image", good.drop(8), MediaMeta("image/png", 16, 16, 0L)))
+      .toDS()
+    val st = Graft.decodeStatus(media).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(st === Map(1L -> "ok", 2L -> "failed"))
+  }
 }
