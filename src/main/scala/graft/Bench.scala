@@ -130,6 +130,12 @@ object Bench {
         org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)] = Seq(
       ("q_stream_tumbling", "append",
         df => graft.stream.Pipelines.tumblingCounts(df)),
+      // the SAME windowed aggregation through update output mode — the
+      // dashboard-facing sink path where changed aggregates re-emit per
+      // micro-batch instead of waiting for watermark finalization; a
+      // distinct sink/state interaction the append probes never touch
+      ("q_stream_tumbling_update", "update",
+        df => graft.stream.Pipelines.tumblingCounts(df)),
       // session_window exercises the merging-state path — the heavier
       // state-store shape tumbling windows never touch
       ("q_stream_sessions", "append",

@@ -420,4 +420,28 @@ class StreamingSpec extends SparkSpec {
     assert(matched === Set("2026-01-01 00:00:08.0"))
     assert(unmatched === Set("2026-01-01 00:01:00.0"))
   }
+
+  test("update-mode tumbling agg re-emits changed windows per batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val q = Pipelines.tumblingCounts(
+        in.toDF().toDF("event_id", "ts", "event_type"))
+      .writeStream.format("memory").queryName("tumb_update")
+      .outputMode("update")
+      .start()
+    in.addData((1L, ts("2026-01-01 00:10:00"), "click"))
+    q.processAllAvailable()
+    val afterFirst = s.sql(
+      "SELECT count(*) FROM tumb_update").collect().head.getLong(0)
+    // same window grows in a second batch: update mode re-emits it
+    in.addData((2L, ts("2026-01-01 00:20:00"), "click"))
+    q.processAllAvailable()
+    runToCompletion(q)
+    val rows = s.sql(
+      "SELECT n FROM tumb_update ORDER BY n").collect().map(_.getLong(0))
+    // first emission n=1, re-emission n=2 — both sink rows present
+    assert(afterFirst === 1L && rows.toSeq === Seq(1L, 2L))
+  }
 }
