@@ -562,4 +562,12 @@ class PlanSpec extends SparkSpec {
       "active-users re-scanned the corpus for DAU:\n" + p)
     assert(!p.contains("Join"), "dau/roll join came back:\n" + p)
   }
+
+  test("q_graph_triangles: every consumer reads the cached pair frame") {
+    val p = plan("q_graph_triangles")
+    // five consumers (three triangle legs, degrees, edge count) must hit
+    // the persisted pair frame, not re-run the banded pair generation
+    assert(count(p, "InMemoryTableScan|TableCacheQueryStage") >= 4,
+      "pair frame cache not consumed - pair generation re-executes:\n" + p)
+  }
 }
