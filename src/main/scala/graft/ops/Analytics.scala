@@ -267,7 +267,16 @@ object Analytics {
     * final two-phase aggregation — the mixWeights small-frame
     * discipline; the worst offender rides the same lexicographic
     * struct-max as [[Relational.qAggArgmax]], so there is no window and
-    * no corpus sort anywhere. */
+    * no corpus sort anywhere.
+    *
+    * Degenerate groups (constant values, singletons) are well-defined,
+    * not NaN: var_v clamps at 0 before any sqrt (catching the slight
+    * negative that `m2 - mean²` cancellation can produce), so a
+    * constant group reports sd_v = 0, n_outliers = 0 (dev2 = 0 is not
+    * > 0), and top_z = NULL (z is undefined at zero variance). The
+    * driver fixture always has variance, but this is a public facade
+    * entry where constant groups are realistic, and NaN propagation
+    * diverges across engines where a NULL does not (ADVICE r8). */
   def anomalyScan(df: DataFrame, groupCol: String, idCol: String,
       valueCol: String): DataFrame = {
     import graft.util.Det.{dsumRaw, r2}
@@ -285,16 +294,17 @@ object Analytics {
     scored.groupBy(groupCol)
       .agg(min("n").as("n"), min("mean_v").as("mean_v"),
         min("var_v").as("var_v"),
-        count(when(col("dev2") > lit(9) * col("var_v"), 1))
+        count(when(col("dev2") > lit(9) * greatest(col("var_v"), lit(0.0)), 1))
           .as("n_outliers"),
         max(struct(col("dev2").as("d2"),
           (-col(idCol)).as("nid"))).as("top"))
       .select(col(groupCol), col("n"),
         r2(col("mean_v")).as("mean_v"),
-        r2(sqrt(col("var_v"))).as("sd_v"),
+        r2(sqrt(greatest(col("var_v"), lit(0.0)))).as("sd_v"),
         col("n_outliers"),
         (-col("top.nid")).as("top_id"),
-        r2(sqrt(col("top.d2") / col("var_v"))).as("top_z"))
+        when(col("var_v") > 0,
+          r2(sqrt(col("top.d2") / col("var_v")))).as("top_z"))
   }
 
   val qEventsAnomaly = Q(
@@ -320,7 +330,8 @@ object Analytics {
           agg AS (
             SELECT event_type, min(n) AS n, min(mean_v) AS mean_v,
               min(var_v) AS var_v,
-              count(*) FILTER (WHERE dev2 > 9 * var_v) AS n_outliers
+              count(*) FILTER (WHERE dev2 > 9 * greatest(var_v, 0))
+                AS n_outliers
             FROM scored GROUP BY event_type),
           top AS (
             SELECT event_type, event_id AS top_event_id, dev2 FROM (
@@ -329,8 +340,10 @@ object Analytics {
                   ORDER BY dev2 DESC, event_id) AS rk
               FROM scored) WHERE rk = 1)
           SELECT a.event_type, a.n, ${sqlR2("a.mean_v")} AS mean_v,
-            ${sqlR2("sqrt(a.var_v)")} AS sd_v, a.n_outliers,
-            t.top_event_id, ${sqlR2("sqrt(t.dev2 / a.var_v)")} AS top_z
+            ${sqlR2("sqrt(greatest(a.var_v, 0))")} AS sd_v, a.n_outliers,
+            t.top_event_id,
+            CASE WHEN a.var_v > 0
+                 THEN ${sqlR2("sqrt(t.dev2 / a.var_v)")} END AS top_z
           FROM agg a JOIN top t USING (event_type)
           ORDER BY a.event_type"""
     })
@@ -481,7 +494,16 @@ object Analytics {
     * gate pins the whole backtest. Scale shape: the corpus collapses to
     * the (type, day) count frame FIRST (one shuffle); the lag window
     * and the final rollup run on that bounded frame (|types|·|days|
-    * rows), so nothing corpus-sized is ever sorted. */
+    * rows), so nothing corpus-sized is ever sorted.
+    *
+    * i64 envelope (the q_text_oov_rate discipline): the half-up ppm
+    * numerator is `2e6·total_abs_err + total_actual`, so it stays in
+    * i64 while total_abs_err < ~4.6e12 — ~4.6 trillion mis-predicted
+    * events per type, far past any real backtest (100 TB of events is
+    * ~1e12 rows TOTAL, and |a−p| is bounded by the larger daily count).
+    * DuckDB widens the same product to HUGEINT earlier, so the engines
+    * agree exactly until Spark's bound, and the bound is documented
+    * here rather than silent. */
   val qEventsForecastNaive = Q(
     "q_events_forecast_naive",
     (s, d) => {

@@ -540,20 +540,39 @@ object Multimodal {
           .as("keep"))
   }
 
+  /** Plant-id base: the smallest power of 10 (>= 100000) strictly above
+    * every organic media_id, probed from the actual data — NOT a fixed
+    * constant. Organic ids are vec_ids and grow ~linearly with scale
+    * factor (46999 at sf1), so a fixed 100000/200000 offset silently
+    * collides with organic ids at ~sf2+/sf5+, merging planted and
+    * organic rows in the per-(kind,status) id extents (ADVICE r8). The
+    * power-of-10 construction guarantees plants at `base` and `2·base`
+    * never overlap each other or the organic space at ANY scale, while
+    * reproducing the historical 100000/200000 ids at gate scales. The
+    * probe is one max() over a single pruned column — bounded driver
+    * state, the IVF-centroid class. */
+  private[graft] def plantBase(s: SparkSession, d: String): Long = {
+    val maxId = T.embeddings(s, d).agg(max(col("vec_id"))).head().getLong(0)
+    var b = 100000L
+    while (b <= maxId) b *= 10
+    b
+  }
+
   /** The declared media table for [[qMmDedup]]: the synthesized corpus
     * plus PLANTED duplicates — every 50th media re-registered under
-    * id+100000 with identical bytes (the re-upload case; same practice
-    * as the planted PII/nulls: the fixture has no organic media dups,
-    * because each raster mixes its media_id into the pixel bits). */
+    * id+[[plantBase]] with identical bytes (the re-upload case; same
+    * practice as the planted PII/nulls: the fixture has no organic media
+    * dups, because each raster mixes its media_id into the pixel bits). */
   private def mediaWithPlants(s: SparkSession, d: String): Dataset[Media] = {
     import s.implicits._
+    val base = plantBase(s, d)
     // the plant branch filters at the embeddings SCAN, so only the ~2%
     // planted blobs are encoded a second time — not the whole corpus
     mediaTable(s, d).unionAll(
       mediaFrom(s, T.embeddings(s, d)
         .select(col("vec_id"), col("embedding"), col("label"))
         .filter(col("vec_id") % 50 === 0))
-        .map(m => m.copy(media_id = m.media_id + 100000L)))
+        .map(m => m.copy(media_id = m.media_id + base)))
   }
 
   /** Perceptual dedup report over the planted corpus. Pixel-derived
@@ -598,21 +617,24 @@ object Multimodal {
     * `failed` instead of killing the job, which is the operative
     * property at 100 TB where some corruption is a statistical
     * certainty. Corpus = the synthesized media plus PLANTED corruption
-    * (every 25th blob re-registered under id+200000 with its first 8
-    * bytes dropped — kills the PNG signature, the RIFF header and the
-    * frame-container magic alike; the qMmDedup planting practice, since
-    * the synthesized fixture contains no organic corruption). Rows-only
+    * (every 25th blob re-registered under id+2·[[plantBase]] with its
+    * first 8 bytes dropped — kills the PNG signature, the RIFF header
+    * and the frame-container magic alike; the qMmDedup planting
+    * practice, since the synthesized fixture contains no organic
+    * corruption; the data-derived base keeps the planted id space
+    * disjoint from organic ids at every scale factor). Rows-only
     * (pixel/codec behavior has no SQL spelling); MultimodalSpec pins
     * that exactly the planted blobs fail and counts conserve. */
   val qMmDecodeErrors = Q(
     "q_mm_decode_errors",
     (s, d) => {
       import s.implicits._
+      val plantOffset = 2L * plantBase(s, d)
       val base = mediaTable(s, d)
       val corrupt = mediaFrom(s, T.embeddings(s, d)
           .select(col("vec_id"), col("embedding"), col("label"))
           .filter(col("vec_id") % 25 === 0))
-        .map(m => m.copy(media_id = m.media_id + 200000L,
+        .map(m => m.copy(media_id = m.media_id + plantOffset,
           bytes = m.bytes.drop(8)))
       decodeStatus(base.unionAll(corrupt))
         .groupBy("kind", "status")

@@ -112,12 +112,34 @@ class AnalyticsSpec extends SparkSpec {
       val vr = s2.toDouble / 1e6 / n - mean * mean
       val dev2 = es.map(e => (e._2, (e._3 - mean) * (e._3 - mean)))
       val top = dev2.minBy(p => (-p._2, p._1))
-      t -> ((n.toLong, dev2.count(_._2 > 9 * vr).toLong, top._1))
+      t -> ((n.toLong, dev2.count(_._2 > 9 * math.max(vr, 0)).toLong, top._1))
     }
     val got = Analytics.qEventsAnomaly.fn(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(4), r.getLong(5))))
       .toMap
     assert(got === expected && got.nonEmpty)
+  }
+
+  test("anomaly scan: constant/singleton groups give sd 0, null z, no NaN") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("const", 1L, 5.0), ("const", 2L, 5.0), ("const", 3L, 5.0),
+      ("single", 4L, 7.25),
+      ("mixed", 5L, 1.0), ("mixed", 6L, 2.0), ("mixed", 7L, 30.0))
+      .toDF("g", "id", "v")
+    val got = Analytics.anomalyScan(df, "g", "id", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // (g, n, mean_v, sd_v, n_outliers, top_id, top_z)
+    val const = got("const")
+    assert(const.getDouble(2) == 5.0 && const.getDouble(3) == 0.0)
+    assert(const.getLong(4) == 0L && const.isNullAt(6))
+    val single = got("single")
+    assert(single.getDouble(3) == 0.0 && single.getLong(4) == 0L &&
+      single.isNullAt(6))
+    val mixed = got("mixed")
+    assert(!mixed.isNullAt(6) && !mixed.getDouble(6).isNaN &&
+      mixed.getDouble(3) > 0.0)
   }
 
   test("binned interval-overlap join equals the naive overlap predicate") {

@@ -155,8 +155,13 @@ class MultimodalSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
         r.getBoolean(4)))
     val base = media.collect()
+    // plants live at the data-derived base (the smallest power of 10
+    // above every organic id), never a fixed constant — 100000 at this
+    // fixture scale
+    val plantBase = Multimodal.plantBase(spark, sf)
+    assert(plantBase === 100000L && base.forall(_.media_id < plantBase))
     val planted = base.filter(_.media_id % 50 == 0)
-      .map(m => m.copy(media_id = m.media_id + 100000L))
+      .map(m => m.copy(media_id = m.media_id + plantBase))
     val allm = base ++ planted
     def hash(m: Multimodal.Media): Long = m.kind match {
       case "audio" => Codecs.audioHash(Codecs.decodeAudio(m.bytes))
@@ -196,10 +201,13 @@ class MultimodalSpec extends SparkSpec {
     // every planted blob fails, every original decodes
     assert(rows.filter(_._2 == "failed").map(_._3).sum === nPlanted)
     assert(rows.filter(_._2 == "ok").map(_._3).sum === nBase)
-    // failed rows live entirely in the planted id range, ok rows below it
+    // failed rows live entirely in the planted id range (2·base, a
+    // data-derived power of 10 disjoint from organic ids at any sf),
+    // ok rows strictly below it
+    val corruptBase = 2L * Multimodal.plantBase(spark, sf)
     rows.foreach { case (_, st, _, minId, maxId) =>
-      if (st == "failed") assert(minId >= 200000L)
-      else assert(maxId < 200000L)
+      if (st == "failed") assert(minId >= corruptBase)
+      else assert(maxId < corruptBase)
     }
     // all three modalities report a failure row (the corruption is
     // format-agnostic: the dropped header kills every codec)
