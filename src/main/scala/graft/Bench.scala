@@ -108,27 +108,52 @@ object Bench {
     }
   }
 
-  /** (busy, total) jiffies from the aggregate `cpu` line of /proc/stat
-    * (busy = everything but idle+iowait), or (-1, -1) off-Linux. */
+  /** (busy, total) jiffies from the aggregate `cpu` line of /proc/stat.
+    * busy = user+nice+system ONLY — the same accounting basis as a
+    * process's utime+stime, so subtracting our own jiffies cancels
+    * exactly. irq/softirq/steal are deliberately excluded from both
+    * sides: they are attributed to no process, and the bench's own
+    * checkpoint I/O generates them (measured ~9% of capacity during the
+    * streaming probes), so counting them would read our own disk work
+    * as host contamination. Returns (-1, -1) off-Linux. */
   private def hostJiffies(): (Long, Long) =
     try {
       val f = scala.io.Source.fromFile("/proc/stat")
       val parts = try f.getLines().next().trim.split("\\s+").drop(1)
         .map(_.toLong) finally f.close()
-      val total = parts.sum
-      val idle = parts(3) + (if (parts.length > 4) parts(4) else 0L)
-      (total - idle, total)
+      (parts(0) + parts(1) + parts(2), parts.sum)
     } catch { case _: Throwable => (-1L, -1L) }
 
-  /** This JVM's own utime+stime jiffies from /proc/self/stat (fields
-    * 14-15, located after the parenthesized comm), or -1 off-Linux. */
-  private def selfJiffies(): Long =
+  /** utime+stime jiffies of one process from /proc/<pid>/stat (fields
+    * 14-15, located after the parenthesized comm), or -1 on error. */
+  private def pidJiffies(pid: String): Long =
     try {
-      val f = scala.io.Source.fromFile("/proc/self/stat")
+      val f = scala.io.Source.fromFile(s"/proc/$pid/stat")
       val s = try f.mkString finally f.close()
       val rest = s.substring(s.lastIndexOf(')') + 2).split(" ")
       rest(11).toLong + rest(12).toLong
     } catch { case _: Throwable => -1L }
+
+  /** Jiffies attributable to THIS bench run: the bench JVM plus its
+    * parent. `run / fork := true` means the parent is the sbt launcher,
+    * which pumps the forked JVM's log stream at a measured ~1.5 cores
+    * during streaming probes — our own overhead, not host contamination
+    * (when launched directly, the parent is an idle shell and the term
+    * is ~0). -1 if /proc is unreadable. */
+  private def selfJiffies(): Long = {
+    val self = pidJiffies("self")
+    if (self < 0) -1L
+    else {
+      val ppid =
+        try {
+          val f = scala.io.Source.fromFile("/proc/self/status")
+          try f.getLines().find(_.startsWith("PPid:"))
+            .map(_.split("\\s+")(1)).getOrElse("0")
+          finally f.close()
+        } catch { case _: Throwable => "0" }
+      self + math.max(pidJiffies(ppid), 0L)
+    }
+  }
 
   private def loadavg1m(): Double =
     try {
