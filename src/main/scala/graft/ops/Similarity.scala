@@ -453,10 +453,11 @@ object Similarity {
   def ivfPqTopk(s: SparkSession, d: String, topk: Int = 3, k: Int = 16,
       nprobe: Int = 4, iters: Int = 0): DataFrame = {
     val (cells, cents) = ivfIndex(s, d, k, iters)
-    val flat = pqFlat(pqSeeds(s, d))
+    val seeds = pqSeeds(s, d)
+    val flat = pqFlat(seeds)
     val coded = cells.select(col("vec_id"), col("cell"),
       graft.functions.PqFunctions.codes(
-        col("v"), flat, PqCodebook, PqSubspaces).as("codes"))
+        col("v"), flat, seeds.length, PqSubspaces).as("codes"))
     val centroids = cents.withColumnRenamed("cell", "pcell")
     val q = cells.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
@@ -469,7 +470,7 @@ object Similarity {
       .filter(col("rn") <= nprobe)
       .select(col("qid"),
         graft.functions.PqFunctions.luts(
-          col("qv"), flat, PqCodebook, PqSubspaces).as("luts"),
+          col("qv"), flat, seeds.length, PqSubspaces).as("luts"),
         col("pcell"))
     val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
     broadcast(probes)
@@ -570,17 +571,28 @@ object Similarity {
     * struct ordering, so even equal-distance codewords cannot diverge. */
   /** The PQ codebook: stride-sampled seed vectors, collected once as
     * driver index state (k·dim doubles — the same class as IVF
-    * centroids). Returned in code order. */
+    * centroids). Codes are POSITIONAL: seed rank in ascending vec_id
+    * order, NOT the vec_id/stride quotient. The two coincide when ids
+    * are dense (the quotient is then 0..k-1 contiguous), but on a
+    * sparse id space the modulo filter admits fewer than k seeds with
+    * gapped quotients, and a quotient-labeled codebook would disagree
+    * with the flat positional layout the kernels index into (the sf1
+    * divergence this relabel fixed). The kernels must also be told the
+    * ACTUAL seed count — `flat.length / PqCodebook` on a short codebook
+    * silently corrupts the inferred dim — so every call site passes
+    * `seeds.length`, never the nominal [[PqCodebook]]. */
   private def pqSeeds(s: SparkSession, d: String): Array[(Long, Array[Double])] = {
     val e = T.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val stride = math.max(e.count() / PqCodebook, 1L)
     e.filter(col("vec_id") % stride === 0 &&
         col("vec_id") < stride * PqCodebook)
-      .select((col("vec_id") / stride).cast("long").as("j"), col("v"))
+      .select(col("vec_id"), col("v"))
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
       .sortBy(_._1)
+      .zipWithIndex
+      .map { case ((_, v), rank) => rank.toLong -> v }
   }
 
   /** [[pqSeeds]] flattened to the kernel layout (codeword j's vector at
@@ -593,14 +605,15 @@ object Similarity {
     (s, d) => {
       val e = T.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val flat = pqFlat(pqSeeds(s, d))
+      val seeds = pqSeeds(s, d)
+      val flat = pqFlat(seeds)
       val codes = graft.functions.PqFunctions.codes(
-        col("v"), flat, PqCodebook, PqSubspaces)
+        col("v"), flat, seeds.length, PqSubspaces)
       val code = (0 until PqSubspaces)
         .map(m => element_at(codes, m + 1) * lit(1L << (4 * m)))
         .reduce(_ + _)
       val err = graft.functions.PqFunctions.residual(
-        col("v"), flat, PqCodebook, PqSubspaces)
+        col("v"), flat, seeds.length, PqSubspaces)
       e.select(col("vec_id"), code.cast("long").as("code"),
           r2(err).as("err"))
         .orderBy("vec_id")
@@ -616,13 +629,18 @@ object Similarity {
 
   /** PQ encode CTE chain shared by the two PQ oracles: `e` (corpus),
     * `seeds` (stride codebook), `best` = each vector's nearest codeword
-    * (j) and distance (d) per subspace m. */
+    * (j) and distance (d) per subspace m. `j` is the seed's POSITIONAL
+    * rank in vec_id order — the [[pqSeeds]] contract — not the
+    * vec_id/stride quotient, so the oracle agrees with the engine's
+    * flat codebook layout even when a sparse id space admits fewer than
+    * k seeds with gapped quotients (identical on dense ids). */
   private def pqCodesSqlCte: String =
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
               FROM embeddings),
         p AS (SELECT greatest(count(*) // $PqCodebook, 1) AS stride
               FROM e),
-        seeds AS (SELECT e.vec_id // p.stride AS j, e.v AS cv
+        seeds AS (SELECT row_number() OVER (ORDER BY e.vec_id) - 1 AS j,
+                    e.v AS cv
                   FROM e, p
                   WHERE e.vec_id % p.stride = 0
                     AND e.vec_id < p.stride * $PqCodebook),
@@ -674,14 +692,15 @@ object Similarity {
     (s, d) => {
       val e = T.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val flat = pqFlat(pqSeeds(s, d))
+      val seeds = pqSeeds(s, d)
+      val flat = pqFlat(seeds)
       val coded = e.select(col("vec_id"),
         graft.functions.PqFunctions.codes(
-          col("v"), flat, PqCodebook, PqSubspaces).as("codes"))
+          col("v"), flat, seeds.length, PqSubspaces).as("codes"))
       val q = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"),
           graft.functions.PqFunctions.luts(
-            col("v"), flat, PqCodebook, PqSubspaces).as("luts"))
+            col("v"), flat, seeds.length, PqSubspaces).as("luts"))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("dist"), col("vec_id"))
       coded.join(broadcast(q), col("vec_id") =!= col("qid"))

@@ -201,9 +201,11 @@ class SimilaritySpec extends SparkSpec {
     // replay the whole construction in plain Scala
     val k = Similarity.PqCodebook
     val stride = math.max(e.size.toLong / k, 1L)
+    // positional codes (seed rank in vec_id order), the pqSeeds contract
     val seeds = e.keys.toSeq.sorted
       .filter(id => id % stride == 0 && id < stride * k)
-      .map(id => (id / stride) -> e(id))
+      .zipWithIndex
+      .map { case (id, rank) => rank.toLong -> e(id) }
     val sub = e.head._2.length / Similarity.PqSubspaces
     rows.foreach { case (id, code, err) =>
       val v = e(id)
@@ -235,9 +237,10 @@ class SimilaritySpec extends SparkSpec {
     val k = Similarity.PqCodebook
     val M = Similarity.PqSubspaces
     val stride = math.max(e.size.toLong / k, 1L)
-    val seeds = e.keys.toSeq.sorted
+    val seedIdList = e.keys.toSeq.sorted
       .filter(id => id % stride == 0 && id < stride * k)
-      .map(id => (id / stride) -> e(id))
+    val seeds = seedIdList.zipWithIndex
+      .map { case (id, rank) => rank.toLong -> e(id) }
     val sub = e.head._2.length / M
     def subDist(a: Array[Double], b: Array[Double], m: Int): Double = {
       var dd = 0.0
@@ -276,7 +279,7 @@ class SimilaritySpec extends SparkSpec {
     // design: the isotropic fixture carries near-random ADC ranking
     // signal — see the operator's Scaladoc — so a floor would pin
     // noise. srpTopk/ivfTopk keep the fixture's recall floors.)
-    val seedIds = seeds.map { case (j, _) => j * stride }.toSet
+    val seedIds = seedIdList.toSet
     e.keys.toSeq.sorted.filter(_ < 10).foreach { qid =>
       val qv = e(qid)
       val lut = (0 until M).map(m =>
@@ -309,7 +312,8 @@ class SimilaritySpec extends SparkSpec {
     val stride = math.max(e.size.toLong / k, 1L)
     val seeds = e.keys.toSeq.sorted
       .filter(id => id % stride == 0 && id < stride * k)
-      .map(id => (id / stride) -> e(id))
+      .zipWithIndex
+      .map { case (id, rank) => rank.toLong -> e(id) }
     val sub = e.head._2.length / M
     def subDist(a: Array[Double], b: Array[Double], m: Int): Double = {
       var dd = 0.0
@@ -349,6 +353,63 @@ class SimilaritySpec extends SparkSpec {
     // drawn from at most nprobe=4 cells
     assert(got.groupBy(_._1).forall(_._2.length == 3))
     assert(got.groupBy(_._1).forall(_._2.map(_._3).distinct.size <= 4))
+  }
+
+  test("PQ on a SPARSE id space: short gapped codebook, codes stay positional") {
+    // The shipped fixtures carry dense vec_ids, where the stride-modulo
+    // seed filter admits exactly k seeds whose id/stride quotients are
+    // already 0..k-1 — the labeling bug this test pins (sf1 divergence,
+    // round 9) was invisible there. Here ids are scattered over 0..100
+    // (n=40, stride=2), so the filter admits FEWER than k seeds with
+    // gapped quotients: codes must be the seeds' positional ranks and
+    // the kernels must be sized by the actual seed count, or the flat
+    // codebook layout (and the inferred dim) silently corrupts.
+    val dir = java.nio.file.Files.createTempDirectory("pqsparse").toString
+    val ids = (0 until 40).map(i => ((i * 37) % 101).toLong).sorted
+    import spark.implicits._
+    ids.map { id =>
+      val v = Array.tabulate(64)(p => (((id * 64 + p) % 17) - 8).toFloat / 4f)
+      (id, v, (id % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val e = ids.map { id =>
+      id -> Array.tabulate(64)(p => ((((id * 64 + p) % 17) - 8).toFloat / 4f)
+        .toDouble)
+    }.toMap
+    val k = Similarity.PqCodebook
+    val M = Similarity.PqSubspaces
+    val stride = math.max(ids.length.toLong / k, 1L)
+    val seedIdList = ids.filter(id => id % stride == 0 && id < stride * k)
+    assert(seedIdList.length < k, "fixture must under-fill the codebook")
+    assert(seedIdList.exists(id => id / stride != seedIdList.indexOf(id)),
+      "fixture must have gapped quotients")
+    val seeds = seedIdList.zipWithIndex
+      .map { case (id, rank) => rank.toLong -> e(id) }
+    val sub = 64 / M
+    def subDist(a: Array[Double], b: Array[Double], m: Int): Double = {
+      var dd = 0.0
+      (0 until sub).foreach { i =>
+        val diff = a(m * sub + i) - b(m * sub + i); dd += diff * diff
+      }
+      dd
+    }
+    val got = Similarity.qVecPq.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == ids.length)
+    got.foreach { case (id, code, err) =>
+      val v = e(id)
+      var expCode = 0L
+      var expErr = 0.0
+      (0 until M).foreach { m =>
+        val (bd, bj) = seeds.map { case (j, cv) => (subDist(v, cv, m), j) }.min
+        expCode += bj * (1L << (4 * m))
+        expErr += bd
+      }
+      assert(code == expCode, s"sparse vec $id code")
+      assert(err == math.floor(expErr * 100 + 0.5) / 100, s"sparse vec $id err")
+      if (seedIdList.contains(id)) assert(err == 0.0, s"sparse seed $id")
+    }
   }
 
   test("hamming topk replays a plain-Scala sign-code brute force") {
