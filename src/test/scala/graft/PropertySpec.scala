@@ -390,6 +390,58 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("PQ kernels: positional codes replay for ANY sparse id space and k") {
+    // Kernel-level (no Spark job): for arbitrary scattered id sets the
+    // stride-modulo filter may under-fill the codebook with gapped
+    // quotients — the sf1 regime behind the round-9 parity fix. The
+    // contract pinned here: codebooks are positional (seed rank in id
+    // order), kernels are sized by the ACTUAL seed count, and the
+    // kernels agree with a plain-Scala replay plus two exact
+    // invariants — self-ADC(v) == residual(v), and seed residual == 0.
+    import graft.functions.PqFunctions
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val M = 4
+    val dim = 16
+    val sub = dim / M
+    def vecOf(id: Long): Array[Double] =
+      Array.tabulate(dim)(p => (((id * dim + p) * 2654435761L) % 1000).toDouble / 250 - 2)
+    val idsGen = Gen.chooseNum(6, 40)
+      .flatMap(n => Gen.pick(n, 0 until 200))
+      .map(_.map(_.toLong).toList.sorted)
+    check(Prop.forAllNoShrink(idsGen, Gen.chooseNum(2, 16)) { (ids, k) =>
+      val stride = math.max(ids.length.toLong / k, 1L)
+      val seedIds = ids.filter(id => id % stride == 0 && id < stride * k)
+      seedIds.isEmpty || {
+        val seeds = seedIds.map(vecOf)
+        val flat = seeds.flatten.toArray
+        val nCodes = seeds.length
+        def subDist(a: Array[Double], b: Array[Double], m: Int): Double = {
+          var dd = 0.0
+          (0 until sub).foreach { i =>
+            val diff = a(m * sub + i) - b(m * sub + i); dd += diff * diff
+          }
+          dd
+        }
+        ids.forall { id =>
+          val v = vecOf(id)
+          val vd = new GenericArrayData(v)
+          val codes = PqFunctions.codes(vd, flat, nCodes, M)
+          val luts = PqFunctions.luts(vd, flat, nCodes, M)
+          val res = PqFunctions.residual(vd, flat, nCodes, M)
+          val expCodes = (0 until M).map(m =>
+            seeds.zipWithIndex
+              .map { case (cv, j) => (subDist(v, cv, m), j.toLong) }.min._2)
+          val expRes = (0 until M).map(m =>
+            seeds.map(cv => subDist(v, cv, m)).min).sum
+          (0 until M).forall(m => codes.getLong(m) == expCodes(m)) &&
+            res == expRes &&
+            PqFunctions.adc(luts, codes) == res &&
+            (!seedIds.contains(id) || res == 0.0)
+        }
+      }
+    })
+  }
+
   test("binned overlap join equals the naive predicate for any intervals/width") {
     val iv: Gen[List[(Long, Long)]] = Gen.listOfN(15,
       for {
