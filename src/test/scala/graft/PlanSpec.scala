@@ -504,6 +504,20 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "hashpartitioning\\(qid") >= 1, p)
   }
 
+  test("q_sim_ivf_topk: probes broadcast, the candidate join is a cell " +
+      "equi-join — the corpus never shuffles before the top-k window") {
+    val p = plan("q_sim_ivf_topk")
+    // the probe frame (10 queries x nprobe cells) broadcasts into a
+    // HASH join keyed on the cell — the coarse quantizer's whole scale
+    // argument: the corpus streams cells, it is never pair-expanded
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(count(p, "CartesianProduct") == 0, p)
+    // the only corpus-side exchange is the top-k window's qid hash
+    assert(count(p, "hashpartitioning\\(qid") >= 1, p)
+    // cells come from the persisted index frame, not a rebuild per consumer
+    assert(p.contains("InMemoryTableScan"), p)
+  }
+
   test("q_join_interval_overlap: two-sided bin expansion stays an equi-join") {
     val thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
