@@ -63,18 +63,23 @@ object Bench {
         val sub = java.nio.file.Files.createTempDirectory("graft_bench_half")
         halves.filter(col("graft_half") === h).drop("graft_half")
           .coalesce(1).write.mode("overwrite").parquet(sub.toString)
-        val part = java.nio.file.Files.list(sub).toArray.map(_.toString)
+        // java.nio directory streams hold an fd until closed (ADVICE r9:
+        // the bench leaked one per staged half) — always close them
+        val ls = java.nio.file.Files.list(sub)
+        val part = try ls.toArray.map(_.toString)
           .filter(p => p.endsWith(".parquet") && !p.contains("_SUCCESS"))
-          .head
+          .head finally ls.close()
         val dst = dir.resolve(s"$h.parquet")
         java.nio.file.Files.move(java.nio.file.Paths.get(part), dst)
         // the file source admits files oldest-mtime-first: pin the order
         java.nio.file.Files.setLastModifiedTime(dst,
           java.nio.file.attribute.FileTime.fromMillis(
             System.currentTimeMillis() - (batches - h) * 60000L))
-        java.nio.file.Files.walk(sub)
+        val wk = java.nio.file.Files.walk(sub)
+        try wk
           .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
           .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally wk.close()
       }
     }
     try {
@@ -101,9 +106,11 @@ object Bench {
       // a staged table copy + checkpoint per probe per run adds up fast
       // in /tmp — delete both (bottom-up) once the probe is done
       Seq(dir, ckpt).foreach { root =>
-        java.nio.file.Files.walk(root)
+        val wk = java.nio.file.Files.walk(root)
+        try wk
           .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
           .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally wk.close()
       }
     }
   }
@@ -115,7 +122,16 @@ object Bench {
     * sides: they are attributed to no process, and the bench's own
     * checkpoint I/O generates them (measured ~9% of capacity during the
     * streaming probes), so counting them would read our own disk work
-    * as host contamination. Returns (-1, -1) off-Linux. */
+    * as host contamination. Known residual (ADVICE r9): the bench's own
+    * writeback is flushed by kernel kworker threads whose SYSTEM time
+    * lands in the host `cpu` line but belongs to no pid — it reads as
+    * "external" CPU here, so an unusually I/O-heavy quiet run can sit a
+    * point or two above its true ambient figure and, at the margin,
+    * de-certify itself (fail-safe direction: a run is never WRONGLY
+    * certified by this). Accepted as documented slack inside the 5%
+    * budget rather than widened away — attributing writeback jiffies to
+    * their originating pid is not possible from /proc alone.
+    * Returns (-1, -1) off-Linux. */
   private def hostJiffies(): (Long, Long) =
     try {
       val f = scala.io.Source.fromFile("/proc/stat")
@@ -241,6 +257,38 @@ object Bench {
           (name, -1.0, false)
         }
       }
+    // Lloyd-refined IVF recall probe (VERDICT r9 §5): the production
+    // index-BUILD step (iters >= 1 re-centering) is deliberately absent
+    // from the declared surface — iters = 0 is what makes the IVF family
+    // DuckDB-oracle-able — so without this probe a recall regression in
+    // the refined path would be visible only to scalatest, never to a
+    // round artifact. Here the bench builds the index both ways and
+    // scores top-3 hits against the brute-force cosine truth set.
+    // Untimed and excluded from the headline total (a quality number,
+    // not a throughput one); SimilaritySpec keeps the hard recall floor.
+    val ivfLloyd: String =
+      try {
+        val sim = graft.ops.Similarity
+        val truth = sim.qSimCosineTopk.fn(spark, sfDir)
+          .select(col("qid"), col("vec_id"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nTruth = truth.count()
+        def hits(iters: Int): Long =
+          sim.ivfTopk(spark, sfDir, iters = iters)
+            .select(col("qid"), col("vec_id")).distinct()
+            .join(truth, Seq("qid", "vec_id")).count()
+        val h0 = hits(0)
+        val h2 = hits(2)
+        truth.unpersist()
+        s"""{"iters":2,"n_truth":$nTruth,"hits_seeded":$h0,"hits_lloyd":$h2}"""
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] ivf_lloyd probe failed: ${e.getMessage}")
+        "null"
+      }
+    // the probe built two IVF indexes (persisted cells frames) — evict
+    // them so the streaming probes start from the same cache state the
+    // per-query eviction discipline guarantees everywhere else
+    if (evict) graft.Graft.clearCaches(spark)
     val streamDefs: Seq[(String, String,
         org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)] = Seq(
       ("q_stream_tumbling", "append",
@@ -330,6 +378,12 @@ object Bench {
         }
     val all = results.map { case (k, v, ok) => (k, v, ok, Seq.empty[Double]) } ++
       streaming
+    // All numeric formatting goes through Locale.ROOT: the f"" interpolator
+    // uses the JVM default locale, so on a comma-decimal host (de_DE) it
+    // would emit "0,562" and the artifact would stop being JSON (ADVICE r9).
+    // Raw Double interpolation ($v) is already locale-safe (Double.toString).
+    def fmt(d: Double, prec: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${prec}f", Double.box(d))
     val qs = all.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failures = all.collect { case (k, _, false, _) => "\"" + k + "\"" }
@@ -339,9 +393,57 @@ object Bench {
     // per-data-batch triggerExecution seconds for the two-batch probes:
     // [setup-heavy batch 1, marginal batch 2]
     val streamBatches = all.collect { case (k, _, true, bs) if bs.nonEmpty =>
-      "\"" + k + "\":" + bs.map(b => f"$b%.3f").mkString("[", ",", "]")
+      "\"" + k + "\":" + bs.map(b => fmt(b, 3)).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val total = all.collect { case (k, v, true, _) if !Controls(k) => v }.sum
+    // Headline accounting for the two-batch stream probes (VERDICT r9 §4/§6):
+    // their ~12 s elapsed is dominated by fixed checkpoint/state-store
+    // SETUP (tmpfs staging, RocksDB init) that swings ±40% with the host
+    // and measures nothing about the engine, while the warm batch-2
+    // marginal cost is stable at ~4 s. The headline total therefore counts
+    // only the MARGINAL batch for those probes — the number a real
+    // state-store regression moves — and the setup share is reported
+    // beside it in "stream_setup" (Controls-style: visible, not counted).
+    // "queries" still carries the full elapsed per probe, so
+    // value != sum(queries) for the two-batch entries BY DESIGN.
+    val streamSetup = all.collect { case (k, v, true, bs) if bs.size >= 2 =>
+      "\"" + k + "\":" + fmt(math.max(v - bs.last, 0.0), 3)
+    }.mkString("{", ",", "}")
+    val total = all.collect { case (k, v, true, bs) if !Controls(k) =>
+      if (bs.size >= 2) bs.last else v
+    }.sum
+    // Per-query outlier flag (VERDICT r9 §3): round 9's committed artifact
+    // carried a 5.4x phantom on an untouched query — documented GC/codegen
+    // variance landing inside a "certified" number, exactly the kind of
+    // entry a future round would waste a day chasing. Any entry > 2.5x its
+    // time in the committed baseline artifact (BENCH_BASELINE.json — the
+    // previous round's certified close, refreshed each round) is flagged
+    // here so the artifact itself says "suspect this number, not the code".
+    val priorQueries: Map[String, Double] = {
+      val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
+        "BENCH_BASELINE.json")
+      try {
+        val s = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(path)), "UTF-8")
+        val i = s.indexOf("\"queries\":{")
+        if (i < 0) Map.empty
+        else {
+          val start = i + "\"queries\":{".length
+          s.substring(start, s.indexOf('}', start)).split(",").iterator
+            .flatMap { kv =>
+              kv.split(":") match {
+                case Array(k, v) => scala.util.Try(
+                  k.trim.stripPrefix("\"").stripSuffix("\"")
+                    -> v.trim.toDouble).toOption
+                case _ => None
+              }
+            }.toMap
+        }
+      } catch { case _: Throwable => Map.empty }
+    }
+    val outliers = all.collect { case (k, v, true, _)
+        if !Controls(k) && priorQueries.get(k).exists(p => p > 0 && v > 2.5 * p) =>
+      "\"" + k + "\""
+    }.mkString("[", ",", "]")
     // Certification gate: totals are only comparable from a quiet host
     // (BASELINE.md: ambient load lands 3-5x spikes on long-stable plans,
     // and round 3's closing artifact was invalidated by a loadavg-3.57
@@ -363,7 +465,14 @@ object Bench {
         (busy1 - busy0 - (self1 - self0)).toDouble / (jtotal1 - jtotal0))
     val certified = loadavg >= 0.0 && loadavg <= 1.5 &&
       (extCpuFrac < 0.0 || extCpuFrac <= 0.05)
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"controls":$controls,"stream_batches":$streamBatches,"passes":$passes,"loadavg":$loadavg,"loadavg_end":$loadavgEnd,"ext_cpu_frac":${f"$extCpuFrac%.4f"},"certified":$certified,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"controls":$controls,"stream_batches":$streamBatches,"stream_setup":$streamSetup,"outliers":$outliers,"ivf_lloyd":$ivfLloyd,"passes":$passes,"loadavg":$loadavg,"loadavg_end":$loadavgEnd,"ext_cpu_frac":${fmt(extCpuFrac, 4)},"certified":$certified,"sf":"$sfDir"}"""
+    // Compact summary: everything EXCEPT the per-query map. The driver
+    // keeps only a ~2 KB tail of stdout, and the full line above is >6 KB
+    // — its HEAD (including "metric" and "value") can never survive the
+    // tail cut, which is why BENCH_r08/r09.json both carry parsed: null
+    // (VERDICT r9 §1). This line is what the driver's tail parses; the
+    // full line and the persisted file carry the per-query detail.
+    val compact = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","entries":${all.size},"nfailures":${all.count(!_._3)},"failures":$failures,"outliers":$outliers,"ivf_lloyd":$ivfLloyd,"passes":$passes,"loadavg":$loadavg,"loadavg_end":$loadavgEnd,"ext_cpu_frac":${fmt(extCpuFrac, 4)},"certified":$certified,"sf":"$sfDir"}"""
     println(json)
     // The driver only keeps a 2000-char tail of stdout, which truncated
     // 61 of 121 entries (and the total) out of round 3's artifact. Persist
@@ -382,11 +491,13 @@ object Bench {
       System.err.println(s"[bench] could not persist $outPath: ${e.getMessage}")
     }
     spark.stop()
-    // Re-print AFTER spark.stop() returns, so the JSON is the LAST thing
-    // on stdout no matter what async shutdown threads (state-store
-    // maintenance, RPC teardown) print in between: round 8's driver
-    // artifact lost its whole per-query map ("parsed": null) to an
-    // RpcEnvStoppedException stack landing after the only print.
+    // Re-print AFTER spark.stop() returns, so the JSON lands past any
+    // async shutdown noise (state-store maintenance, RPC teardown):
+    // round 8's driver artifact lost its whole per-query map to an
+    // RpcEnvStoppedException stack landing after the only print. The
+    // COMPACT line prints absolutely last — it is the one that must sit
+    // inside the driver's 2 KB stdout tail in full.
     println(json)
+    println(compact)
   }
 }

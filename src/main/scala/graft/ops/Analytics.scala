@@ -271,9 +271,15 @@ object Analytics {
     *
     * Degenerate groups (constant values, singletons) are well-defined,
     * not NaN: var_v clamps at 0 before any sqrt (catching the slight
-    * negative that `m2 - mean²` cancellation can produce), so a
-    * constant group reports sd_v = 0, n_outliers = 0 (dev2 = 0 is not
-    * > 0), and top_z = NULL (z is undefined at zero variance). The
+    * negative that `m2 - mean²` cancellation can produce), and the
+    * outlier count is gated on var_v > 0 OUTRIGHT (ADVICE r9: under the
+    * old clamp-only spelling, a near-constant large-magnitude group
+    * whose cancellation left var_v ≤ 0 counted every row with any
+    * floating-point dev2 as an outlier while top_z stayed NULL —
+    * internally inconsistent degenerate semantics, even though both
+    * engines agreed). So a zero-variance group reports sd_v = 0,
+    * n_outliers = 0 by definition, and top_z = NULL (z is undefined at
+    * zero variance) — one consistent story. The
     * driver fixture always has variance, but this is a public facade
     * entry where constant groups are realistic, and NaN propagation
     * diverges across engines where a NULL does not (ADVICE r8). */
@@ -294,7 +300,8 @@ object Analytics {
     scored.groupBy(groupCol)
       .agg(min("n").as("n"), min("mean_v").as("mean_v"),
         min("var_v").as("var_v"),
-        count(when(col("dev2") > lit(9) * greatest(col("var_v"), lit(0.0)), 1))
+        count(when(col("var_v") > 0 &&
+            col("dev2") > lit(9) * col("var_v"), 1))
           .as("n_outliers"),
         max(struct(col("dev2").as("d2"),
           (-col(idCol)).as("nid"))).as("top"))
@@ -330,7 +337,7 @@ object Analytics {
           agg AS (
             SELECT event_type, min(n) AS n, min(mean_v) AS mean_v,
               min(var_v) AS var_v,
-              count(*) FILTER (WHERE dev2 > 9 * greatest(var_v, 0))
+              count(*) FILTER (WHERE var_v > 0 AND dev2 > 9 * var_v)
                 AS n_outliers
             FROM scored GROUP BY event_type),
           top AS (

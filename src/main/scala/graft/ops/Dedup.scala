@@ -72,6 +72,30 @@ object Dedup {
       .select("a", "b")
   }
 
+  /** Census of what [[pairsFromGroups]]' df-cap DROPPED — the "no silent
+    * caps" companion (VERDICT r9 §2): the cap is the right scale
+    * decision (a >maxDf bucket is a stopword-key whose pair expansion is
+    * quadratic noise), but at corpus scale a boilerplate shingle can
+    * push a real near-dup family over the cap, and a run report that
+    * doesn't SAY so reads as "no duplicates here". One row:
+    * `n_capped_bands` (distinct keys over the cap) and `n_capped_docs`
+    * (distinct documents holding at least one capped key — every one of
+    * them has candidate pairs the cap suppressed). Same two-phase
+    * df-count as the cap itself — the hot set is tiny by definition, so
+    * the semi-join broadcasts; `df` is expected persisted by the caller
+    * (both scans hit cache). */
+  def capCensus(df: DataFrame, keys: Seq[String],
+      maxDf: Int = MaxPostingDf): DataFrame = {
+    val kc = keys.map(col)
+    val hot = df.groupBy(kc: _*).agg(count(lit(1)).as("graft_df"))
+      .filter(col("graft_df") > maxDf)
+      .select(kc: _*)
+    hot.agg(count(lit(1)).as("n_capped_bands"))
+      .crossJoin(
+        df.join(broadcast(hot), keys, "left_semi")
+          .agg(countDistinct(col("doc_id")).as("n_capped_docs")))
+  }
+
   /** Exact dedup, deterministic survivor (min doc_id), survivor count per
     * language. Duplicate groups key on `md5(text)` — a 128-bit content
     * hash — NOT the full text: at corpus scale the window exchange then
@@ -100,21 +124,24 @@ object Dedup {
     * computed entirely map-side, fused into one pass by the MinHashSig
     * expression — no explode, no groupBy(doc_id) shuffle. Only the band
     * groupBy inside [[pairsFromGroups]] ever shuffles. */
-  private[ops] def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val mh = shingled(s, d)
+  /** The persisted (doc_id, band_no, band) frame both [[minhashPairs]]
+    * and the [[capCensus]] read. pairsFromGroups scans its input twice
+    * (hot-count + collect); cached, the shingle+minhash map pass runs
+    * ONCE and every further scan reads two short strings per document.
+    * Evicted by [[graft.Graft.clearCaches]]. */
+  private[ops] def minhashBands(s: SparkSession, d: String): DataFrame =
+    shingled(s, d)
       .select(col("doc_id"),
         graft.functions.MinHashSig.minhash(col("sh")).as("sig"))
-    // pairsFromGroups scans its input twice (hot-count + collect); cached,
-    // the shingle+minhash map pass runs ONCE and the second scan reads
-    // two short strings per document. Evicted by [[graft.Graft.clearCaches]].
-    val bands = mh.select(col("doc_id"),
+      .select(col("doc_id"),
         posexplode(array(
           concat_ws("", slice(col("sig"), 1, 4)),
           concat_ws("", slice(col("sig"), 5, 4)))))
       .toDF("doc_id", "band_no", "band")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    pairsFromGroups(bands, Seq("band_no", "band")).distinct()
-  }
+
+  private[ops] def minhashPairs(s: SparkSession, d: String): DataFrame =
+    pairsFromGroups(minhashBands(s, d), Seq("band_no", "band")).distinct()
 
   /** DuckDB mirror of [[minhashPairs]]: CTE chain ending in
     * `cand(a, b)` — the candidate pair set, distinct, a < b. The
@@ -142,6 +169,20 @@ object Dedup {
                 FROM bands x JOIN bands y
                   ON x.band_no = y.band_no AND x.band = y.band
                  AND x.doc_id < y.doc_id)"""
+
+  /** DuckDB mirror of [[capCensus]] over the minhash bands — appends to
+    * [[minhashPairsSqlCte]] (reads its `bands_all`). One row
+    * `census(n_capped_bands, n_capped_docs)`; the HAVING threshold is
+    * the SAME [[MaxPostingDf]] constant the QUALIFY drop states, so the
+    * census and the cap can never disagree about what was dropped. */
+  private[ops] val minhashCensusSqlCte: String =
+    s"""hotb AS (SELECT band_no, band FROM bands_all
+                 GROUP BY band_no, band HAVING count(*) > $MaxPostingDf),
+        census AS (SELECT
+          (SELECT count(*) FROM hotb) AS n_capped_bands,
+          (SELECT count(DISTINCT b.doc_id) FROM bands_all b
+             JOIN hotb h ON b.band_no = h.band_no AND b.band = h.band)
+            AS n_capped_docs)"""
 
   /** MinHash(8 planes) + LSH banding (2 bands × 4 rows): candidate
     * near-duplicate pairs. Portable hash, cheap: TWO md5s per shingle

@@ -318,23 +318,34 @@ object Graph {
   val qDedupPairDegree = Q(
     "q_dedup_pair_degree",
     (s, d) => {
-      // two consumers (both union legs) — cache the near-dup-sized pair
-      // frame so the banded pair generation runs once (see
-      // [[qGraphTriangles]]); evicted by [[graft.Graft.clearCaches]]
-      val pairs = Dedup.minhashPairs(s, d)
+      // the bands frame feeds BOTH the pair generation and the cap
+      // census — build it once (persisted inside minhashBands); the pair
+      // frame then feeds two union legs, so cache it too (see
+      // [[qGraphTriangles]]); both evicted by [[graft.Graft.clearCaches]]
+      val bands = Dedup.minhashBands(s, d)
+      val pairs = Dedup
+        .pairsFromGroups(bands, Seq("band_no", "band")).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val deg = pairs.select(col("a").as("doc_id"))
         .unionAll(pairs.select(col("b").as("doc_id")))
         .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+      // the cap census rides every report row (a broadcast 1-row scalar
+      // graft — the q_subquery_scalar shape): the dashboard this
+      // histogram feeds must SAY when the df-cap suppressed candidates
+      // (VERDICT r9 §2 — "no silent caps" on the production path), or a
+      // boilerplate-shingle corpus would read as duplicate-free
+      val census = Dedup.capCensus(bands, Seq("band_no", "band"))
       T.documents(s, d).select(col("doc_id"))
         .join(deg, Seq("doc_id"), "left")
         .withColumn("degree", coalesce(col("degree"), lit(0L)))
         .groupBy("degree")
         .agg(count(lit(1)).as("n_docs"),
           min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+        .crossJoin(broadcast(census))
         .orderBy("degree")
     },
     Some(s"""WITH ${Dedup.minhashPairsSqlCte},
+           ${Dedup.minhashCensusSqlCte},
            ends AS (SELECT a AS doc_id FROM cand
                     UNION ALL SELECT b AS doc_id FROM cand),
            deg0 AS (SELECT doc_id, count(*) AS degree
@@ -343,8 +354,11 @@ object Graph {
                      coalesce(g.degree, CAST(0 AS BIGINT)) AS degree
                    FROM documents d LEFT JOIN deg0 g USING (doc_id))
            SELECT degree, count(*) AS n_docs,
-             min(doc_id) AS min_doc, max(doc_id) AS max_doc
-           FROM deg GROUP BY degree ORDER BY degree"""))
+             min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+             c.n_capped_bands, c.n_capped_docs
+           FROM deg CROSS JOIN census c
+           GROUP BY degree, c.n_capped_bands, c.n_capped_docs
+           ORDER BY degree"""))
 
   /** Triangle census + global clustering coefficient of the
     * candidate-pair graph — the graph-analytics companion to

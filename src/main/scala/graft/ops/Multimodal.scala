@@ -552,7 +552,13 @@ object Multimodal {
     * probe is one max() over a single pruned column — bounded driver
     * state, the IVF-centroid class. */
   private[graft] def plantBase(s: SparkSession, d: String): Long = {
-    val maxId = T.embeddings(s, d).agg(max(col("vec_id"))).head().getLong(0)
+    // max() over an empty table is NULL — surface that as a clear error
+    // instead of an NPE from getLong (ADVICE r9); an empty embeddings
+    // table means the fixture dir is wrong, not that plants fit at 1e5
+    val row = T.embeddings(s, d).agg(max(col("vec_id"))).head()
+    require(!row.isNullAt(0),
+      s"plantBase: embeddings table at $d is empty — cannot derive a plant-id base")
+    val maxId = row.getLong(0)
     var b = 100000L
     while (b <= maxId) b *= 10
     b

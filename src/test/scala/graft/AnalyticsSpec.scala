@@ -112,7 +112,10 @@ class AnalyticsSpec extends SparkSpec {
       val vr = s2.toDouble / 1e6 / n - mean * mean
       val dev2 = es.map(e => (e._2, (e._3 - mean) * (e._3 - mean)))
       val top = dev2.minBy(p => (-p._2, p._1))
-      t -> ((n.toLong, dev2.count(_._2 > 9 * math.max(vr, 0)).toLong, top._1))
+      // outliers gated on POSITIVE variance (ADVICE r9) — a degenerate
+      // group can never count fp-cancellation dust as outliers
+      t -> ((n.toLong,
+        (if (vr > 0) dev2.count(_._2 > 9 * vr) else 0).toLong, top._1))
     }
     val got = Analytics.qEventsAnomaly.fn(spark, sf).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(4), r.getLong(5))))
@@ -125,6 +128,12 @@ class AnalyticsSpec extends SparkSpec {
     import s.implicits._
     val df = Seq(
       ("const", 1L, 5.0), ("const", 2L, 5.0), ("const", 3L, 5.0),
+      // near-constant group with sub-quantum perturbations (±4e-7 is
+      // below dsumRaw's 1e-6 grid): the quantized moments give var_v = 0
+      // exactly while every raw dev2 > 0 — the ADVICE-r9 regime where
+      // the old clamp-only gate counted all three rows as outliers
+      ("cancel", 8L, 1000.0), ("cancel", 9L, 1000.0 + 4e-7),
+      ("cancel", 10L, 1000.0 - 4e-7),
       ("single", 4L, 7.25),
       ("mixed", 5L, 1.0), ("mixed", 6L, 2.0), ("mixed", 7L, 30.0))
       .toDF("g", "id", "v")
@@ -134,6 +143,9 @@ class AnalyticsSpec extends SparkSpec {
     val const = got("const")
     assert(const.getDouble(2) == 5.0 && const.getDouble(3) == 0.0)
     assert(const.getLong(4) == 0L && const.isNullAt(6))
+    val cancel = got("cancel")
+    assert(cancel.getDouble(3) == 0.0 && cancel.getLong(4) == 0L &&
+      cancel.isNullAt(6))
     val single = got("single")
     assert(single.getDouble(3) == 0.0 && single.getLong(4) == 0L &&
       single.isNullAt(6))

@@ -431,4 +431,27 @@ class DedupSpec extends SparkSpec {
     val prod = graft.ops.Dedup.qDedupMinhash.fn(spark, sf).count()
     assert(rows.find(_._1 == 2).get._3 === prod)
   }
+
+  test("capCensus reports exactly what pairsFromGroups' df-cap dropped") {
+    val s = spark
+    import s.implicits._
+    // two hot keys (df 3 and 4) and one cold key (df 2) under maxDf = 2
+    val bands = Seq(
+      (1L, 0, "hot"), (2L, 0, "hot"), (3L, 0, "hot"),
+      (1L, 1, "cold"), (4L, 1, "cold"),
+      (5L, 0, "hot2"), (6L, 0, "hot2"), (7L, 0, "hot2"), (1L, 0, "hot2"))
+      .toDF("doc_id", "band_no", "band")
+    val row = Dedup.capCensus(bands, Seq("band_no", "band"), maxDf = 2)
+      .collect().head
+    // 2 capped keys; docs {1,2,3} ∪ {1,5,6,7} = 6 distinct
+    assert((row.getLong(0), row.getLong(1)) === ((2L, 6L)))
+    // and the drop is real: only the cold key's single pair survives
+    assert(Dedup.pairsFromGroups(bands, Seq("band_no", "band"), maxDf = 2)
+      .count() === 1L)
+    // empty-hot-set regime (the production sf fixture): census is 0/0
+    // and rides every q_dedup_pair_degree row as a constant
+    val hist = graft.ops.Graph.qDedupPairDegree.fn(spark, sf).collect()
+    assert(hist.nonEmpty)
+    assert(hist.forall(r => r.getLong(4) == 0L && r.getLong(5) == 0L))
+  }
 }
