@@ -424,8 +424,18 @@ object Bench {
       try {
         val s = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(path)), "UTF-8")
+        // sf guard: the baseline is only a valid comparator for a run at
+        // the SAME scale factor — an sf1 run judged against sf0.1 times
+        // would flag every ~3x-scaling entry as a phantom outlier
+        val sfOk = {
+          val j = s.indexOf("\"sf\":\"")
+          j >= 0 && {
+            val start = j + "\"sf\":\"".length
+            s.substring(start, s.indexOf('"', start)) == sfDir
+          }
+        }
         val i = s.indexOf("\"queries\":{")
-        if (i < 0) Map.empty
+        if (i < 0 || !sfOk) Map.empty
         else {
           val start = i + "\"queries\":{".length
           s.substring(start, s.indexOf('}', start)).split(",").iterator
