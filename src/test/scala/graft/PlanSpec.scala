@@ -584,4 +584,24 @@ class PlanSpec extends SparkSpec {
     assert(count(p, "InMemoryTableScan|TableCacheQueryStage") >= 4,
       "pair frame cache not consumed - pair generation re-executes:\n" + p)
   }
+
+  test("q_dedup_pair_degree: cap census broadcasts — hot keys semi-join " +
+      "broadcast, census grafts as a 1-row nested-loop, bodies never shuffle") {
+    val p = plan("q_dedup_pair_degree")
+    // the >maxDf hot-key set is tiny by definition: its semi-join back
+    // into the bands frame must be a broadcast, never a shuffled join
+    assert(count(p, "BroadcastHashJoin LeftSemi BuildRight") >= 1,
+      "hot-key semi-join stopped broadcasting:\n" + p)
+    // the 1-row census rides every histogram row as a broadcast
+    // nested-loop graft (the q_subquery_scalar shape)
+    assert(count(p, "BroadcastNestedLoopJoin") >= 1,
+      "census graft is not a broadcast nested-loop:\n" + p)
+    // document text reaches only the map-side shingle+minhash pass —
+    // no exchange ever carries the text column
+    val exchanged = p.linesIterator
+      .filter(l => l.contains("Arguments: hashpartitioning"))
+      .mkString("\n")
+    assert(!exchanged.contains("text"),
+      "an exchange carries the document body:\n" + exchanged)
+  }
 }
