@@ -140,6 +140,40 @@ object Bench {
       (parts(0) + parts(1) + parts(2), parts.sum)
     } catch { case _: Throwable => (-1L, -1L) }
 
+  /** Extract the per-query seconds map from a committed bench-artifact
+    * line, for the outlier comparison. Deliberately a flat-value scan,
+    * not a JSON parser (zero deps): the "queries" map is the artifact's
+    * only nested object whose values are all plain numbers, so it ends
+    * at the first '}'. sf guard: the baseline is only a valid comparator
+    * for a run at the SAME scale factor — an sf1 run judged against
+    * sf0.1 times would flag every ~3x-scaling entry as a phantom
+    * outlier — so a mismatched or missing "sf" yields the empty map
+    * (= no outlier flags), the fail-safe direction. */
+  private[graft] def parseBaselineQueries(
+      s: String, sfDir: String): Map[String, Double] = {
+    val sfOk = {
+      val j = s.indexOf("\"sf\":\"")
+      j >= 0 && {
+        val start = j + "\"sf\":\"".length
+        s.substring(start, s.indexOf('"', start)) == sfDir
+      }
+    }
+    val i = s.indexOf("\"queries\":{")
+    if (i < 0 || !sfOk) Map.empty
+    else {
+      val start = i + "\"queries\":{".length
+      s.substring(start, s.indexOf('}', start)).split(",").iterator
+        .flatMap { kv =>
+          kv.split(":") match {
+            case Array(k, v) => scala.util.Try(
+              k.trim.stripPrefix("\"").stripSuffix("\"")
+                -> v.trim.toDouble).toOption
+            case _ => None
+          }
+        }.toMap
+    }
+  }
+
   /** utime+stime jiffies of one process from /proc/<pid>/stat (fields
     * 14-15, located after the parenthesized comm), or -1 on error. */
   private def pidJiffies(pid: String): Long =
@@ -421,34 +455,9 @@ object Bench {
     val priorQueries: Map[String, Double] = {
       val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
         "BENCH_BASELINE.json")
-      try {
-        val s = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(path)), "UTF-8")
-        // sf guard: the baseline is only a valid comparator for a run at
-        // the SAME scale factor — an sf1 run judged against sf0.1 times
-        // would flag every ~3x-scaling entry as a phantom outlier
-        val sfOk = {
-          val j = s.indexOf("\"sf\":\"")
-          j >= 0 && {
-            val start = j + "\"sf\":\"".length
-            s.substring(start, s.indexOf('"', start)) == sfDir
-          }
-        }
-        val i = s.indexOf("\"queries\":{")
-        if (i < 0 || !sfOk) Map.empty
-        else {
-          val start = i + "\"queries\":{".length
-          s.substring(start, s.indexOf('}', start)).split(",").iterator
-            .flatMap { kv =>
-              kv.split(":") match {
-                case Array(k, v) => scala.util.Try(
-                  k.trim.stripPrefix("\"").stripSuffix("\"")
-                    -> v.trim.toDouble).toOption
-                case _ => None
-              }
-            }.toMap
-        }
-      } catch { case _: Throwable => Map.empty }
+      try parseBaselineQueries(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8"), sfDir)
+      catch { case _: Throwable => Map.empty }
     }
     val outliers = all.collect { case (k, v, true, _)
         if !Controls(k) && priorQueries.get(k).exists(p => p > 0 && v > 2.5 * p) =>

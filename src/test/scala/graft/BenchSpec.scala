@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench artifact's outlier comparison reads the PREVIOUS round's
+  * committed line through [[Bench.parseBaselineQueries]] — driver-facing
+  * logic that must fail SAFE (empty map = no outlier flags) on anything
+  * unexpected, never throw or mis-flag. Pure function, no Spark session.
+  */
+class BenchSpec extends AnyFunSuite {
+
+  private val line =
+    """{"metric":"total","value":170.1,"unit":"sec","queries":{"q_a":0.5,"q_b":2.0,"q_c":0.25},"failures":[],"loadavg":0.5,"certified":true,"sf":"/data/sf0.1"}"""
+
+  test("parses the queries map when the sf matches") {
+    val m = Bench.parseBaselineQueries(line, "/data/sf0.1")
+    assert(m === Map("q_a" -> 0.5, "q_b" -> 2.0, "q_c" -> 0.25))
+  }
+
+  test("sf mismatch yields the empty map (no phantom outliers at sf1)") {
+    assert(Bench.parseBaselineQueries(line, "/data/sf1") === Map.empty)
+  }
+
+  test("missing sf field or queries map yields the empty map") {
+    assert(Bench.parseBaselineQueries(
+      line.replace("\"sf\":\"/data/sf0.1\"", "\"x\":1"), "/data/sf0.1")
+      === Map.empty)
+    assert(Bench.parseBaselineQueries(
+      """{"metric":"total","sf":"/data/sf0.1"}""", "/data/sf0.1")
+      === Map.empty)
+  }
+
+  test("garbage entries are skipped, numeric ones survive") {
+    val noisy =
+      """{"queries":{"q_a":0.5,"q_bad":oops,"q_c":1.5},"sf":"d"}"""
+    assert(Bench.parseBaselineQueries(noisy, "d")
+      === Map("q_a" -> 0.5, "q_c" -> 1.5))
+  }
+
+  test("the committed BENCH_BASELINE.json round-trips through the parser") {
+    val p = java.nio.file.Paths.get("BENCH_BASELINE.json")
+    assume(java.nio.file.Files.exists(p))
+    val s = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    // the committed baseline always targets the driver's sf0.1 dir
+    val m = Bench.parseBaselineQueries(s, "/root/testdata/sf0.1")
+    assert(m.size > 100, s"baseline parse collapsed: ${m.size} entries")
+    assert(m.values.forall(v => v > 0 && v < 600))
+  }
+}
