@@ -3,6 +3,11 @@
 `sbt "runMain graft.Verify <sfDir> <outDir>"`. For each query parquet dump,
 run the declared DuckDB oracle SQL against the same tables, sort columns by
 name, and compare cell-for-cell. Usage: local_check.py <sfDir> <outDir>.
+
+Set SPARK_GRAFT_ONLY=<query> to check a single dump — negative_control.py
+relies on this so each of its three gate invocations replays one query,
+not the whole suite (the full replay is ~minutes at sf0.01 and hours at
+sf1+, where the control would otherwise be unusable).
 """
 import json
 import sys
@@ -20,10 +25,11 @@ def main(sf_dir: str, out_dir: str) -> int:
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    only = os.environ.get("SPARK_GRAFT_ONLY")
     n_pass = n_fail = 0
     for name in sorted(os.listdir(out_dir)):
         qdir = os.path.join(out_dir, name)
-        if not os.path.isdir(qdir):
+        if not os.path.isdir(qdir) or (only and name != only):
             continue
         files = glob.glob(os.path.join(qdir, "*.parquet"))
         got = con.sql(f"SELECT * FROM read_parquet({files!r})").df()
@@ -83,6 +89,8 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"  - {name}: FAIL  " + "; ".join(msgs))
     missing = set(oracle) - {d for d in os.listdir(out_dir)
                              if os.path.isdir(os.path.join(out_dir, d))}
+    if only:
+        missing &= {only}
     if missing:
         print(f"  ! oracle declared but no dump: {sorted(missing)}")
     print(f"pass={n_pass} fail={n_fail}")
