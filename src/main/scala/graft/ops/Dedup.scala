@@ -85,7 +85,8 @@ object Dedup {
     * the semi-join broadcasts; `df` is expected persisted by the caller
     * (both scans hit cache). */
   def capCensus(df: DataFrame, keys: Seq[String],
-      maxDf: Int = MaxPostingDf): DataFrame = {
+      maxDf: Int = MaxPostingDf, idCol: String = "doc_id",
+      idsName: String = "n_capped_docs"): DataFrame = {
     val kc = keys.map(col)
     val hot = df.groupBy(kc: _*).agg(count(lit(1)).as("graft_df"))
       .filter(col("graft_df") > maxDf)
@@ -93,7 +94,7 @@ object Dedup {
     hot.agg(count(lit(1)).as("n_capped_bands"))
       .crossJoin(
         df.join(broadcast(hot), keys, "left_semi")
-          .agg(countDistinct(col("doc_id")).as("n_capped_docs")))
+          .agg(countDistinct(col(idCol)).as(idsName)))
   }
 
   /** Exact dedup, deterministic survivor (min doc_id), survivor count per
@@ -399,20 +400,33 @@ object Dedup {
 
   /** SRP-LSH-banded embedding candidate generation — the scale path the
     * label-blocked [[qDedupEmbedding]] hands over to when no blocking
-    * attribute exists: two 4-plane bands of the 8-plane SRP bucket
+    * attribute exists: three 8-plane bands of a 24-plane SRP code
     * (banding boosts near-dup recall exactly like MinHash banding), an
     * equi-join per band, hot-band cap, exact cosine rescoring. Returns
     * the `k` highest-cosine candidate pairs (cos desc, then (a, b)) —
-    * deterministic given the driver-precomputed hyperplanes. */
+    * deterministic given the driver-precomputed hyperplanes — with the
+    * hot-band cap census riding every row (and surviving an EMPTY pair
+    * set as one all-null pair row: at saturation "0 pairs" must read as
+    * "everything was capped", not "no duplicates").
+    *
+    * Band width is the scale dial: a band of w bits saturates the
+    * df-cap once corpus > ~2^w·cap, after which EVERY bucket is dropped
+    * and the operator goes structurally empty — the original 2×4-bit
+    * layout did exactly that at 60k vectors (sf3), while 3×8-bit holds
+    * to ~256·cap vectors and keeps near-dup recall via the extra band
+    * (1-(1-p^8)^3 vs 1-(1-p^4)^2). At larger corpora widen bands
+    * ~log2(n/cap) and add bands to hold recall. */
   private[ops] def embeddingLshTopPairs(s: SparkSession, d: String,
       maxBucket: Int = MaxPostingDf, k: Int = 10): DataFrame = {
-    val b = Similarity.srpBuckets(s, d)
+    val b = Similarity.srpBuckets(s, d, nPlanes = 24)
       .select(col("vec_id"), col("v"), col("bucket"))
     val bands = b.select(col("vec_id"), col("v"),
         posexplode(array(
-          pmod(col("bucket"), lit(16L)),
-          floor(col("bucket") / 16).cast("long"))))
+          pmod(col("bucket"), lit(256L)),
+          pmod(floor(col("bucket") / 256).cast("long"), lit(256L)),
+          floor(col("bucket") / 65536).cast("long"))))
       .toDF("vec_id", "v", "band_no", "band")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Same hot-key policy as pairsFromGroups: a band bucket holding more
     // than maxBucket vectors is dense-region noise whose pair expansion
     // is quadratic — drop it; dense regions are the ANN paths' job.
@@ -422,7 +436,7 @@ object Dedup {
       .select("band_no", "band")
     val cold = bands.join(broadcast(hot), Seq("band_no", "band"), "left_anti")
     val cos = Similarity.cosine(col("x.v"), col("y.v"))
-    cold.as("x")
+    val top = cold.as("x")
       .join(cold.as("y"),
         col("x.band_no") === col("y.band_no") &&
         col("x.band") === col("y.band") &&
@@ -432,39 +446,60 @@ object Dedup {
       .distinct()
       .orderBy(col("cos").desc, col("a"), col("b"))
       .limit(k)
+    val census = capCensus(bands, Seq("band_no", "band"), maxBucket,
+      idCol = "vec_id", idsName = "n_capped_vecs")
+    // LEFT join from the 1-row census so the census row survives an
+    // empty top-k (broadcast graft, no body shuffle)
+    broadcast(census).join(top, lit(true), "left")
+      .select(col("a"), col("b"), col("cos"),
+              col("n_capped_bands"), col("n_capped_vecs"))
+      .orderBy(col("cos").desc_nulls_last, col("a"), col("b"))
   }
 
   /** Declared form of the LSH embedding near-dup path — DuckDB-oracled
     * since the bucket oracle landed: the oracle replays the ±1-plane
     * sign sums (bit-identical sequential arithmetic, see
-    * [[Similarity.qSimLshBuckets]]), the two 4-bit band splits, the
-    * hot-band cap as a QUALIFY, and the exact rescoring through
-    * `list_cosine_similarity` under the same 2dp rounding the blocked
-    * variant's oracle already proved engine-stable. DedupSpec
-    * additionally plants near-identical clusters and asserts they
-    * surface on top. */
+    * [[Similarity.qSimLshBuckets]]), the three 8-bit band splits of the
+    * 24-plane code, the hot-band cap as a QUALIFY with its census, and
+    * the exact rescoring through `list_cosine_similarity` under the
+    * same 2dp rounding the blocked variant's oracle already proved
+    * engine-stable. DedupSpec additionally plants near-identical
+    * clusters and asserts they surface on top. */
   val qDedupEmbeddingLsh = Q(
     "q_dedup_embedding_lsh",
     (s, d) => embeddingLshTopPairs(s, d),
     Some {
-      // One spelling of the 8-plane SRP bucket for every LSH oracle —
+      // One spelling of the SRP bucket law for every LSH oracle —
       // inlining a private copy here let the two drift silently (ADVICE r3).
       s"""WITH bk AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-               ${Similarity.lshBucketSql} AS bucket FROM embeddings),
-           bands AS (SELECT vec_id, v, 0 AS band_no, bucket % 16 AS band
+               ${Similarity.lshBucketSqlN(24)} AS bucket FROM embeddings),
+           bands AS (SELECT vec_id, v, 0 AS band_no, bucket % 256 AS band
                      FROM bk
                      UNION ALL
-                     SELECT vec_id, v, 1, bucket // 16 FROM bk),
+                     SELECT vec_id, v, 1, (bucket // 256) % 256 FROM bk
+                     UNION ALL
+                     SELECT vec_id, v, 2, bucket // 65536 FROM bk),
            cold AS (SELECT vec_id, v, band_no, band FROM bands
                     QUALIFY count(*) OVER (PARTITION BY band_no, band)
                       <= $MaxPostingDf),
+           hotb AS (SELECT band_no, band FROM bands
+                    GROUP BY band_no, band
+                    HAVING count(*) > $MaxPostingDf),
+           census AS (SELECT
+             (SELECT count(*) FROM hotb) AS n_capped_bands,
+             (SELECT count(DISTINCT b.vec_id) FROM bands b
+                JOIN hotb h ON b.band_no = h.band_no AND b.band = h.band)
+               AS n_capped_vecs),
            pairs AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b,
                        ${sqlR2("list_cosine_similarity(x.v, y.v)")} AS cos
                      FROM cold x JOIN cold y
                        ON x.band_no = y.band_no AND x.band = y.band
-                      AND x.vec_id < y.vec_id)
-         SELECT a, b, cos FROM pairs
-         ORDER BY cos DESC, a, b LIMIT 10"""
+                      AND x.vec_id < y.vec_id),
+           top AS (SELECT a, b, cos FROM pairs
+                   ORDER BY cos DESC, a, b LIMIT 10)
+         SELECT t.a, t.b, t.cos, c.n_capped_bands, c.n_capped_vecs
+         FROM census c LEFT JOIN top t ON true
+         ORDER BY t.cos DESC, t.a, t.b"""
     })
 
   val qDedupEmbedding = Q(

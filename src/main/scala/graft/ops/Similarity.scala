@@ -147,9 +147,16 @@ object Similarity {
     * arrays (dim 64 — the fixture embedding width, TESTDATA.md). */
   /** The 8-plane SRP bucket as a DuckDB expression over `embedding` —
     * shared by every LSH oracle (buckets, embedding near-dup, topk). */
-  private[ops] def lshBucketSql: String = {
-    val w = srpWeights(8, 64)
-    val planes = (0 until 8).map { p =>
+  private[ops] def lshBucketSql: String = lshBucketSqlN(8)
+
+  /** [[lshBucketSql]] generalized to `nPlanes` — same md5-parity weight
+    * law, so the low 8 planes of any wider code ARE the declared 8-plane
+    * bucket. The dedup LSH path uses 24 planes (3 bands × 8 bits): band
+    * width has to grow ~log2(corpus/cap) or every bucket saturates the
+    * df-cap (the 2×4-bit layout went structurally empty at 60k vectors). */
+  private[ops] def lshBucketSqlN(nPlanes: Int): String = {
+    val w = srpWeights(nPlanes, 64)
+    val planes = (0 until nPlanes).map { p =>
       val arr = w(p).map(x => if (x > 0) "1.0" else "-1.0").mkString(", ")
       s"""(CASE WHEN list_sum(list_transform(range(1, 65),
             i -> CAST(embedding[i] AS DOUBLE) * ([$arr]::DOUBLE[])[i]))
