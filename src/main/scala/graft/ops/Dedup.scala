@@ -416,7 +416,7 @@ object Dedup {
     * to ~256·cap vectors and keeps near-dup recall via the extra band
     * (1-(1-p^8)^3 vs 1-(1-p^4)^2). At larger corpora widen bands
     * ~log2(n/cap) and add bands to hold recall. */
-  private[ops] def embeddingLshTopPairs(s: SparkSession, d: String,
+  private[graft] def embeddingLshTopPairs(s: SparkSession, d: String,
       maxBucket: Int = MaxPostingDf, k: Int = 10): DataFrame = {
     val b = Similarity.srpBuckets(s, d, nPlanes = 24)
       .select(col("vec_id"), col("v"), col("bucket"))

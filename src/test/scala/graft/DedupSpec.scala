@@ -257,6 +257,27 @@ class DedupSpec extends SparkSpec {
     got.filter { case (a, b, _) => !plantedPairs((a, b)) }
       .foreach { case (a, b, c) =>
         assert(c < 0.99, s"unplanted pair ($a,$b) scored $c") }
+
+    // census: nothing was capped on this corpus, and the columns ride
+    // every row (the pair_degree "no silent caps" contract)
+    Dedup.qDedupEmbeddingLsh.fn(spark, tmp).collect().foreach { r =>
+      assert(r.getLong(3) === 0L && r.getLong(4) === 0L)
+    }
+
+    // full saturation must NOT read as "no duplicates": with a cap the
+    // corpus exceeds in every band, the pair list is empty but ONE row
+    // survives carrying the census — null pair, nonzero capped counts
+    // accounting for every vector (the regime the 2x4-bit layout hit
+    // silently at 60k vectors before the 3x8-bit widening)
+    val sat = Dedup.embeddingLshTopPairs(spark, tmp, maxBucket = 1)
+      .collect()
+    assert(sat.length === 1, s"expected lone census row, got ${sat.toSeq}")
+    assert(sat(0).isNullAt(0) && sat(0).isNullAt(1) && sat(0).isNullAt(2))
+    assert(sat(0).getLong(3) > 0L, "n_capped_bands must be nonzero")
+    // every planted vector shares all 3 bands with its near-twin, so at
+    // least the 10 planted ones hold a capped band at cap=1
+    assert(sat(0).getLong(4) >= 10L,
+      s"n_capped_vecs ${sat(0).getLong(4)} must cover the planted twins")
   }
 
   test("semantic dedup: planted clusters prune to their min-id member " +
