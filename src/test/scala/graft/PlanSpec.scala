@@ -604,4 +604,22 @@ class PlanSpec extends SparkSpec {
     assert(!exchanged.contains("text"),
       "an exchange carries the document body:\n" + exchanged)
   }
+
+  test("q_dedup_embedding_lsh: hot-band drop and census both broadcast; " +
+      "the top-k never ships whole-corpus vectors to the driver") {
+    val p = plan("q_dedup_embedding_lsh")
+    // the >cap hot-band set is tiny by definition: both its anti-join
+    // (the drop) and the census's semi-join must broadcast, never shuffle
+    assert(count(p, "BroadcastHashJoin LeftAnti BuildRight") >= 1,
+      "hot-band anti-join stopped broadcasting:\n" + p)
+    assert(count(p, "BroadcastHashJoin LeftSemi BuildRight") >= 1,
+      "census semi-join stopped broadcasting:\n" + p)
+    // the 1-row census grafts onto the top-k as a broadcast nested-loop
+    assert(count(p, "BroadcastNestedLoopJoin") >= 1,
+      "census graft is not a broadcast nested-loop:\n" + p)
+    // global top-k is TakeOrderedAndProject over the banded candidates —
+    // a per-partition heap + driver merge of k rows, never a full sort
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k lost the bounded-heap shape:\n" + p)
+  }
 }
