@@ -504,13 +504,40 @@ object Dedup {
 
   val qDedupEmbedding = Q(
     "q_dedup_embedding",
-    (s, d) => embeddingPairs(s, d, MaxEmbeddingBlock, EmbeddingCosFloor),
+    (s, d) => {
+      // Third cap site, same "no silent caps" contract as the minhash
+      // bands and the LSH bands: at sf1+ every label block saturates
+      // MaxEmbeddingBlock and the pair count goes CONSTANT across
+      // scale (24190 rows at sf1 AND sf3) — without the census that
+      // reads as "near-dup count stopped growing", not "the block cap
+      // stopped looking". One narrow pass over (vec_id, label); the
+      // 1-row census grafts via the left-join-from-census shape so it
+      // survives an empty pair list.
+      val wb = Window.partitionBy(col("label")).orderBy(col("vec_id"))
+      val over = col("rnb") > lit(MaxEmbeddingBlock)
+      val census = T.embeddings(s, d).select(col("vec_id"), col("label"))
+        .withColumn("rnb", row_number().over(wb))
+        .agg(countDistinct(when(over, col("label"))).as("n_capped_labels"),
+             count(when(over, lit(1))).as("n_capped_vecs"))
+      broadcast(census)
+        .join(embeddingPairs(s, d, MaxEmbeddingBlock, EmbeddingCosFloor),
+              lit(true), "left")
+        .select(col("a"), col("b"), col("cos"),
+                col("n_capped_labels"), col("n_capped_vecs"))
+        .orderBy("a", "b")
+    },
     Some(s"""WITH capped AS (
              SELECT vec_id, label, embedding,
                     row_number() OVER (PARTITION BY label ORDER BY vec_id)
                       AS rnb
-             FROM embeddings)
-           SELECT a, b, cos FROM (
+             FROM embeddings),
+           census AS (SELECT
+             count(DISTINCT CASE WHEN rnb > $MaxEmbeddingBlock
+                                 THEN label END) AS n_capped_labels,
+             count(CASE WHEN rnb > $MaxEmbeddingBlock THEN 1 END)
+               AS n_capped_vecs
+             FROM capped),
+           pairs AS (SELECT a, b, cos FROM (
              SELECT x.vec_id AS a, y.vec_id AS b,
                     ${sqlR2("""list_cosine_similarity(
                       CAST(x.embedding AS DOUBLE[]),
@@ -518,7 +545,10 @@ object Dedup {
              FROM capped x JOIN capped y
                ON x.label = y.label AND x.vec_id < y.vec_id
               AND x.rnb <= $MaxEmbeddingBlock AND y.rnb <= $MaxEmbeddingBlock)
-           WHERE cos >= $EmbeddingCosFloor ORDER BY a, b"""))
+           WHERE cos >= $EmbeddingCosFloor)
+           SELECT p.a, p.b, p.cos, c.n_capped_labels, c.n_capped_vecs
+           FROM census c LEFT JOIN pairs p ON true
+           ORDER BY p.a, p.b"""))
 
   /** Cells for the semantic-dedup coarse quantizer — small by definition
     * (a coarse cell is a pruning unit, not a cluster-analysis artifact). */
