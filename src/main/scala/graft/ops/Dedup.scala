@@ -362,7 +362,7 @@ object Dedup {
     * sf0.01 (~0.51 at sf0.1), so the conventional 0.9 floor returned 0
     * rows at every sf and the 0=0 hash match proved nothing (VERDICT
     * r4). 0.40 keeps the top few percent of same-label pairs flowing
-    * through the gate (5 rows at sf0.01, 86 at sf0.1) so threshold,
+    * through the gate (6 rows at sf0.01, dozens at sf0.1) so threshold,
     * rounding, and pair enumeration are all actually exercised; a
     * production corpus with real near-dups sees the 0.9 default.
     * DedupSpec separately plants genuine >0.9 clusters and asserts
