@@ -12,6 +12,22 @@ libraryDependencies ++= Seq(
 scalacOptions ++= Seq("-deprecation", "-unchecked")
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"` as
+// JSON. Two sbt behaviors have broken that for three rounds running
+// (BENCH_r08..r10 all carry parsed: null — VERDICT r10 §1):
+//  1. forked-run output is pumped through sbt's logger, which prefixes
+//     every line with "[info] " — not valid JSON;
+//  2. sbt prints "[success] Total time: ..." AFTER the program's output,
+//     so even a clean JSON line is never last.
+// StdoutOutput makes the forked JVM inherit stdout directly (no prefix);
+// showSuccess := false drops the trailer, leaving Bench's compact line as
+// the final line the driver's 2 KB tail sees.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command loop, not by a task, so the
+// unused-key lint flags it — exclude it rather than let a [warn] block
+// land in every driver log.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

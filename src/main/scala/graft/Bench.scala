@@ -151,18 +151,25 @@ object Bench {
     * (= no outlier flags), the fail-safe direction. */
   private[graft] def parseBaselineQueries(
       s: String, sfDir: String): Map[String, Double] = {
+    // Total by construction (ADVICE r10): every indexOf is checked, so a
+    // truncated artifact (unterminated sf string, unclosed queries map)
+    // yields the empty map — the documented never-throw contract holds
+    // for direct callers too, not just the try/catch production site.
     val sfOk = {
       val j = s.indexOf("\"sf\":\"")
       j >= 0 && {
         val start = j + "\"sf\":\"".length
-        s.substring(start, s.indexOf('"', start)) == sfDir
+        val end = s.indexOf('"', start)
+        end >= 0 && s.substring(start, end) == sfDir
       }
     }
     val i = s.indexOf("\"queries\":{")
-    if (i < 0 || !sfOk) Map.empty
+    val qEnd = if (i < 0) -1
+      else s.indexOf('}', i + "\"queries\":{".length)
+    if (i < 0 || qEnd < 0 || !sfOk) Map.empty
     else {
       val start = i + "\"queries\":{".length
-      s.substring(start, s.indexOf('}', start)).split(",").iterator
+      s.substring(start, qEnd).split(",").iterator
         .flatMap { kv =>
           kv.split(":") match {
             case Array(k, v) => scala.util.Try(
@@ -300,8 +307,13 @@ object Bench {
     // scores top-3 hits against the brute-force cosine truth set.
     // Untimed and excluded from the headline total (a quality number,
     // not a throughput one); SimilaritySpec keeps the hard recall floor.
+    // Honors the SPARK_GRAFT_ONLY filter like every other probe (ADVICE
+    // r10): single-query iteration runs must not pay the brute-force
+    // truth set + two IVF index builds. Name it "ivf_lloyd" in the
+    // filter to run it alone.
     val ivfLloyd: String =
-      try {
+      if (only.exists(!_.contains("ivf_lloyd"))) "null"
+      else try {
         val sim = graft.ops.Similarity
         val truth = sim.qSimCosineTopk.fn(spark, sfDir)
           .select(col("qid"), col("vec_id"))

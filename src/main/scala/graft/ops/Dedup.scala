@@ -40,7 +40,13 @@ object Dedup {
     * the dedup analogue of a stopword: it carries no similarity signal
     * (everything matches everything through it) while its pair expansion
     * is quadratic in df. Far above any real near-dup cluster; sf0.1 max
-    * observed df is 33. */
+    * observed df is 33.
+    *
+    * COUPLING (ADVICE r10): `tools/check_graph_sf.py` — the independent
+    * big-sf replay of the dedup graph family — defaults its QUALIFY cap
+    * to this value. If this constant changes, pass the new value to the
+    * tool (argv[3] or GRAFT_MAX_POSTING_DF) or its next sf3 run fails
+    * hours in. */
   val MaxPostingDf = 1000
 
 
@@ -80,7 +86,11 @@ object Dedup {
     * doesn't SAY so reads as "no duplicates here". One row:
     * `n_capped_bands` (distinct keys over the cap) and `n_capped_docs`
     * (distinct documents holding at least one capped key — every one of
-    * them has candidate pairs the cap suppressed). Same two-phase
+    * them has candidate pairs the cap suppressed). Semantics note
+    * (ADVICE r10): this is an AFFECTED count — a member of a capped
+    * bucket may still pair via another band — deliberately distinct
+    * from [[qDedupEmbedding]]'s `n_dropped_vecs`, which counts only the
+    * rows its block cap actually removed from pairing. Same two-phase
     * df-count as the cap itself — the hot set is tiny by definition, so
     * the semi-join broadcasts; `df` is expected persisted by the caller
     * (both scans hit cache). */
@@ -499,7 +509,7 @@ object Dedup {
                    ORDER BY cos DESC, a, b LIMIT 10)
          SELECT t.a, t.b, t.cos, c.n_capped_bands, c.n_capped_vecs
          FROM census c LEFT JOIN top t ON true
-         ORDER BY t.cos DESC, t.a, t.b"""
+         ORDER BY t.cos DESC NULLS LAST, t.a, t.b"""
     })
 
   val qDedupEmbedding = Q(
@@ -515,15 +525,21 @@ object Dedup {
       // survives an empty pair list.
       val wb = Window.partitionBy(col("label")).orderBy(col("vec_id"))
       val over = col("rnb") > lit(MaxEmbeddingBlock)
+      // Column contract (ADVICE r10): `n_dropped_vecs` counts ONLY the
+      // rows the rnb block cap removed from pairing — distinct from the
+      // band censuses' `n_capped_vecs`/`n_capped_docs`, which count every
+      // MEMBER of a capped bucket (a member may still pair via another
+      // band). Dropped <= affected by construction; dashboards must not
+      // compare the two as the same quantity, so the names now differ.
       val census = T.embeddings(s, d).select(col("vec_id"), col("label"))
         .withColumn("rnb", row_number().over(wb))
         .agg(countDistinct(when(over, col("label"))).as("n_capped_labels"),
-             count(when(over, lit(1))).as("n_capped_vecs"))
+             count(when(over, lit(1))).as("n_dropped_vecs"))
       broadcast(census)
         .join(embeddingPairs(s, d, MaxEmbeddingBlock, EmbeddingCosFloor),
               lit(true), "left")
         .select(col("a"), col("b"), col("cos"),
-                col("n_capped_labels"), col("n_capped_vecs"))
+                col("n_capped_labels"), col("n_dropped_vecs"))
         .orderBy("a", "b")
     },
     Some(s"""WITH capped AS (
@@ -535,7 +551,7 @@ object Dedup {
              count(DISTINCT CASE WHEN rnb > $MaxEmbeddingBlock
                                  THEN label END) AS n_capped_labels,
              count(CASE WHEN rnb > $MaxEmbeddingBlock THEN 1 END)
-               AS n_capped_vecs
+               AS n_dropped_vecs
              FROM capped),
            pairs AS (SELECT a, b, cos FROM (
              SELECT x.vec_id AS a, y.vec_id AS b,
@@ -546,7 +562,7 @@ object Dedup {
                ON x.label = y.label AND x.vec_id < y.vec_id
               AND x.rnb <= $MaxEmbeddingBlock AND y.rnb <= $MaxEmbeddingBlock)
            WHERE cos >= $EmbeddingCosFloor)
-           SELECT p.a, p.b, p.cos, c.n_capped_labels, c.n_capped_vecs
+           SELECT p.a, p.b, p.cos, c.n_capped_labels, c.n_dropped_vecs
            FROM census c LEFT JOIN pairs p ON true
            ORDER BY p.a, p.b"""))
 

@@ -30,6 +30,19 @@ class BenchSpec extends AnyFunSuite {
       === Map.empty)
   }
 
+  test("truncated artifacts never throw (ADVICE r10: total function)") {
+    // unterminated sf string — the closing quote never arrives
+    assert(Bench.parseBaselineQueries(
+      """{"queries":{"q_a":0.5},"sf":"/data/sf0.1""", "/data/sf0.1")
+      === Map.empty)
+    // queries map opened but never closed
+    assert(Bench.parseBaselineQueries(
+      """{"queries":{"q_a":0.5,"q_b":2.0""", "/data/sf0.1")
+      === Map.empty)
+    // both truncations at once
+    assert(Bench.parseBaselineQueries("""{"queries":{""", "d") === Map.empty)
+  }
+
   test("garbage entries are skipped, numeric ones survive") {
     val noisy =
       """{"queries":{"q_a":0.5,"q_bad":oops,"q_c":1.5},"sf":"d"}"""

@@ -18,8 +18,19 @@ with min-doc_id representatives — a third implementation, sharing no code
 with either the Spark engine or the recursive CTE. Compares cell-for-cell
 against the engine dumps.
 
-Usage: check_graph_sf.py <sfDir> <outDir>   (exit 0 iff both queries match)
+Usage: check_graph_sf.py <sfDir> <outDir> [cap]
+(exit 0 iff both queries match)
+
+The hot-band df cap defaults to 1000 — the value of graft's
+`Dedup.MaxPostingDf` (src/main/scala/graft/ops/Dedup.scala), which notes
+the coupling on its definition. Pass the cap as argv[3] (or env
+GRAFT_MAX_POSTING_DF) if the Scala constant ever changes, so a drift is
+a one-flag fix at launch time instead of a failed multi-hour sf3 replay.
+The 2-band minhash layout itself is replayed verbatim from the declared
+q_dedup_minhash oracle; if THAT layout changes this tool must change
+with it (it is an independent third implementation, not a generated one).
 """
+import os
 import sys
 
 import duckdb
@@ -41,18 +52,18 @@ WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
    UNION ALL
    SELECT doc_id, 1 AS band_no, h4 || h5 || h6 || h7 AS band FROM mh),
  bands AS (SELECT doc_id, band_no, band FROM bands_all
-           QUALIFY count(*) OVER (PARTITION BY band_no, band) <= 1000)
+           QUALIFY count(*) OVER (PARTITION BY band_no, band) <= {cap})
 SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
 FROM bands x JOIN bands y
   ON x.band_no = y.band_no AND x.band = y.band AND x.doc_id < y.doc_id
 """
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, cap: int = 1000) -> int:
     con = duckdb.connect()
     con.sql(f"CREATE VIEW documents AS "
             f"SELECT * FROM '{sf_dir}/documents.parquet'")
-    pairs = con.sql(CAND_SQL).fetchall()
+    pairs = con.sql(CAND_SQL.format(cap=cap)).fetchall()
     doc_ids = [r[0] for r in con.sql(
         "SELECT doc_id FROM documents ORDER BY doc_id").fetchall()]
     print(f"candidate pairs: {len(pairs)}, docs: {len(doc_ids)}")
@@ -116,4 +127,6 @@ def main(sf_dir: str, out_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    _cap = int(sys.argv[3]) if len(sys.argv) > 3 else int(
+        os.environ.get("GRAFT_MAX_POSTING_DF", "1000"))
+    sys.exit(main(sys.argv[1], sys.argv[2], _cap))
