@@ -13,6 +13,7 @@ import json
 import sys
 import glob
 import os
+import time
 
 import duckdb
 
@@ -31,6 +32,7 @@ def main(sf_dir: str, out_dir: str) -> int:
         qdir = os.path.join(out_dir, name)
         if not os.path.isdir(qdir) or (only and name != only):
             continue
+        t0 = time.time()
         files = glob.glob(os.path.join(qdir, "*.parquet"))
         got = con.sql(f"SELECT * FROM read_parquet({files!r})").df()
         got = got[sorted(got.columns)]
@@ -87,6 +89,9 @@ def main(sf_dir: str, out_dir: str) -> int:
         else:
             n_fail += 1
             print(f"  - {name}: FAIL  " + "; ".join(msgs))
+        # per-query oracle+compare seconds: big-sf replays need the cost
+        # attribution (sf_delta/SCALE.md exclusion bounds read these)
+        print(f"    ({name}: {time.time() - t0:.0f}s)", flush=True)
     missing = set(oracle) - {d for d in os.listdir(out_dir)
                              if os.path.isdir(os.path.join(out_dir, d))}
     if only:

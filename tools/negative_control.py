@@ -4,10 +4,19 @@ is not vacuously green by corrupting exactly one cell of one dumped
 query output and checking that local_check flips to FAIL, then restoring
 and checking it returns to PASS.
 
-Usage: negative_control.py <sfDir> <outDir> [query]
+Usage: negative_control.py <sfDir> <outDir> [query | --rotate=N]
 (query defaults to q_agg_group). Exit 0 iff the gate flipped AND
 recovered; any other outcome — including "still green after
 corruption", the worst kind of silent rot — exits 1.
+
+--rotate=N (VERDICT r10 §6): deterministic per-round rotation so the
+control's sensitivity is demonstrated across output SHAPES over time,
+not re-proven forever on one aggregate. Queries with dumps under
+<outDir> are grouped into families by their second name token
+(q_agg_*, q_dedup_*, q_window_*, ...); round N picks family
+N % n_families (sorted), and within it member (N // n_families) %
+size — every family gets its turn, then every member. Prints the pick
+and runs the standard flip/restore control on it.
 """
 import glob
 import os
@@ -84,9 +93,26 @@ def main(sf_dir: str, out_dir: str, query: str) -> int:
     return 0
 
 
+def pick_rotation(out_dir: str, n: int) -> str:
+    """Round-N rotation pick over the dumped queries (see module doc)."""
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, d))
+                   and d.startswith("q_"))
+    fams = {}
+    for name in names:
+        fams.setdefault(name.split("_")[1], []).append(name)
+    fam_names = sorted(fams)
+    fam = fam_names[n % len(fam_names)]
+    members = fams[fam]
+    return members[(n // len(fam_names)) % len(members)]
+
+
 if __name__ == "__main__":
     if len(sys.argv) < 3:
         print(__doc__, file=sys.stderr)
         sys.exit(2)
-    q = sys.argv[3] if len(sys.argv) > 3 else "q_agg_group"
-    sys.exit(main(sys.argv[1], sys.argv[2], q))
+    arg = sys.argv[3] if len(sys.argv) > 3 else "q_agg_group"
+    if arg.startswith("--rotate="):
+        arg = pick_rotation(sys.argv[2], int(arg.split("=", 1)[1]))
+        print(f"rotation pick: {arg}")
+    sys.exit(main(sys.argv[1], sys.argv[2], arg))
