@@ -4,10 +4,16 @@
 run the declared DuckDB oracle SQL against the same tables, sort columns by
 name, and compare cell-for-cell. Usage: local_check.py <sfDir> <outDir>.
 
-Set SPARK_GRAFT_ONLY=<query> to check a single dump — negative_control.py
-relies on this so each of its three gate invocations replays one query,
-not the whole suite (the full replay is ~minutes at sf0.01 and hours at
-sf1+, where the control would otherwise be unusable).
+Set SPARK_GRAFT_ONLY=<q1,q2,...> (comma-separated, same contract as
+Verify/Bench) to check a subset — negative_control.py relies on this so
+each of its three gate invocations replays one query, not the whole
+suite (the full replay is ~minutes at sf0.01 and hours at sf1+, where
+the control would otherwise be unusable); big-sf replays use it to
+resume after a crash.
+
+DuckDB temp spill is capped at 60 GiB: the q_dedup_band_sweep oracle at
+sf3 filled a 252 GB device and took the whole replay down with it — a
+loud single-query IO error beats a dead machine.
 """
 import json
 import sys
@@ -23,14 +29,16 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
+    con.sql("SET max_temp_directory_size='60GiB'")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     only = os.environ.get("SPARK_GRAFT_ONLY")
+    only_set = set(only.split(",")) if only else None
     n_pass = n_fail = 0
     for name in sorted(os.listdir(out_dir)):
         qdir = os.path.join(out_dir, name)
-        if not os.path.isdir(qdir) or (only and name != only):
+        if not os.path.isdir(qdir) or (only_set and name not in only_set):
             continue
         t0 = time.time()
         files = glob.glob(os.path.join(qdir, "*.parquet"))
