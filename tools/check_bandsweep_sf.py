@@ -71,11 +71,16 @@ WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
  -- identical because `scored` only joins `inter` on candidate pairs)
  cand_d AS (SELECT DISTINCT a, b FROM cand_s),
  sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
- inter AS (SELECT c.a, c.b, count(*) AS n_inter
+ -- per-doc shingle LISTS + list_intersect, not an exploded posting
+ -- self-join: the exploded form materializes ~|pairs| * avg-shingles
+ -- rows (measured 60+ GiB of spill at sf3); two list lookups per pair
+ -- is |pairs| rows, same result (sh is DISTINCT per doc)
+ shd AS (SELECT doc_id, list(sh) AS shl FROM sh GROUP BY doc_id),
+ inter AS (SELECT c.a, c.b,
+             len(list_intersect(xa.shl, xb.shl)) AS n_inter
            FROM cand_d c
-           JOIN sh x ON x.doc_id = c.a
-           JOIN sh y ON y.doc_id = c.b AND y.sh = x.sh
-           GROUP BY c.a, c.b),
+           JOIN shd xa ON xa.doc_id = c.a
+           JOIN shd xb ON xb.doc_id = c.b),
  scored AS (SELECT c.cfg,
      coalesce(i.n_inter, 0) AS ni,
      sa.nsh + sb.nsh - coalesce(i.n_inter, 0) AS nu
@@ -104,7 +109,7 @@ ORDER BY n_bands
 
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
-    con.sql("SET max_temp_directory_size='60GiB'")
+    con.sql("SET max_temp_directory_size='100GiB'")
     con.sql(f"CREATE VIEW documents AS "
             f"SELECT * FROM '{sf_dir}/documents.parquet'")
     want = con.sql(SWEEP_SQL).fetchall()
