@@ -11,7 +11,8 @@ the DuckDB side impractical (>50 min on one query) while the engine's
 linear min-label propagation finishes in seconds.
 
 This tool verifies the same semantics at big sf with a linear-time
-independent implementation: the candidate-pair prefix (shingle -> 2x md5
+independent implementation (components, cluster_sizes, and — since
+round 11 — survivors, whose oracle embeds the same recursive closure): the candidate-pair prefix (shingle -> 2x md5
 minhash -> 2 bands -> df<=1000 cap -> bucket pairs) runs in DuckDB exactly
 as the declared oracle writes it, and connectivity is a Python union-find
 with min-doc_id representatives — a third implementation, sharing no code
@@ -122,7 +123,34 @@ def main(sf_dir: str, out_dir: str, cap: int = 1000) -> int:
         print(f"  - q_dedup_cluster_sizes: FAIL got {got[:5]}... "
               f"want {want[:5]}...")
 
-    print(f"pass={2 - n_fail} fail={n_fail}")
+    # q_dedup_survivors (added round 11): its declared oracle embeds the
+    # same recursive closure, so it needs the same union-find stand-in at
+    # big sf. Survivor = per component, max token count, ties to min
+    # doc_id; singleton docs are their own 1-member component.
+    n_tok = dict(con.sql(
+        "SELECT doc_id, len(string_split(text, ' ')) FROM documents"
+    ).fetchall())
+    best = {}  # comp -> (survivor, tokens)
+    for d in doc_ids:
+        c = comp[d]
+        cur = best.get(c)
+        if cur is None or (n_tok[d], -d) > (cur[1], -cur[0]):
+            best[c] = (d, n_tok[d])
+    want = sorted((c, surv, tok, sizes.get(c, 1))
+                  for c, (surv, tok) in best.items())
+    got = con.sql(f"SELECT comp, survivor, survivor_tokens, sz FROM "
+                  f"read_parquet('{out_dir}/q_dedup_survivors/*.parquet') "
+                  f"ORDER BY comp").fetchall()
+    got = [tuple(r) for r in got]
+    if got == want:
+        print(f"  + q_dedup_survivors: OK ({len(got)} rows)")
+    else:
+        n_fail += 1
+        bad = [(g, w) for g, w in zip(got, want) if g != w][:3]
+        print(f"  - q_dedup_survivors: FAIL rows={len(got)} vs {len(want)},"
+              f" first diffs {bad}")
+
+    print(f"pass={3 - n_fail} fail={n_fail}")
     return 1 if n_fail else 0
 
 
