@@ -71,16 +71,19 @@ WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
  -- identical because `scored` only joins `inter` on candidate pairs)
  cand_d AS (SELECT DISTINCT a, b FROM cand_s),
  sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
- -- per-doc shingle LISTS + list_intersect, not an exploded posting
- -- self-join: the exploded form materializes ~|pairs| * avg-shingles
- -- rows (measured 60+ GiB of spill at sf3); two list lookups per pair
- -- is |pairs| rows, same result (sh is DISTINCT per doc)
- shd AS (SELECT doc_id, list(sh) AS shl FROM sh GROUP BY doc_id),
- inter AS (SELECT c.a, c.b,
-             len(list_intersect(xa.shl, xb.shl)) AS n_inter
+ -- exact intersection counts via an INTEGER shingle dictionary: the
+ -- string-shingle exploded join spilled 60+ GiB at sf3 (~|pairs| x
+ -- avg-shingles rows x ~60 B shingles), and list_intersect is worse
+ -- (full list payloads per pair row); an 8-byte sid keeps the same
+ -- exploded shape at ~1/8 the bytes and stays exact
+ dict AS (SELECT sh, row_number() OVER (ORDER BY sh) AS sid
+          FROM (SELECT DISTINCT sh FROM sh)),
+ shi AS (SELECT s.doc_id, d.sid FROM sh s JOIN dict d USING (sh)),
+ inter AS (SELECT c.a, c.b, count(*) AS n_inter
            FROM cand_d c
-           JOIN shd xa ON xa.doc_id = c.a
-           JOIN shd xb ON xb.doc_id = c.b),
+           JOIN shi x ON x.doc_id = c.a
+           JOIN shi y ON y.doc_id = c.b AND y.sid = x.sid
+           GROUP BY 1, 2),
  scored AS (SELECT c.cfg,
      coalesce(i.n_inter, 0) AS ni,
      sa.nsh + sb.nsh - coalesce(i.n_inter, 0) AS nu
@@ -109,7 +112,7 @@ ORDER BY n_bands
 
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
-    con.sql("SET max_temp_directory_size='100GiB'")
+    con.sql("SET max_temp_directory_size='70GiB'")
     con.sql(f"CREATE VIEW documents AS "
             f"SELECT * FROM '{sf_dir}/documents.parquet'")
     want = con.sql(SWEEP_SQL).fetchall()

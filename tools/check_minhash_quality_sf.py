@@ -8,9 +8,9 @@ unboundedly at big sf, while the query's own `scored` step only ever
 reads `inter` rows for the minhash CANDIDATE pairs. This replay keeps
 the declared minhash candidate CTE verbatim (2x md5 signature, 2x4
 banding, df<=1000 cap — the same prefix check_graph_sf.py certifies)
-and computes the true intersection per candidate pair via per-doc
-shingle lists + list_intersect: identical output, |pairs| intermediate
-rows instead of |pairs| x avg-shingles.
+and computes the true intersection per candidate pair via an integer
+shingle dictionary (8-byte sids through the exploded join instead of
+~60-byte strings): identical output at a fraction of the spill.
 
 Usage: check_minhash_quality_sf.py <sfDir> <outDir>  (exit 0 iff match)
 Compares cell-for-cell against the engine dump (a, b, n_match, n_inter,
@@ -43,12 +43,19 @@ WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
             ON x.band_no = y.band_no AND x.band = y.band
            AND x.doc_id < y.doc_id),
  sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
- shd AS (SELECT doc_id, list(sh) AS shl FROM sh GROUP BY doc_id),
- inter AS (SELECT c.a, c.b,
-             len(list_intersect(xa.shl, xb.shl)) AS n_inter
+ -- exact intersection counts via an INTEGER shingle dictionary: string
+ -- shingles (~60 B) riding a multi-million-pair join intermediate are
+ -- what spilled past the disk in both failed spellings (global join,
+ -- then list_intersect whose per-pair list payloads are worse); an
+ -- 8-byte sid cuts the exploded intermediate ~8x and stays exact
+ dict AS (SELECT sh, row_number() OVER (ORDER BY sh) AS sid
+          FROM (SELECT DISTINCT sh FROM sh)),
+ shi AS (SELECT s.doc_id, d.sid FROM sh s JOIN dict d USING (sh)),
+ inter AS (SELECT c.a, c.b, count(*) AS n_inter
            FROM cand c
-           JOIN shd xa ON xa.doc_id = c.a
-           JOIN shd xb ON xb.doc_id = c.b)
+           JOIN shi x ON x.doc_id = c.a
+           JOIN shi y ON y.doc_id = c.b AND y.sid = x.sid
+           GROUP BY 1, 2)
 SELECT c.a, c.b,
   CAST(
     (CASE WHEN m1.h0 = m2.h0 THEN 1 ELSE 0 END) +
@@ -73,13 +80,15 @@ ORDER BY c.a, c.b
 
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
-    con.sql("SET max_temp_directory_size='100GiB'")
+    con.sql("SET max_temp_directory_size='70GiB'")
     con.sql(f"CREATE VIEW documents AS "
             f"SELECT * FROM '{sf_dir}/documents.parquet'")
+    # materialize the replay ONCE — an EXCEPT against a CTE evaluates
+    # the whole pipeline per branch, doubling the spill
+    con.sql(f"CREATE TEMP TABLE want AS {QUALITY_SQL}")
     n_diff = con.sql(f"""
         WITH got AS (SELECT * FROM read_parquet(
-               '{out_dir}/q_dedup_minhash_quality/*.parquet')),
-             want AS ({QUALITY_SQL})
+               '{out_dir}/q_dedup_minhash_quality/*.parquet'))
         SELECT (SELECT count(*) FROM (
                   SELECT * FROM got EXCEPT SELECT * FROM want)) +
                (SELECT count(*) FROM (
