@@ -259,6 +259,26 @@ object Bench {
     // subtracts out exactly, so a wave arriving mid-run (the BASELINE.md
     // pattern a pre-only gate misses) shows up as external busy time no
     // matter when it lands.
+    //
+    // Pre-run settle loop (VERDICT r11 §4): the r11 driver artifact
+    // recorded certified:false because the bench launched while the
+    // host was still digesting the driver's own oracle work (loadavg
+    // 7.93 at t0 — ambient, not mid-run, so the ext-CPU gate couldn't
+    // save it). Give the host a bounded chance to drain first: poll the
+    // 1-min loadavg every 15 s and start when it drops under the same
+    // 1.5 the certification gate checks, or after a 3-min cap (a busy
+    // host then fails certification exactly as before — the loop buys
+    // settling time, never masks contamination). The wait is recorded
+    // in the artifact (settle_wait, seconds). SPARK_GRAFT_SETTLE=0
+    // skips the loop for local iteration.
+    val settleT0 = System.nanoTime()
+    if (sys.env.getOrElse("SPARK_GRAFT_SETTLE", "1") != "0") {
+      val capMs = 180000L
+      while (loadavg1m() > 1.5 &&
+          (System.nanoTime() - settleT0) / 1000000L < capMs)
+        Thread.sleep(15000L)
+    }
+    val settleWait = (System.nanoTime() - settleT0) / 1e9
     val loadavg = loadavg1m()
     val (busy0, jtotal0) = hostJiffies()
     val self0 = selfJiffies()
@@ -349,14 +369,20 @@ object Bench {
           .select(col("qid"), col("vec_id"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val nTruth = truth.count()
-        def hits(iters: Int): Long =
-          sim.ivfTopk(spark, sfDir, iters = iters)
+        def hits(iters: Int, seeding: String = "stride"): Long =
+          sim.ivfTopk(spark, sfDir, iters = iters, seeding = seeding)
             .select(col("qid"), col("vec_id")).distinct()
             .join(truth, Seq("qid", "vec_id")).count()
         val h0 = hits(0)
         val h2 = hits(2)
+        // farthest-point seeding (VERDICT r11 §5): same iters=0
+        // assignment algebra, hull-spread seeds — the sparse-regime
+        // index-quality lever; and with Lloyd on top, the production
+        // build recipe. Reported side-by-side with the stride numbers.
+        val hf = hits(0, "farthest")
+        val hf2 = hits(2, "farthest")
         truth.unpersist()
-        s"""{"iters":2,"n_truth":$nTruth,"hits_seeded":$h0,"hits_lloyd":$h2}"""
+        s"""{"iters":2,"n_truth":$nTruth,"hits_seeded":$h0,"hits_lloyd":$h2,"hits_fps":$hf,"hits_fps_lloyd":$hf2}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] ivf_lloyd probe failed: ${e.getMessage}")
         "null"
@@ -534,14 +560,14 @@ object Bench {
         (busy1 - busy0 - (self1 - self0)).toDouble / (jtotal1 - jtotal0))
     val certified = loadavg >= 0.0 && loadavg <= 1.5 &&
       (extCpuFrac < 0.0 || extCpuFrac <= 0.05)
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"controls":$controls,"stream_batches":$streamBatches,"stream_finalize":$streamFinalize,"stream_setup":$streamSetup,"outliers":$outliers,"ivf_lloyd":$ivfLloyd,"passes":$passes,"loadavg":$loadavg,"loadavg_end":$loadavgEnd,"ext_cpu_frac":${fmt(extCpuFrac, 4)},"certified":$certified,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"controls":$controls,"stream_batches":$streamBatches,"stream_finalize":$streamFinalize,"stream_setup":$streamSetup,"outliers":$outliers,"ivf_lloyd":$ivfLloyd,"passes":$passes,"loadavg":$loadavg,"loadavg_end":$loadavgEnd,"settle_wait":${fmt(settleWait, 1)},"ext_cpu_frac":${fmt(extCpuFrac, 4)},"certified":$certified,"sf":"$sfDir"}"""
     // Compact summary: everything EXCEPT the per-query map. The driver
     // keeps only a ~2 KB tail of stdout, and the full line above is >6 KB
     // — its HEAD (including "metric" and "value") can never survive the
     // tail cut, which is why BENCH_r08/r09.json both carry parsed: null
     // (VERDICT r9 §1). This line is what the driver's tail parses; the
     // full line and the persisted file carry the per-query detail.
-    val compact = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","entries":${all.size},"nfailures":${all.count(!_._3)},"failures":$failures,"outliers":$outliers,"ivf_lloyd":$ivfLloyd,"passes":$passes,"loadavg":$loadavg,"loadavg_end":$loadavgEnd,"ext_cpu_frac":${fmt(extCpuFrac, 4)},"certified":$certified,"sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","entries":${all.size},"nfailures":${all.count(!_._3)},"failures":$failures,"outliers":$outliers,"ivf_lloyd":$ivfLloyd,"passes":$passes,"loadavg":$loadavg,"loadavg_end":$loadavgEnd,"settle_wait":${fmt(settleWait, 1)},"ext_cpu_frac":${fmt(extCpuFrac, 4)},"certified":$certified,"sf":"$sfDir"}"""
     println(json)
     // The driver only keeps a 2000-char tail of stdout, which truncated
     // 61 of 121 entries (and the total) out of round 3's artifact. Persist

@@ -620,10 +620,19 @@ object Curation {
           row_number().over(Window.partitionBy(
             md5(concat_ws(" ", slice(col("tk"), 1, 8)).cast("binary")))
             .orderBy(col("doc_id"))) === 1)
+      // The staged frame is read from BOTH sides of the final join and
+      // three more times inside substringDedup (id projection + the
+      // spans frame's two consumers) — without a persist the whole
+      // scan → exact-dedup window → gopher → quality chain recomputes
+      // per consumer, which is exactly the creeping cost the r10/r11
+      // closes measured (2.24 → 3.15 s; VERDICT r11 §3). Pay the chain
+      // once; every consumer reads the cached stage (evicted by the
+      // bench's per-query clearCaches like every other persisted base).
       val ranked = gopherCounts(flagged)
         .withColumn("ok_gopher", col("ok_exact") && col("gopher_keep"))
         .withColumn("ok_quality",
           col("ok_gopher") && qualityScoreExpr >= 0L)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val span = Dedup.substringDedup(
         ranked.filter(col("ok_quality")).select("doc_id", "text"),
         "doc_id", "text", Dedup.SubstrSpanTokens)

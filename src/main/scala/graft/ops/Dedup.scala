@@ -27,10 +27,18 @@ object Dedup {
     T.documents(s, d)
       .withColumn("sh", graft.functions.WordShingles.shingles(col("text")))
 
+  /** `sh` is MATERIALIZED (here and in the frames below): DuckDB 1.x
+    * inlines a plain CTE per REFERENCE — an oracle that reads the
+    * posting frame three times re-derives the whole shingle explode
+    * three times, which is exactly what made the original
+    * band_sweep/minhash_quality spellings infeasible at sf3 (VERDICT
+    * r11 §2; measured failures in SCALE.md round 11). Results are
+    * unchanged; only the execution is pay-once. */
   private val shingleSqlCte =
     """toks AS (SELECT doc_id, source, string_split(text, ' ') AS tk
                 FROM documents),
-       sh AS (SELECT DISTINCT doc_id, source, unnest(list_transform(
+       sh AS MATERIALIZED (SELECT DISTINCT doc_id, source,
+              unnest(list_transform(
                 range(1, greatest(len(tk) - 1, 1) + 1),
                 i -> array_to_string(tk[i:i+1], ' '))) AS sh
               FROM toks)"""
@@ -42,11 +50,10 @@ object Dedup {
     * is quadratic in df. Far above any real near-dup cluster; sf0.1 max
     * observed df is 33.
     *
-    * COUPLING (ADVICE r10): `tools/check_graph_sf.py` — the independent
-    * big-sf replay of the dedup graph family — defaults its QUALIFY cap
-    * to this value. If this constant changes, pass the new value to the
-    * tool (argv[3] or GRAFT_MAX_POSTING_DF) or its next sf3 run fails
-    * hours in. */
+    * The declared DuckDB oracles state the same cap in their QUALIFY
+    * clause via this one constant, so engine and oracle can never
+    * disagree about it (the former standalone big-sf replay tools that
+    * duplicated the value are retired — round 12, VERDICT r11 §2). */
   val MaxPostingDf = 1000
 
 
@@ -163,7 +170,7 @@ object Dedup {
     s"""$shingleSqlCte,
        hx AS (SELECT doc_id, md5('0:' || sh) AS m0, md5('1:' || sh) AS m1
               FROM sh),
-       mh AS (SELECT doc_id,
+       mh AS MATERIALIZED (SELECT doc_id,
                 min(substring(m0, 1, 8))  AS h0, min(substring(m0, 9, 8))  AS h1,
                 min(substring(m0, 17, 8)) AS h2, min(substring(m0, 25, 8)) AS h3,
                 min(substring(m1, 1, 8))  AS h4, min(substring(m1, 9, 8))  AS h5,
@@ -176,10 +183,37 @@ object Dedup {
        bands AS (
          SELECT doc_id, band_no, band FROM bands_all
          QUALIFY count(*) OVER (PARTITION BY band_no, band) <= $MaxPostingDf),
-       cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       cand AS MATERIALIZED (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
                 FROM bands x JOIN bands y
                   ON x.band_no = y.band_no AND x.band = y.band
                  AND x.doc_id < y.doc_id)"""
+
+  /** Shared feasible-at-scale intersection CTEs (VERDICT r11 §2 — the
+    * staged-tool recipe folded back into the ONE declared spelling):
+    * `shi` re-keys postings through an INTEGER shingle dictionary
+    * (8-byte sids instead of ~60-byte strings in the |pairs|×shingles
+    * exploded intermediate), `sizes` is the per-doc set size, and
+    * `inter` computes shingle intersections for CANDIDATE PAIRS ONLY —
+    * the original global posting self-join scored every corpus pair
+    * sharing any shingle and filled a 252 GB device at sf3, while the
+    * scoring consumers only ever read candidate rows. All three are
+    * MATERIALIZED (computed once, whatever the reference count).
+    * Appends to a chain defining `sh` and the `candTable` (a, b) pair
+    * frame; measured at sf3: minhash_quality 36 s / band_sweep 71 s as
+    * one declared statement (was: filled-disk). */
+  private[ops] def candInterSqlCte(candTable: String = "cand"): String =
+    s"""shi AS MATERIALIZED (
+         SELECT s.doc_id, d.sid
+         FROM sh s JOIN (SELECT sh, row_number() OVER (ORDER BY sh) AS sid
+                         FROM (SELECT DISTINCT sh FROM sh)) d USING (sh)),
+       sizes AS MATERIALIZED (SELECT doc_id, count(*) AS nsh FROM sh
+                GROUP BY doc_id),
+       inter AS MATERIALIZED (
+         SELECT c.a, c.b, count(*) AS n_inter
+         FROM $candTable c
+         JOIN shi x ON x.doc_id = c.a
+         JOIN shi y ON y.doc_id = c.b AND y.sid = x.sid
+         GROUP BY 1, 2)"""
 
   /** DuckDB mirror of [[capCensus]] over the minhash bands — appends to
     * [[minhashPairsSqlCte]] (reads its `bands_all`). One row
@@ -954,13 +988,7 @@ object Dedup {
         .orderBy("a", "b")
     },
     Some(s"""WITH $minhashPairsSqlCte,
-             sizes AS (SELECT doc_id, count(*) AS nsh FROM sh
-                       GROUP BY doc_id),
-             inter AS (SELECT x.doc_id AS a, y.doc_id AS b,
-                         count(*) AS n_inter
-                       FROM sh x JOIN sh y
-                         ON x.sh = y.sh AND x.doc_id < y.doc_id
-                       GROUP BY 1, 2)
+             ${candInterSqlCte()}
            SELECT c.a, c.b,
              CAST(
                (CASE WHEN m1.h0 = m2.h0 THEN 1 ELSE 0 END) +
@@ -1168,7 +1196,7 @@ object Dedup {
         }
       }.mkString("\n UNION ALL ")
       s"""WITH $minhashPairsSqlCte,
-           bands_s AS ($bandRows),
+           bands_s AS MATERIALIZED ($bandRows),
            bands_k AS (SELECT * FROM bands_s
              QUALIFY count(*) OVER (PARTITION BY cfg, band_no, band)
                <= $BandSweepMaxDf),
@@ -1176,17 +1204,13 @@ object Dedup {
                SELECT cfg, band_no, band, count(*) AS df
                FROM bands_s GROUP BY cfg, band_no, band)
              WHERE df > $BandSweepMaxDf GROUP BY cfg),
-           cand_s AS (SELECT DISTINCT x.cfg, x.doc_id AS a, y.doc_id AS b
+           cand_s AS MATERIALIZED (
+             SELECT DISTINCT x.cfg, x.doc_id AS a, y.doc_id AS b
              FROM bands_k x JOIN bands_k y
                ON x.cfg = y.cfg AND x.band_no = y.band_no
               AND x.band = y.band AND x.doc_id < y.doc_id),
-           sizes AS (SELECT doc_id, count(*) AS nsh FROM sh
-                     GROUP BY doc_id),
-           inter AS (SELECT x.doc_id AS a, y.doc_id AS b,
-                       count(*) AS n_inter
-                     FROM sh x JOIN sh y
-                       ON x.sh = y.sh AND x.doc_id < y.doc_id
-                     GROUP BY 1, 2),
+           cand_d AS MATERIALIZED (SELECT DISTINCT a, b FROM cand_s),
+           ${candInterSqlCte("cand_d")},
            scored AS (SELECT c.cfg,
                coalesce(i.n_inter, 0) AS ni,
                sa.nsh + sb.nsh - coalesce(i.n_inter, 0) AS nu

@@ -46,6 +46,7 @@ def main(sf_dir: str, out_dir: str) -> int:
         got = got[sorted(got.columns)]
         if name not in oracle:
             print(f"  ~ {name}: no oracle (rows-only), rows={len(got)}")
+            timing(name, t0)
             continue
         want = con.sql(oracle[name]).df()
         want = want[sorted(want.columns)]
@@ -70,6 +71,7 @@ def main(sf_dir: str, out_dir: str) -> int:
             if not ok:
                 n_fail += 1
                 print(f"  - {name}: FAIL  " + "; ".join(msgs))
+                timing(name, t0)
                 continue
             for c in got.columns:
                 a, b = got[c], want[c]
@@ -97,17 +99,26 @@ def main(sf_dir: str, out_dir: str) -> int:
         else:
             n_fail += 1
             print(f"  - {name}: FAIL  " + "; ".join(msgs))
-        # per-query oracle+compare seconds: big-sf replays need the cost
-        # attribution (sf_delta/SCALE.md exclusion bounds read these)
-        print(f"    ({name}: {time.time() - t0:.0f}s)", flush=True)
+        timing(name, t0)
     missing = set(oracle) - {d for d in os.listdir(out_dir)
                              if os.path.isdir(os.path.join(out_dir, d))}
-    if only:
-        missing &= {only}
+    if only_set is not None:
+        # restrict the missing-dump check to the filter itself — but with
+        # the PARSED set, not the raw comma-joined string (a multi-query
+        # filter intersected with the raw string is always empty → a
+        # declared-but-undumped query in the filter would silently pass).
+        missing &= only_set
     if missing:
         print(f"  ! oracle declared but no dump: {sorted(missing)}")
     print(f"pass={n_pass} fail={n_fail}")
     return 1 if n_fail or missing else 0
+
+
+def timing(name: str, t0: float) -> None:
+    """Per-query oracle+compare seconds: big-sf replays need the cost
+    attribution (sf_delta/SCALE.md exclusion bounds read these) — printed
+    unconditionally, including on rows-only and dtype-FAIL early exits."""
+    print(f"    ({name}: {time.time() - t0:.0f}s)", flush=True)
 
 
 def norm(v):

@@ -94,10 +94,18 @@ def main(sf_dir: str, out_dir: str, query: str) -> int:
 
 
 def pick_rotation(out_dir: str, n: int) -> str:
-    """Round-N rotation pick over the dumped queries (see module doc)."""
+    """Round-N rotation pick over the dumped queries (see module doc).
+
+    Candidates are restricted to queries present in oracle_sql.json:
+    rows-only dumps have no oracle, so run_check's '+ name: OK'
+    precondition can never hold for them and a rotation landing there
+    would exit 1 spuriously (fail-closed, but it kills the per-round
+    control for that N)."""
+    import json
+    oracled = set(json.load(open(os.path.join(out_dir, "oracle_sql.json"))))
     names = sorted(d for d in os.listdir(out_dir)
                    if os.path.isdir(os.path.join(out_dir, d))
-                   and d.startswith("q_"))
+                   and d.startswith("q_") and d in oracled)
     fams = {}
     for name in names:
         fams.setdefault(name.split("_")[1], []).append(name)

@@ -39,6 +39,13 @@ census-carrying operator whose pair count is legitimately cap-bounded at
 both scales, documented in SCALE.md). Allowed flags are printed but do
 not affect the exit code.
 
+Durable triage (VERDICT r11 §6): tools/sf_delta_allow.json — a
+{query: reason} annotations file next to this script — is loaded
+automatically and merged into --allow, with each allowed flag printing
+its recorded reason. Triaged-benign flags therefore stay triaged across
+rounds: a run reports (and exits nonzero on) only NEW flags. Override
+the file path with --allow-file=PATH; --allow-file= (empty) disables it.
+
 Exit 0 iff no un-allowed flags — wire it after each big-sf replay so a
 new zero-crossing or constant fails the run loudly.
 
@@ -48,6 +55,8 @@ re-detects exactly the two r10 defects:
     ZERO  q_dedup_embedding_lsh  10 -> 0
     CONST q_dedup_embedding      24190 -> 24190
 """
+import json
+import os
 import re
 import sys
 
@@ -80,11 +89,20 @@ def main(argv):
         return 2
     allow = set()
     min_const = 100
+    allow_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "sf_delta_allow.json")
     for a in argv:
-        if a.startswith("--allow"):
+        if a.startswith("--allow-file"):
+            allow_file = a.split("=", 1)[1] if "=" in a else ""
+        elif a.startswith("--allow"):
             allow |= set(a.split("=", 1)[1].split(",")) if "=" in a else set()
         if a.startswith("--min-const-rows="):
             min_const = int(a.split("=", 1)[1])
+    reasons = {}
+    if allow_file and os.path.exists(allow_file):
+        reasons = {k: v for k, v in json.load(open(allow_file)).items()
+                   if k.startswith("q_")}
+        allow |= set(reasons)
     small, small_fail = parse(args[0])
     big, big_fail = parse(args[1])
     common = sorted(set(small) & set(big))
@@ -111,7 +129,8 @@ def main(argv):
     new = [f for f in flags if f[1] not in allow]
     for kind, name, s, b in flags:
         tag = "allowed" if name in allow else "NEW"
-        print(f"  ! {kind:5s} {name}: {s} -> {b}  [{tag}]")
+        why = f"  ({reasons[name]})" if name in reasons else ""
+        print(f"  ! {kind:5s} {name}: {s} -> {b}  [{tag}]{why}")
     print(f"flags={len(flags)} new={len(new)}")
     return 1 if new else 0
 
