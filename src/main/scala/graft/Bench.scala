@@ -161,14 +161,28 @@ object Bench {
     * certified by this). Accepted as documented slack inside the 5%
     * budget rather than widened away — attributing writeback jiffies to
     * their originating pid is not possible from /proc alone.
-    * Returns (-1, -1) off-Linux. */
-  private def hostJiffies(): (Long, Long) =
+    * Also returns iowait (field 5) separately: VERDICT r12 §5 proved the
+    * busy-only accounting has a blind spot — a roving IO/steal stall
+    * parks CPUs in iowait, which is neither busy nor attributable to any
+    * pid, so `ext_cpu_frac` certifies a run whose queries were stalled
+    * behind someone else's disk traffic (the 228.5 s r12 artifact, 17
+    * phantom outliers, stamped certified). iowait cannot be split into
+    * "ours" vs "theirs" from /proc, but it doesn't need to be: the bench
+    * at sf0.1 works from page cache after the warm-up (measured clean-run
+    * Δiowait ≲ 1% of jiffies), so ANY material iowait is a host-health
+    * signal and the gate can afford to be blunt. steal (field 9, absent
+    * on bare metal) is folded into the same number — a VM neighbor
+    * stealing cycles stalls queries through the identical
+    * invisible-to-busy mechanism.
+    * Returns (-1, -1, -1) off-Linux. */
+  private def hostJiffies(): (Long, Long, Long) =
     try {
       val f = scala.io.Source.fromFile("/proc/stat")
       val parts = try f.getLines().next().trim.split("\\s+").drop(1)
         .map(_.toLong) finally f.close()
-      (parts(0) + parts(1) + parts(2), parts.sum)
-    } catch { case _: Throwable => (-1L, -1L) }
+      val stall = parts(4) + (if (parts.length > 7) parts(7) else 0L)
+      (parts(0) + parts(1) + parts(2), stall, parts.sum)
+    } catch { case _: Throwable => (-1L, -1L, -1L) }
 
   /** Extract the per-query seconds map from a committed bench-artifact
     * line, for the outlier comparison. Deliberately a flat-value scan,
@@ -210,6 +224,26 @@ object Bench {
         }.toMap
     }
   }
+
+  /** Outlier-retest classification (VERDICT r12 §5): the 2.5x detector
+    * fires on transient host noise as readily as on real regressions —
+    * round 12's artifact carried 17 flags that all re-ran at baseline in
+    * isolation, and two certified re-runs flagged two DISJOINT roving
+    * blocks. So a flag alone is ambiguous; one isolated re-timing after
+    * the sweep disambiguates it. `retimes` carries that re-timing (-1 =
+    * the retest itself failed). A flag is TRANSIENT iff its retest lands
+    * back inside the same 2.5x envelope the detector uses; anything else
+    * — still slow, retest failed, or no baseline/retime to judge by — is
+    * CONFIRMED, the fail-safe direction (a confirmed flag degrades the
+    * close; a wrongly-transient flag would hide a regression). Returns
+    * (confirmed, transient), each in the input order. */
+  private[graft] def classifyOutliers(
+      flagged: Seq[String], baseline: Map[String, Double],
+      retimes: Map[String, Double]): (Seq[String], Seq[String]) =
+    flagged.partition { k =>
+      (for (p <- baseline.get(k); r <- retimes.get(k))
+        yield r < 0 || r > 2.5 * p).getOrElse(true)
+    }
 
   /** utime+stime jiffies of one process from /proc/<pid>/stat (fields
     * 14-15, located after the parenthesized comm), or -1 on error. */
@@ -274,13 +308,18 @@ object Bench {
     val settleT0 = System.nanoTime()
     if (sys.env.getOrElse("SPARK_GRAFT_SETTLE", "1") != "0") {
       val capMs = 180000L
-      while (loadavg1m() > 1.5 &&
-          (System.nanoTime() - settleT0) / 1000000L < capMs)
-        Thread.sleep(15000L)
+      // sleep only the time remaining under the cap (ADVICE r12: the old
+      // check-then-sleep-15s could overshoot the documented 3-min cap by
+      // a full sleep, reading settle_wait ~195 s)
+      var remMs = capMs
+      while (loadavg1m() > 1.5 && remMs > 0) {
+        Thread.sleep(math.min(15000L, remMs))
+        remMs = capMs - (System.nanoTime() - settleT0) / 1000000L
+      }
     }
     val settleWait = (System.nanoTime() - settleT0) / 1e9
     val loadavg = loadavg1m()
-    val (busy0, jtotal0) = hostJiffies()
+    val (busy0, stall0, jtotal0) = hostJiffies()
     val self0 = selfJiffies()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -535,10 +574,47 @@ object Bench {
         java.nio.file.Paths.get(path)), "UTF-8"), sfDir)
       catch { case _: Throwable => Map.empty }
     }
-    val outliers = all.collect { case (k, v, true, _, _)
-        if !Controls(k) && priorQueries.get(k).exists(p => p > 0 && v > 2.5 * p) =>
-      "\"" + k + "\""
-    }.mkString("[", ",", "]")
+    val flagged: Seq[String] = all.collect { case (k, v, true, _, _)
+        if !Controls(k) && priorQueries.get(k).exists(p => p > 0 && v > 2.5 * p) => k }
+    // Outlier-retest pass (VERDICT r12 §5): each flagged entry gets ONE
+    // extra isolated timing after the sweep, so the artifact itself says
+    // whether a flag was a real slowdown (confirmed) or roving host noise
+    // that normalized (transient) — round 12's 17-flag artifact would
+    // have read "17 transient" instead of sending the judge on a
+    // re-measurement expedition. Cost: zero when nothing is flagged.
+    val retimes: Map[String, Double] = {
+      // the tws probe set the session-wide RocksDB provider; retested
+      // HDFS-state probes must run on the provider they were timed on
+      if (flagged.exists(_.startsWith("q_stream")))
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      flagged.map { k =>
+        k -> (try {
+          if (evict) graft.Graft.clearCaches(spark)
+          SparkEntry.queries.get(k) match {
+            case Some(fn) =>
+              val t0 = System.nanoTime()
+              fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+              (System.nanoTime() - t0) / 1e9
+            case None => streamDefs.find(_._1 == k) match {
+              case Some((n, mode, tf)) =>
+                streamProbe(spark, sfDir, mode, tf,
+                  if (twoBatch(n)) 2 else 1)._1
+              case None => -1.0
+            }
+          }
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] retest $k failed: ${e.getMessage}")
+          -1.0
+        })
+      }.toMap
+    }
+    val (outConfirmed, outTransient) =
+      classifyOutliers(flagged, priorQueries, retimes)
+    val outliers = flagged.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val outliersConfirmed =
+      outConfirmed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val outliersTransient =
+      outTransient.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Certification gate: totals are only comparable from a quiet host
     // (BASELINE.md: ambient load lands 3-5x spikes on long-stable plans,
     // and round 3's closing artifact was invalidated by a loadavg-3.57
@@ -551,23 +627,46 @@ object Bench {
     // end loadavg is stamped for transparency, not gated (it reads the
     // bench's own tail).
     val loadavgEnd = loadavg1m()
-    val (busy1, jtotal1) = hostJiffies()
+    val (busy1, stall1, jtotal1) = hostJiffies()
     val self1 = selfJiffies()
     val extCpuFrac =
       if (busy0 < 0 || busy1 < 0 || self0 < 0 || self1 < 0 ||
           jtotal1 <= jtotal0) -1.0
       else math.max(0.0,
         (busy1 - busy0 - (self1 - self0)).toDouble / (jtotal1 - jtotal0))
+    // iowait+steal fraction over the run (VERDICT r12 §5): the stall
+    // classes ext_cpu_frac is structurally blind to. Gated at the same
+    // 5%-of-machine ambient budget — a clean sf0.1 run works from page
+    // cache after warm-up and measures ≲1%, so 5% is real headroom, not
+    // a tight fit.
+    val iowaitFrac =
+      if (stall0 < 0 || stall1 < 0 || jtotal1 <= jtotal0) -1.0
+      else math.max(0.0, (stall1 - stall0).toDouble / (jtotal1 - jtotal0))
     val certified = loadavg >= 0.0 && loadavg <= 1.5 &&
-      (extCpuFrac < 0.0 || extCpuFrac <= 0.05)
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"controls":$controls,"stream_batches":$streamBatches,"stream_finalize":$streamFinalize,"stream_setup":$streamSetup,"outliers":$outliers,"ivf_lloyd":$ivfLloyd,"passes":$passes,"loadavg":$loadavg,"loadavg_end":$loadavgEnd,"settle_wait":${fmt(settleWait, 1)},"ext_cpu_frac":${fmt(extCpuFrac, 4)},"certified":$certified,"sf":"$sfDir"}"""
+      (extCpuFrac < 0.0 || extCpuFrac <= 0.05) &&
+      (iowaitFrac < 0.0 || iowaitFrac <= 0.05)
+    // Close-quality stamp (VERDICT r12 §6): BASELINE.md's refresh policy
+    // ("certified quiet closes, zero confirmed outliers") encoded in the
+    // tool, so a contaminated run can't silently become the next
+    // baseline: "ok" = certified + nothing confirmed (the only grade
+    // that may refresh BENCH_BASELINE.json or close a round),
+    // "degraded" = certified host but a flag survived its retest (a real
+    // slowdown to chase, not noise), "uncertified" = the host gates
+    // failed and the totals aren't comparable at all.
+    val closeQuality =
+      if (!certified) "uncertified"
+      else if (outConfirmed.nonEmpty) "degraded"
+      else "ok"
+    val retestJson = retimes.toSeq.sortBy(_._1).map { case (k, v) =>
+      "\"" + k + "\":" + fmt(v, 3) }.mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"controls":$controls,"stream_batches":$streamBatches,"stream_finalize":$streamFinalize,"stream_setup":$streamSetup,"outliers":$outliers,"outliers_confirmed":$outliersConfirmed,"outliers_transient":$outliersTransient,"retest_secs":$retestJson,"ivf_lloyd":$ivfLloyd,"passes":$passes,"loadavg":$loadavg,"loadavg_end":$loadavgEnd,"settle_wait":${fmt(settleWait, 1)},"ext_cpu_frac":${fmt(extCpuFrac, 4)},"iowait_frac":${fmt(iowaitFrac, 4)},"certified":$certified,"close_quality":"$closeQuality","sf":"$sfDir"}"""
     // Compact summary: everything EXCEPT the per-query map. The driver
     // keeps only a ~2 KB tail of stdout, and the full line above is >6 KB
     // — its HEAD (including "metric" and "value") can never survive the
     // tail cut, which is why BENCH_r08/r09.json both carry parsed: null
     // (VERDICT r9 §1). This line is what the driver's tail parses; the
     // full line and the persisted file carry the per-query detail.
-    val compact = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","entries":${all.size},"nfailures":${all.count(!_._3)},"failures":$failures,"outliers":$outliers,"ivf_lloyd":$ivfLloyd,"passes":$passes,"loadavg":$loadavg,"loadavg_end":$loadavgEnd,"settle_wait":${fmt(settleWait, 1)},"ext_cpu_frac":${fmt(extCpuFrac, 4)},"certified":$certified,"sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","entries":${all.size},"nfailures":${all.count(!_._3)},"failures":$failures,"outliers":$outliers,"outliers_confirmed":$outliersConfirmed,"outliers_transient":$outliersTransient,"ivf_lloyd":$ivfLloyd,"passes":$passes,"loadavg":$loadavg,"loadavg_end":$loadavgEnd,"settle_wait":${fmt(settleWait, 1)},"ext_cpu_frac":${fmt(extCpuFrac, 4)},"iowait_frac":${fmt(iowaitFrac, 4)},"certified":$certified,"close_quality":"$closeQuality","sf":"$sfDir"}"""
     println(json)
     // The driver only keeps a 2000-char tail of stdout, which truncated
     // 61 of 121 entries (and the total) out of round 3's artifact. Persist

@@ -281,15 +281,22 @@ object Similarity {
     * initialization): start from the FIRST stride seed, then repeatedly
     * take the vector with the maximum squared distance to its nearest
     * chosen seed (ties to the smallest vec_id). k-1 bounded passes, each
-    * a TakeOrdered(1) over a map-side distance column — the corpus never
-    * shuffles, driver state stays k·dim doubles. Spreads seeds to the
+    * a TakeOrdered(1) over a RUNNING nearest-distance column that folds
+    * in only the newest centroid per round (O(n·k·dim) total) — the
+    * corpus never shuffles, driver state stays k·dim doubles. Spreads seeds to the
     * hull of the data instead of wherever the id stride happens to land,
     * which is what the sparse regime (few vectors per cell) needs; the
     * declared queries keep "stride" so every oracle is untouched. */
   def ivfIndex(s: SparkSession, d: String, k: Int = 16,
-      iters: Int = 0, seeding: String = "stride"): (DataFrame, DataFrame) =
+      iters: Int = 0, seeding: String = "stride"): (DataFrame, DataFrame) = {
+    // ADVICE r12: an unvalidated free string meant any typo ("fps")
+    // silently fell back to stride — a caller could then report stride
+    // recall labeled as farthest-point with no error anywhere
+    require(Set("stride", "farthest").contains(seeding),
+      s"unknown seeding '$seeding' (expected one of: stride, farthest)")
     ivfCache.getOrElseUpdate((s, d, k, iters, seeding),
       buildIvfIndex(s, d, k, iters, seeding))
+  }
 
   private def buildIvfIndex(s: SparkSession, d: String, k: Int,
       iters: Int, seeding: String): (DataFrame, DataFrame) = {
@@ -304,27 +311,50 @@ object Similarity {
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
     def farthestSeeds(): Array[(Long, Array[Double])] = {
-      // greedy k-center from the first stride seed; each round scans for
-      // the point farthest from its nearest chosen seed. The scan frame
-      // is re-planned per round (centroids are literals), but the source
-      // is one cached-parquet read of k rounds — bounded, and index
-      // build is pay-once per (session, dataset).
+      // greedy k-center from the first stride seed — SINGLE-PASS form
+      // (VERDICT r12 §5): the frame carries a RUNNING nearest-seed
+      // distance and each round folds in only the NEWEST centroid via
+      // least(), so total work is O(n·k·dim) instead of the old
+      // re-plan-all-seeds O(n·k²·dim). Seeds are bit-identical to the
+      // old spelling: least() folds the same per-centroid doubles
+      // (identical fused-dot op sequence) that array_min compared, and
+      // min over doubles is exact selection — no accumulation to
+      // reorder — so every round's argmax winner is unchanged
+      // (spec-pinned: SimilaritySpec's determinism + recall tests).
+      // localCheckpoint materializes each round's running min so round
+      // r+1 computes ONE new distance column, not a rebuilt lineage.
+      def distTo(cv: Array[Double]): Column =
+        graft.functions.VectorFunctions.dot(col("v"), col("v")) -
+          lit(2d) * graft.functions.VectorFunctions.dot(col("v"), typedLit(cv)) +
+          lit(cv.map(x => x * x).sum)
       val first = e.filter(col("vec_id") === 0).select(col("v"))
         .collect().headOption
         .map(_.getSeq[Double](0).toArray)
         .getOrElse(strideSeeds().head._2)
       val chosen = scala.collection.mutable.ArrayBuffer(first)
-      while (chosen.size < k) {
-        val nearest = array_min(array(chosen.toSeq.map { cv =>
-          graft.functions.VectorFunctions.dot(col("v"), col("v")) -
-            lit(2d) * graft.functions.VectorFunctions.dot(col("v"), typedLit(cv)) +
-            lit(cv.map(x => x * x).sum)
-        }: _*))
-        val next = e.withColumn("graft_nd", nearest)
-          .orderBy(col("graft_nd").desc, col("vec_id"))
-          .limit(1).select(col("v")).collect()
-        chosen += next.head.getSeq[Double](0).toArray
+      var nd = e.select(col("vec_id"), col("v"),
+        distTo(first).as("graft_nd")).localCheckpoint(true)
+      var exhausted = false
+      while (chosen.size < k && !exhausted) {
+        val next = nd.orderBy(col("graft_nd").desc, col("vec_id"))
+          .limit(1).select(col("graft_nd"), col("v")).collect().head
+        // ADVICE r12: a 0-distance round means every remaining vector
+        // coincides with a chosen seed (k > distinct vectors) — stop
+        // with fewer cells, like stride seeding degenerates, instead of
+        // silently stacking duplicate centroids
+        if (next.getDouble(0) <= 0d) exhausted = true
+        else {
+          val cv = next.getSeq[Double](1).toArray
+          chosen += cv
+          if (chosen.size < k) {
+            val prev = nd
+            nd = nd.withColumn("graft_nd",
+              least(col("graft_nd"), distTo(cv))).localCheckpoint(true)
+            prev.unpersist()
+          }
+        }
       }
+      nd.unpersist()
       chosen.toArray.zipWithIndex.map { case (v, i) => i.toLong -> v }
     }
     var cents: Array[(Long, Array[Double])] =

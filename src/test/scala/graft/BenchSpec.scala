@@ -50,6 +50,40 @@ class BenchSpec extends AnyFunSuite {
       === Map("q_a" -> 0.5, "q_c" -> 1.5))
   }
 
+  test("outlier retest classifies transient vs confirmed (VERDICT r12)") {
+    val baseline = Map("q_a" -> 1.0, "q_b" -> 1.0, "q_c" -> 1.0)
+    // q_a re-ran at baseline (noise), q_b is still 3x (real), q_c's
+    // retest failed (-1) — fail-safe to confirmed
+    val (confirmed, transient) = Bench.classifyOutliers(
+      Seq("q_a", "q_b", "q_c"), baseline,
+      Map("q_a" -> 1.2, "q_b" -> 3.0, "q_c" -> -1.0))
+    assert(transient === Seq("q_a"))
+    assert(confirmed === Seq("q_b", "q_c"))
+  }
+
+  test("outlier retest: missing retime or baseline entry is confirmed") {
+    // no retime recorded at all (retest machinery itself broke), or the
+    // baseline entry vanished between flagging and classification —
+    // both must land on the side that degrades the close, never hide
+    val (confirmed, transient) = Bench.classifyOutliers(
+      Seq("q_x", "q_y"), Map("q_x" -> 1.0), Map("q_y" -> 0.5))
+    assert(confirmed === Seq("q_x", "q_y"))
+    assert(transient === Seq())
+  }
+
+  test("outlier retest: boundary sits exactly at the 2.5x detector line") {
+    val (confirmed, transient) = Bench.classifyOutliers(
+      Seq("q_at", "q_over"), Map("q_at" -> 1.0, "q_over" -> 1.0),
+      Map("q_at" -> 2.5, "q_over" -> 2.5000001))
+    assert(transient === Seq("q_at"))
+    assert(confirmed === Seq("q_over"))
+  }
+
+  test("no flags means nothing to classify (zero-cost path)") {
+    assert(Bench.classifyOutliers(Seq(), Map("q" -> 1.0), Map())
+      === ((Seq(), Seq())))
+  }
+
   test("the committed BENCH_BASELINE.json round-trips through the parser") {
     val p = java.nio.file.Paths.get("BENCH_BASELINE.json")
     assume(java.nio.file.Files.exists(p))

@@ -653,4 +653,39 @@ class SimilaritySpec extends SparkSpec {
     assert(farthestLloyd.toDouble / truth.size >= 0.25,
       s"FPS+Lloyd recall@3 $farthestLloyd/${truth.size} below floor")
   }
+
+  test("seeding parameter is validated (ADVICE r12: no silent fallback)") {
+    // a typo like "fps" used to silently select stride seeding — recall
+    // numbers could then be reported under the wrong label
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfIndex(spark, sf, 16, 0, "fps")
+    }
+    assert(e.getMessage.contains("fps"))
+  }
+
+  test("farthest seeding degenerates to fewer cells when k > distinct vecs") {
+    // ADVICE r12: with only d < k distinct vectors the greedy k-center
+    // rounds hit max-distance 0 — the build must stop with the d
+    // distinct seeds instead of stacking duplicate centroids
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_dup_embed")
+    try {
+      val base = Seq(
+        Seq(1f, 0f, 0f, 0f), Seq(0f, 1f, 0f, 0f),
+        Seq(0f, 0f, 1f, 0f), Seq(0f, 0f, 0f, 1f))
+      (0L until 12L).map(i => (i, base((i % 4).toInt), 0))
+        .toDF("vec_id", "embedding", "label")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/embeddings.parquet")
+      val cents = Similarity.ivfIndex(spark, dir.toString, 16, 0, "farthest")
+        ._2.collect().map(r => r.getSeq[Double](1))
+      assert(cents.length === 4, s"expected 4 distinct seeds, got ${cents.length}")
+      assert(cents.distinct.length === 4, "duplicate centroids slipped through")
+    } finally {
+      val wk = java.nio.file.Files.walk(dir)
+      try wk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally wk.close()
+    }
+  }
 }

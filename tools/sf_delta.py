@@ -91,13 +91,23 @@ def main(argv):
     min_const = 100
     allow_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "sf_delta_allow.json")
+    # exact-match flags only (ADVICE r12: prefix matching let a bare
+    # `--allow-file` silently DISABLE the default allow file, and any
+    # unknown `--allow*` spelling silently became an allow list — a typo
+    # could flip the exit semantics); anything unrecognized errors out
     for a in argv:
-        if a.startswith("--allow-file"):
-            allow_file = a.split("=", 1)[1] if "=" in a else ""
-        elif a.startswith("--allow"):
-            allow |= set(a.split("=", 1)[1].split(",")) if "=" in a else set()
-        if a.startswith("--min-const-rows="):
+        if not a.startswith("--"):
+            continue
+        if a.startswith("--allow-file="):
+            allow_file = a.split("=", 1)[1]
+        elif a.startswith("--allow="):
+            allow |= set(a.split("=", 1)[1].split(","))
+        elif a.startswith("--min-const-rows="):
             min_const = int(a.split("=", 1)[1])
+        else:
+            print(f"unknown option: {a} (expected --allow=Q1,Q2 | "
+                  f"--allow-file=PATH | --min-const-rows=N)")
+            return 2
     reasons = {}
     if allow_file and os.path.exists(allow_file):
         reasons = {k: v for k, v in json.load(open(allow_file)).items()
