@@ -938,6 +938,14 @@ object Dedup {
     "q_dedup_editdist",
     (s, d) => {
       val docs = T.documents(s, d).select(col("doc_id"), col("text"))
+      // localCheckpoint before the global sort (same finding as
+      // winnowPairs, VERDICT r13 probe): the sort's range-sampling pass
+      // re-executes its unmaterialized child, and here the child is the
+      // O(len²) levenshtein over every candidate pair — measured at sf3
+      // (503k pairs): 62.8 s declared vs 34.4 s for the distance pass
+      // alone, i.e. the edit distances were computed twice. Checkpoint
+      // the distances (ids + two longs per pair, tiny) so the sampling
+      // and the sort both read materialized rows.
       minhashPairs(s, d)
         .join(docs.select(col("doc_id").as("a"), col("text").as("ta")), "a")
         .join(docs.select(col("doc_id").as("b"), col("text").as("tb")), "b")
@@ -945,6 +953,7 @@ object Dedup {
           levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"),
           abs(length(col("ta")) - length(col("tb"))).cast("long")
             .as("len_diff"))
+        .localCheckpoint(true)
         .orderBy("a", "b")
     },
     Some(s"""WITH $minhashPairsSqlCte
