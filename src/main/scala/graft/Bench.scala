@@ -380,6 +380,27 @@ object Bench {
       .map { case (name, fn) =>
         try {
           if (evict) graft.Graft.clearCaches(spark)
+          // Driver GC between queries (r13, default ON; SPARK_GRAFT_GC=0
+          // opts out): Spark's ContextCleaner reclaims shuffle files,
+          // broadcasts, and checkpoint blocks only when the driver GC
+          // collects their references, and a long sweep can run for
+          // minutes without an old-gen collection, so dead shuffle data
+          // accumulates on the temp disk. The GC runs OUTSIDE the timed
+          // region and trims that backlog (~5% on the spill-heaviest
+          // sf3 entry: 71.5 -> 67.6 s after a 19-query prefix). It does
+          // NOT remove the larger position-in-sweep tax on spill-heavy
+          // queries — that is page-cache aging (25 GB/stage of
+          // sort-fallback spill IO absorbed by a fresh page cache but
+          // hitting contended storage late in a 182-query sweep;
+          // q_text_winnow_pairs: 50.3 s isolated vs 93.7 s at sweep
+          // tail). Measured dead ends, for the record: 64 GiB heap
+          // (spill gone, but giant in-memory agg maps thrash GC — 292 s
+          // of task GC, 274 s stage) and pre-repartitioning on the
+          // grouping key (single-phase agg, but the repartition shuffle
+          // sorter spills 50 GB of RAW pair rows — the partial agg it
+          // skipped was net protective). BASELINE.md r13 has the full
+          // attribution.
+          if (sys.env.getOrElse("SPARK_GRAFT_GC", "1") != "0") System.gc()
           (name, minOf(() =>
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()), true)
         } catch { case e: Throwable =>
