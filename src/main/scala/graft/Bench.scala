@@ -178,11 +178,38 @@ object Bench {
   private def hostJiffies(): (Long, Long, Long) =
     try {
       val f = scala.io.Source.fromFile("/proc/stat")
-      val parts = try f.getLines().next().trim.split("\\s+").drop(1)
-        .map(_.toLong) finally f.close()
+      val line = try f.getLines().next() finally f.close()
+      parseCpuLine(line)
+    } catch { case _: Throwable => (-1L, -1L, -1L) }
+
+  /** Pure parse of the aggregate `cpu` line → (busy, stall, total);
+    * (-1,-1,-1) on malformed input. Split from hostJiffies so the gate's
+    * field selection (busy = user+nice+system; stall = iowait+steal) is
+    * pinned by BenchSpec against synthetic /proc/stat lines. */
+  private[graft] def parseCpuLine(line: String): (Long, Long, Long) =
+    try {
+      val parts = line.trim.split("\\s+").drop(1).map(_.toLong)
       val stall = parts(4) + (if (parts.length > 7) parts(7) else 0L)
       (parts(0) + parts(1) + parts(2), stall, parts.sum)
     } catch { case _: Throwable => (-1L, -1L, -1L) }
+
+  /** The iowait+steal fraction of a run from two hostJiffies snapshots;
+    * -1 (gate-neutral) when either snapshot failed or no time passed.
+    * Pure, so BenchSpec can drive it with synthetic jiffy deltas. */
+  private[graft] def stallFrac(
+      stall0: Long, stall1: Long, jtotal0: Long, jtotal1: Long): Double =
+    if (stall0 < 0 || stall1 < 0 || jtotal1 <= jtotal0) -1.0
+    else math.max(0.0, (stall1 - stall0).toDouble / (jtotal1 - jtotal0))
+
+  /** The outlier-detector envelope, ONE spelling for both the sweep-time
+    * flag and the retest classification (ADVICE r13 found them diverged):
+    * an outlier needs ratio > 2.5x AND absolute delta > 1 s — the floor
+    * filters sub-second-baseline scheduler hiccups (q_tdc_occupancy at
+    * 0.35 s flagged in three artifacts, transient every time) while every
+    * real regression observed to date cleared it by an order of
+    * magnitude. */
+  private[graft] def isOutlier(v: Double, prior: Double): Boolean =
+    prior > 0 && v > 2.5 * prior && v - prior > 1.0
 
   /** Extract the per-query seconds map from a committed bench-artifact
     * line, for the outlier comparison. Deliberately a flat-value scan,
@@ -232,7 +259,10 @@ object Bench {
     * blocks. So a flag alone is ambiguous; one isolated re-timing after
     * the sweep disambiguates it. `retimes` carries that re-timing (-1 =
     * the retest itself failed). A flag is TRANSIENT iff its retest lands
-    * back inside the same 2.5x envelope the detector uses; anything else
+    * back inside the same envelope the detector uses — ratio ≤ 2.5x OR
+    * absolute delta ≤ 1 s (ADVICE r13: without the delta floor a
+    * sub-second-baseline retest at 3x-but-0.5s-over would "confirm" a
+    * timing the detector itself would never flag); anything else
     * — still slow, retest failed, or no baseline/retime to judge by — is
     * CONFIRMED, the fail-safe direction (a confirmed flag degrades the
     * close; a wrongly-transient flag would hide a regression). Returns
@@ -242,7 +272,7 @@ object Bench {
       retimes: Map[String, Double]): (Seq[String], Seq[String]) =
     flagged.partition { k =>
       (for (p <- baseline.get(k); r <- retimes.get(k))
-        yield r < 0 || r > 2.5 * p).getOrElse(true)
+        yield r < 0 || isOutlier(r, p)).getOrElse(true)
     }
 
   /** utime+stime jiffies of one process from /proc/<pid>/stat (fields
@@ -603,7 +633,7 @@ object Bench {
     // phantom included) clears it by an order of magnitude.
     val flagged: Seq[String] = all.collect { case (k, v, true, _, _)
         if !Controls(k) && priorQueries.get(k)
-          .exists(p => p > 0 && v > 2.5 * p && v - p > 1.0) => k }
+          .exists(p => isOutlier(v, p)) => k }
     // Outlier-retest pass (VERDICT r12 §5): each flagged entry gets ONE
     // extra isolated timing after the sweep, so the artifact itself says
     // whether a flag was a real slowdown (confirmed) or roving host noise
@@ -667,9 +697,7 @@ object Bench {
     // 5%-of-machine ambient budget — a clean sf0.1 run works from page
     // cache after warm-up and measures ≲1%, so 5% is real headroom, not
     // a tight fit.
-    val iowaitFrac =
-      if (stall0 < 0 || stall1 < 0 || jtotal1 <= jtotal0) -1.0
-      else math.max(0.0, (stall1 - stall0).toDouble / (jtotal1 - jtotal0))
+    val iowaitFrac = stallFrac(stall0, stall1, jtotal0, jtotal1)
     val certified = loadavg >= 0.0 && loadavg <= 1.5 &&
       (extCpuFrac < 0.0 || extCpuFrac <= 0.05) &&
       (iowaitFrac < 0.0 || iowaitFrac <= 0.05)

@@ -945,7 +945,9 @@ object Dedup {
       // (503k pairs): 62.8 s declared vs 34.4 s for the distance pass
       // alone, i.e. the edit distances were computed twice. Checkpoint
       // the distances (ids + two longs per pair, tiny) so the sampling
-      // and the sort both read materialized rows.
+      // and the sort both read materialized rows. Lazy (ADVICE r13):
+      // the sampling job itself materializes the marked blocks, so
+      // construction stays lazy with no second levenshtein pass.
       minhashPairs(s, d)
         .join(docs.select(col("doc_id").as("a"), col("text").as("ta")), "a")
         .join(docs.select(col("doc_id").as("b"), col("text").as("tb")), "b")
@@ -953,7 +955,7 @@ object Dedup {
           levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"),
           abs(length(col("ta")) - length(col("tb"))).cast("long")
             .as("len_diff"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
         .orderBy("a", "b")
     },
     Some(s"""WITH $minhashPairsSqlCte

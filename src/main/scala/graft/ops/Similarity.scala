@@ -327,6 +327,18 @@ object Similarity {
         graft.functions.VectorFunctions.dot(col("v"), col("v")) -
           lit(2d) * graft.functions.VectorFunctions.dot(col("v"), typedLit(cv)) +
           lit(cv.map(x => x * x).sum)
+      // Free a retired round's checkpoint blocks. Dataset.unpersist is a
+      // no-op on a localCheckpointed frame (ADVICE r13): it only clears
+      // CacheManager entries, while localCheckpoint persists at the RDD
+      // level — so reach through the LogicalRDD the checkpoint produced
+      // and unpersist THAT, or k copies of the running-distance frame
+      // linger until GC + ContextCleaner get around to them.
+      def freeCheckpoint(df: DataFrame): Unit =
+        df.queryExecution.logical match {
+          case l: org.apache.spark.sql.execution.LogicalRDD =>
+            l.rdd.unpersist(blocking = false)
+          case _ => ()
+        }
       val first = e.filter(col("vec_id") === 0).select(col("v"))
         .collect().headOption
         .map(_.getSeq[Double](0).toArray)
@@ -350,11 +362,11 @@ object Similarity {
             val prev = nd
             nd = nd.withColumn("graft_nd",
               least(col("graft_nd"), distTo(cv))).localCheckpoint(true)
-            prev.unpersist()
+            freeCheckpoint(prev)
           }
         }
       }
-      nd.unpersist()
+      freeCheckpoint(nd)
       chosen.toArray.zipWithIndex.map { case (v, i) => i.toLong -> v }
     }
     var cents: Array[(Long, Array[Double])] =

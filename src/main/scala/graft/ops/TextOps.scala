@@ -289,8 +289,8 @@ object TextOps {
     // fingerprints have no blocking key, so one hot fingerprint's whole
     // pair expansion would run inside a single task; the join spreads
     // that work across tasks instead.
-    // Eager materialization before the global sort (VERDICT r13 probe):
-    // orderBy's range partitioner SAMPLES its child, and an
+    // Materialization boundary before the global sort (VERDICT r13
+    // probe): orderBy's range partitioner SAMPLES its child, and an
     // unmaterialized child means the whole final aggregation re-executes
     // for the sampling job — measured at sf3: the 262M shuffled partial
     // rows were re-aggregated twice (14.2 s sampling + 16.3 s real),
@@ -299,12 +299,17 @@ object TextOps {
     // CacheManager plan-dedup across bench passes — and the sort stays
     // a PARALLEL range sort (the report frame scales with the near-dup
     // pair count, so a single-partition sort is not a 100 TB shape).
+    // LAZY checkpoint (ADVICE r13): eager would execute the whole job at
+    // DataFrame-construction time — a semantics change for any non-bench
+    // caller composing further transforms. Lazy still kills the double
+    // execution: the sampling job is the first to iterate the marked
+    // RDD, which persists its blocks, and the sort pass reads them.
     fp.as("x").join(fp.as("y"),
         col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 10)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
       .orderBy("a", "b")
   }
 

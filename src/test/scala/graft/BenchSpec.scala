@@ -79,6 +79,60 @@ class BenchSpec extends AnyFunSuite {
     assert(confirmed === Seq("q_over"))
   }
 
+  test("detector envelope: 1 s absolute-delta floor (VERDICT r13 §5)") {
+    // sub-second baseline, 3x ratio but only 0.6 s over: must NOT flag
+    assert(!Bench.isOutlier(0.9, 0.3))
+    // 1 s -> 3.6 s: ratio 3.6x AND delta 2.6 s — must flag
+    assert(Bench.isOutlier(3.6, 1.0))
+    // ratio at the line is not over it
+    assert(!Bench.isOutlier(2.5, 1.0))
+    // big delta but ratio under 2.5x (10 s -> 20 s): not an outlier
+    assert(!Bench.isOutlier(20.0, 10.0))
+    // delta exactly 1 s is not over the floor (4 s = 4x of 1 s... pick
+    // a case where only the floor decides: 0.8 -> 1.8 is 2.25x, use
+    // 0.5 -> 1.5: ratio 3x, delta exactly 1.0 — on the floor, no flag)
+    assert(!Bench.isOutlier(1.5, 0.5))
+    // missing/zero baseline never flags
+    assert(!Bench.isOutlier(5.0, 0.0))
+  }
+
+  test("retest classification honors the same floor (ADVICE r13)") {
+    // q_f: 0.3 s baseline, retest 0.9 s — 3x but under the 1 s floor,
+    // the detector would not flag that timing, so the retest must read
+    // it as TRANSIENT, not confirm it
+    val (confirmed, transient) = Bench.classifyOutliers(
+      Seq("q_f", "q_r"), Map("q_f" -> 0.3, "q_r" -> 1.0),
+      Map("q_f" -> 0.9, "q_r" -> 3.6))
+    assert(transient === Seq("q_f"))
+    assert(confirmed === Seq("q_r"))
+  }
+
+  test("iowait/steal gate: cpu-line parse picks fields 5+9 (VERDICT r13)") {
+    //            user nice sys  idle iowait irq softirq steal guest
+    val line = "cpu  100  10   50   800  30     5   5       20    0"
+    val (busy, stall, total) = Bench.parseCpuLine(line)
+    assert(busy === 160)   // user+nice+system only
+    assert(stall === 50)   // iowait + steal
+    assert(total === 1020)
+    // pre-2.6.33 kernels have no steal field: iowait alone, no throw
+    val old = "cpu  100 10 50 800 30 5 5"
+    assert(Bench.parseCpuLine(old) === ((160L, 30L, 1000L)))
+    // malformed line fails to (-1,-1,-1), the gate-neutral sentinel
+    assert(Bench.parseCpuLine("cpu garbage") === ((-1L, -1L, -1L)))
+  }
+
+  test("iowait/steal gate: stall fraction from synthetic jiffy deltas") {
+    // 40 stall jiffies over a 1000-jiffy window = 4% — under the gate
+    assert(Bench.stallFrac(10, 50, 0, 1000) === 0.04)
+    // failed snapshot on either side is -1 (gate-neutral, not 0)
+    assert(Bench.stallFrac(-1, 50, 0, 1000) === -1.0)
+    assert(Bench.stallFrac(10, -1, 0, 1000) === -1.0)
+    // no elapsed jiffies cannot divide
+    assert(Bench.stallFrac(10, 50, 1000, 1000) === -1.0)
+    // counter regression (proc restart) clamps at 0, never negative
+    assert(Bench.stallFrac(50, 10, 0, 1000) === 0.0)
+  }
+
   test("no flags means nothing to classify (zero-cost path)") {
     assert(Bench.classifyOutliers(Seq(), Map("q" -> 1.0), Map())
       === ((Seq(), Seq())))

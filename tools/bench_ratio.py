@@ -51,6 +51,11 @@ def main(argv):
         print(f"   skip  {q:40} {s:9.3f} {b:9.3f}  (failed side)")
     for q in missing:
         print(f"   only-one-side  {q}")
+    if not rows:
+        # ADVICE r13: disjoint artifacts / all-failed entries reach here
+        # with an empty match set — report it instead of dividing by zero
+        print("matched=0 — no entries with positive times on both sides")
+        return 0
     ssum = sum(s for _, _, s, _ in rows)
     bsum = sum(b for _, _, _, b in rows)
     nflag = sum(1 for r, *_ in rows if r > flag)
