@@ -92,6 +92,19 @@ object Bench {
         finally wk.close()
       }
     }
+    // A/B knobs for state-store attribution experiments (VERDICT r13
+    // §2) — diagnostics only, unset in driver runs. STREAM_PARTS
+    // resizes the stream's state partitioning (binds at checkpoint
+    // creation; each probe stages a fresh checkpoint, so this is the
+    // per-query provision decision it would be on a real cluster);
+    // STREAM_PROVIDER=rocksdb forces the RocksDB store on EVERY probe
+    // instead of only the transformWithState one.
+    val priorParts = spark.conf.get("spark.sql.shuffle.partitions")
+    sys.env.get("SPARK_GRAFT_STREAM_PARTS")
+      .foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p))
+    if (sys.env.get("SPARK_GRAFT_STREAM_PROVIDER").contains("rocksdb"))
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
       val t0 = System.nanoTime()
       val reader = spark.readStream.schema(rawSchema)
@@ -133,6 +146,9 @@ object Bench {
         }
       (total, perBatch, finalize)
     } finally {
+      // the A/B partition knob must not leak into later batch queries
+      sys.env.get("SPARK_GRAFT_STREAM_PARTS").foreach(_ =>
+        spark.conf.set("spark.sql.shuffle.partitions", priorParts))
       // a staged table copy + checkpoint per probe per run adds up fast
       // in /tmp — delete both (bottom-up) once the probe is done
       Seq(dir, ckpt).foreach { root =>
@@ -471,8 +487,27 @@ object Bench {
         // build recipe. Reported side-by-side with the stride numbers.
         val hf = hits(0, "farthest")
         val hf2 = hits(2, "farthest")
+        // Lloyd-depth sweep on the production recipe (VERDICT r13 §4):
+        // the sf0.1 sparse regime reads 24/30 at iters=2 — does more
+        // refinement buy recall, and at what build cost? Each step times
+        // the FULL cold path (ivfIndex caches per (sf,k,iters,seeding),
+        // so the first ivfTopk at a new iters pays seeding + iters
+        // Lloyd rounds + the probe query). iters=2 re-runs cold here
+        // rather than reusing hf2's cached index, so the curve's cost
+        // axis is one like-for-like series. Only the Similarity index
+        // caches are dropped between steps (each iters key is cold by
+        // construction; clearing bounds the lingering cells frames) —
+        // NOT catalog.clearCache, which would evict `truth` and bill
+        // each step a brute-force recompute.
+        val sweep = (2 to 5).map { it =>
+          graft.ops.Similarity.clearSessionCaches(spark)
+          val t = System.nanoTime()
+          val h = hits(it, "farthest")
+          val sec = (System.nanoTime() - t) / 1e9
+          f"""{"iters":$it,"hits":$h,"secs":$sec%.3f}"""
+        }.mkString("[", ",", "]")
         truth.unpersist()
-        s"""{"iters":2,"n_truth":$nTruth,"hits_seeded":$h0,"hits_lloyd":$h2,"hits_fps":$hf,"hits_fps_lloyd":$hf2}"""
+        s"""{"iters":2,"n_truth":$nTruth,"hits_seeded":$h0,"hits_lloyd":$h2,"hits_fps":$hf,"hits_fps_lloyd":$hf2,"lloyd_sweep":$sweep}"""
       } catch { case e: Throwable =>
         System.err.println(s"[bench] ivf_lloyd probe failed: ${e.getMessage}")
         "null"

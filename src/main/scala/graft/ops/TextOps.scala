@@ -270,9 +270,25 @@ object TextOps {
     * minhash banding, but edit-position-robust. TextSpec pins the
     * semantics; the DuckDB oracle (below) replays the hash itself. */
   /** Winnow pair generation body — `maxDf` exposed for tests; the
-    * declared query runs at [[Dedup.MaxPostingDf]]. */
+    * declared query runs at [[Dedup.MaxPostingDf]].
+    *
+    * `viaGroups` selects between two engine spellings of the same pair
+    * multiset (VERDICT r13 §3 measurement; the oracle is one spelling
+    * regardless):
+    *   - false: fp self-join — both sides shuffled on fp, SMJ/SHJ
+    *     machinery, pair rows flow join → (a,b) aggregation.
+    *   - true: group-emit — ONE shuffle of the exploded postings into
+    *     (fp → sorted doc list) groups, then the C(df,2) pairs of each
+    *     group emitted map-side by a nested-transform generator. The
+    *     df cap (≤ maxDf after the anti-join) bounds any group's
+    *     emission at C(cap,2) ≈ 500k structs — task-sized by
+    *     construction, which is what makes the single-task-per-fp
+    *     shape safe where the uncapped version would not be.
+    *     Removes one full shuffle of the exploded table plus the join
+    *     sorts; the final (a,b) aggregation is identical. */
   private[ops] def winnowPairs(s: org.apache.spark.sql.SparkSession,
-      d: String, maxDf: Int): org.apache.spark.sql.DataFrame = {
+      d: String, maxDf: Int,
+      viaGroups: Boolean = false): org.apache.spark.sql.DataFrame = {
     val fpAll = T.documents(s, d)
       .select(col("doc_id"),
         explode(graft.functions.Winnow.fingerprints(col("text"))).as("fp"))
@@ -304,9 +320,26 @@ object TextOps {
     // caller composing further transforms. Lazy still kills the double
     // execution: the sampling job is the first to iterate the marked
     // RDD, which persists its blocks, and the sort pass reads them.
-    fp.as("x").join(fp.as("y"),
-        col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    val pairRows =
+      if (viaGroups)
+        // per-doc fingerprints are DISTINCT (the winnow min-selection
+        // dedupes), so each group's doc list has no repeats and the
+        // ascending sort makes every emitted struct satisfy a < b with
+        // the exact multiset the self-join would produce
+        fp.groupBy("fp")
+          .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+          .select(explode(expr(
+            """flatten(transform(ds, (x, i) ->
+              |  transform(slice(ds, i + 2, size(ds)),
+              |            y -> struct(x AS a, y AS b))))""".stripMargin))
+            .as("p"))
+          .select(col("p.a").as("a"), col("p.b").as("b"))
+      else
+        fp.as("x").join(fp.as("y"),
+            col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    pairRows
+      .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 10)
       .localCheckpoint(false)

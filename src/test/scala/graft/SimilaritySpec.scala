@@ -654,6 +654,37 @@ class SimilaritySpec extends SparkSpec {
       s"FPS+Lloyd recall@3 $farthestLloyd/${truth.size} below floor")
   }
 
+  test("Lloyd depth sweep (iters 2..5): bounded dip, no deep-refinement collapse") {
+    // VERDICT r13 §4: the bench's lloyd_sweep artifact records the
+    // recall/cost curve at sf0.1; this pins the curve's SHAPE on the
+    // fixture so a kernel edit can't silently break the deep-refinement
+    // path. Lloyd recall is NOT monotone (measured on this fixture:
+    // 18 seeded, then 18/14/18/18/20/19 for iters 1..6 — the iters=2
+    // dip is real k-means behavior, centroids migrating through a
+    // boundary), so the honest pin is three-part: (a) no depth ever
+    // dips more than jitter below the seeded index, (b) by the deep end
+    // the sweep has recovered to at least seeded-1, (c) every depth
+    // holds the absolute floor. A regression that makes refinement
+    // destructive (e.g. a recenter-algebra bug that compounds per
+    // round) fails (a)/(b) long before it fails the floor.
+    val truth = Similarity.qSimCosineTopk.fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def hits(iters: Int): Int = {
+      val ann = Similarity.ivfTopk(spark, sf, 3, 16, 4, iters, "farthest")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (truth intersect ann).size
+    }
+    val seeded = hits(0)
+    val sweep = (2 to 5).map(it => it -> hits(it))
+    val detail = s"seeded=$seeded sweep=$sweep of ${truth.size}"
+    sweep.foreach { case (it, h) =>
+      assert(h >= seeded - 5, s"iters=$it collapsed: $detail")
+      assert(h.toDouble / truth.size >= 0.25, s"iters=$it floor: $detail")
+    }
+    assert(sweep.map(_._2).max >= seeded - 1,
+      s"deep refinement never recovers to the seeded level: $detail")
+  }
+
   test("seeding parameter is validated (ADVICE r12: no silent fallback)") {
     // a typo like "fps" used to silently select stride seeding — recall
     // numbers could then be reported under the wrong label

@@ -56,6 +56,27 @@ class ScaleGuardSpec extends SparkSpec {
     assert(full === Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("winnow group-emit spelling is row-identical to the self-join") {
+    // VERDICT r13 §3: the group-emit variant (one shuffle into
+    // fp-groups, C(df,2) pairs emitted map-side under the df cap)
+    // must produce the exact (a, b, n_shared) set of the self-join
+    // spelling on real corpus data — same multiset of pairs per shared
+    // fingerprint, so the >= 10 filter bites identically. Checked on
+    // the sf0.001 documents table, which has genuine near-dup clusters.
+    val sf = SparkSpec.Sf0001
+    def rows(viaGroups: Boolean): Set[(Long, Long, Long)] =
+      TextOps.winnowPairs(spark, sf, graft.ops.Dedup.MaxPostingDf,
+          viaGroups = viaGroups)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    val joined = rows(viaGroups = false)
+    val grouped = rows(viaGroups = true)
+    assert(grouped.nonEmpty, "fixture produced no winnow pairs at all")
+    assert(grouped === joined,
+      s"group-emit diverged: only-grouped=${(grouped -- joined).take(5)} " +
+        s"only-joined=${(joined -- grouped).take(5)}")
+  }
+
   test("a hot band beyond the DECLARED cap never reaches pair expansion") {
     // End-to-end stress at the production cap (MaxPostingDf = 1000), not
     // a unit-sized stand-in: 1500 byte-identical documents put every
