@@ -357,7 +357,12 @@ object TextOps {
     * byte handling, window edges, or the tie rule would flip rows. */
   val qTextWinnowPairs = Q(
     "q_text_winnow_pairs",
-    (s, d) => winnowPairs(s, d, Dedup.MaxPostingDf),
+    // SPARK_GRAFT_WINNOW_GROUPS=1 selects the group-emit spelling for
+    // the declared query — diagnostics-only A/B knob (same pattern as
+    // SPARK_GRAFT_STREAM_PARTS): both spellings produce the identical
+    // pair multiset (TextSpec pins it), so the oracle is untouched.
+    (s, d) => winnowPairs(s, d, Dedup.MaxPostingDf,
+      viaGroups = sys.env.get("SPARK_GRAFT_WINNOW_GROUPS").contains("1")),
     Some(s"""WITH RECURSIVE pows(e, pw) AS (
                SELECT 0, CAST(1 AS BIGINT) UNION ALL
                SELECT e + 1, pw * 257 % 1000000007 FROM pows WHERE e < 15),
