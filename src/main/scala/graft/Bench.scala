@@ -381,7 +381,21 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // SPARK_GRAFT_SHUFFLE_PARTS: diagnostics-only override of the
+      // session shuffle-partition count (default = cores, the value
+      // every recorded close uses). Exists for the winnow spill A/B
+      // (VERDICT r13 §3): more, smaller sort-fallback runs per
+      // partition vs more merge fan-in — measured, not guessed.
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus))
+      // AQE initial reducer count before runtime coalescing
+      // (SPARK_GRAFT_INIT_PARTS, diagnostics A/B): lets spill-heavy
+      // exchanges keep high fan-out while AQE coalesces small ones to
+      // ~advisory size — the per-shuffle provision decision a real
+      // cluster makes, here under measurement before any default moves.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS",
+          sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus)))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.optimizer.excludedRules", GraftConf.ExcludedRules)
       .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -760,14 +774,14 @@ object Bench {
       else "ok"
     val retestJson = retimes.toSeq.sortBy(_._1).map { case (k, v) =>
       "\"" + k + "\":" + fmt(v, 3) }.mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"controls":$controls,"stream_batches":$streamBatches,"stream_finalize":$streamFinalize,"stream_setup":$streamSetup,"outliers":$outliers,"outliers_confirmed":$outliersConfirmed,"outliers_transient":$outliersTransient,"retest_secs":$retestJson,"ivf_lloyd":$ivfLloyd,"passes":$passes,"loadavg":$loadavg,"loadavg_end":$loadavgEnd,"settle_wait":${fmt(settleWait, 1)},"ext_cpu_frac":${fmt(extCpuFrac, 4)},"iowait_frac":${fmt(iowaitFrac, 4)},"certified":$certified,"close_quality":"$closeQuality","sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"controls":$controls,"stream_batches":$streamBatches,"stream_finalize":$streamFinalize,"stream_setup":$streamSetup,"outliers":$outliers,"outliers_confirmed":$outliersConfirmed,"outliers_transient":$outliersTransient,"retest_secs":$retestJson,"ivf_lloyd":$ivfLloyd,"passes":$passes,"shuffle_partitions":${spark.conf.get("spark.sql.shuffle.partitions")},"loadavg":$loadavg,"loadavg_end":$loadavgEnd,"settle_wait":${fmt(settleWait, 1)},"ext_cpu_frac":${fmt(extCpuFrac, 4)},"iowait_frac":${fmt(iowaitFrac, 4)},"certified":$certified,"close_quality":"$closeQuality","sf":"$sfDir"}"""
     // Compact summary: everything EXCEPT the per-query map. The driver
     // keeps only a ~2 KB tail of stdout, and the full line above is >6 KB
     // — its HEAD (including "metric" and "value") can never survive the
     // tail cut, which is why BENCH_r08/r09.json both carry parsed: null
     // (VERDICT r9 §1). This line is what the driver's tail parses; the
     // full line and the persisted file carry the per-query detail.
-    val compact = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","entries":${all.size},"nfailures":${all.count(!_._3)},"failures":$failures,"outliers":$outliers,"outliers_confirmed":$outliersConfirmed,"outliers_transient":$outliersTransient,"ivf_lloyd":$ivfLloyd,"passes":$passes,"loadavg":$loadavg,"loadavg_end":$loadavgEnd,"settle_wait":${fmt(settleWait, 1)},"ext_cpu_frac":${fmt(extCpuFrac, 4)},"iowait_frac":${fmt(iowaitFrac, 4)},"certified":$certified,"close_quality":"$closeQuality","sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","entries":${all.size},"nfailures":${all.count(!_._3)},"failures":$failures,"outliers":$outliers,"outliers_confirmed":$outliersConfirmed,"outliers_transient":$outliersTransient,"ivf_lloyd":$ivfLloyd,"passes":$passes,"shuffle_partitions":${spark.conf.get("spark.sql.shuffle.partitions")},"loadavg":$loadavg,"loadavg_end":$loadavgEnd,"settle_wait":${fmt(settleWait, 1)},"ext_cpu_frac":${fmt(extCpuFrac, 4)},"iowait_frac":${fmt(iowaitFrac, 4)},"certified":$certified,"close_quality":"$closeQuality","sf":"$sfDir"}"""
     println(json)
     // The driver only keeps a 2000-char tail of stdout, which truncated
     // 61 of 121 entries (and the total) out of round 3's artifact. Persist
