@@ -14,11 +14,17 @@ Design notes (what keeps the workload shape honest at 10x):
     replicas. documents/embeddings share one id domain (they join on
     doc_id = vec_id), so both offset by the same constant.
   - Document texts get a replica-specific salt token inserted every 5
-    tokens (replica 0 unchanged): cross-replica copies of a document
-    share too few shingles to read as near-dups, so the corpus-wide
-    near-dup RATE stays at the driver's calibration instead of every
-    document acquiring 9 exact clones (which would turn the dedup family
-    into a different, clone-dominated workload). n_chars is recomputed.
+    tokens (replica 0 unchanged) so cross-replica copies are not EXACT
+    clones. Measured caveat (r13/r14): the salting dilutes but does not
+    eliminate cross-replica similarity — enough shingles/fingerprints
+    between salt insertions survive that absolute-threshold families
+    (winnow >= 10 shared fps) and banded MinHash still pair replicas of
+    the same document, so candidate-pair counts grow ~C(R,2) per doc
+    family, super-linear in R (sf1->sf3: 7.3x pairs for 3x docs;
+    sf3->sf10: ~11x predicted by C(100,2)/C(30,2), confirmed by the
+    winnow probe's 10.7x runtime). Treat big-R fixtures as a
+    deliberately clone-dense stress regime — per-pair engine cost is
+    what must stay flat, not pair counts. n_chars is recomputed.
   - Embeddings get a tiny alternating-sign per-dim offset scaled by the
     replica index: cross-replica vectors are near but not identical, and
     the perturbation is additive (NOT a scale factor, which cosine would
