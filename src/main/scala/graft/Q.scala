@@ -82,27 +82,49 @@ object Tables {
   def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
   def events(s: SparkSession, d: String): DataFrame    = eventsRaw(s, d)
   def documents(s: SparkSession, d: String): DataFrame =
-    spread(s, t(s, d, "documents"))
+    spread(s, t(s, d, "documents"), s"$d/documents.parquet")
   def embeddings(s: SparkSession, d: String): DataFrame =
-    spread(s, t(s, d, "embeddings"))
+    spread(s, t(s, d, "embeddings"), s"$d/embeddings.parquet")
 
   /** The corpora feeding compute-heavy per-row work (shingling, hashing,
     * vector math) must be spread across the cluster even when the file
-    * layout can't: a single-row-group parquet file scans as ONE split, so
-    * everything before the first shuffle would serialize on one core.
-    * Repartition only when the scan's split count can't feed the cluster —
-    * a no-op on a production corpus with thousands of splits, one narrow
-    * shuffle of a small table locally. */
-  private val splitCounts =
+    * layout can't: parquet can never split INSIDE a row group, so a
+    * single-row-group file scans as one non-empty task no matter how
+    * many byte-range splits the planner cuts — and everything before the
+    * first shuffle serializes on one core.
+    *
+    * Measured failure of the previous split-count test (r14, sf10): a
+    * 66 MB single-row-group documents file under local[32] plans
+    * 17 byte-range splits (maxSplitBytes = size/parallelism), 16 of them
+    * EMPTY — the count looked healthy, the repartition was skipped, and
+    * every interpreted-lambda map phase ran one task
+    * (q_text_language_ngram: 691 s isolated). The honest splittability
+    * signal is the ROW-GROUP count, a metadata-only footer read,
+    * memoized per path. On a production corpus (thousands of files ×
+    * row groups) this is a no-op; locally it is one narrow shuffle of a
+    * small table. */
+  private val rowGroupCounts =
     scala.collection.concurrent.TrieMap.empty[String, Int]
 
-  private def spread(s: SparkSession, df: DataFrame): DataFrame = {
+  private def rowGroups(s: SparkSession, path: String): Int = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+      else Array(fs.getFileStatus(p))
+    files.map { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
+      try r.getFooter.getBlocks.size finally r.close()
+    }.sum
+  }
+
+  private def spread(s: SparkSession, df: DataFrame, path: String): DataFrame = {
     val target = s.sparkContext.defaultParallelism
-    // Planning the scan to count splits costs ~100 ms; queries load the
-    // same table several times, so memoize per path.
-    val parts = splitCounts.getOrElseUpdate(
-      df.queryExecution.logical.toString,
-      df.rdd.getNumPartitions)
+    val parts = rowGroupCounts.getOrElseUpdate(path,
+      try rowGroups(s, path) catch { case _: Throwable => Int.MaxValue })
     if (parts * 2 < target) df.repartition(target) else df
   }
 }

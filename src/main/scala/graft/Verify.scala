@@ -9,7 +9,11 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // same per-scale provision knob as Bench: big-sf dumps (sf3+)
+      // need more reducers than cores or the pair-family aggregations
+      // sort-spill tens of GB (BASELINE.md r14 provisioning study)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.optimizer.excludedRules", GraftConf.ExcludedRules)
       .config("spark.sql.extensions", "graft.GraftExtensions")
