@@ -301,6 +301,52 @@ object Bench {
         yield r < 0 || isOutlier(r, p)).getOrElse(true)
     }
 
+  /** Parse a count-valued SPARK_GRAFT_* override as a positive Int,
+    * failing LOUDLY at session-build time: interpolating a raw env
+    * string into the artifact line meant a typo'd override produced an
+    * invalid-JSON artifact instead of a clear error (ADVICE r14). */
+  private[graft] def parsePosInt(name: String, v: String): Int = {
+    val parsed = try v.trim.toInt catch { case _: NumberFormatException =>
+      throw new IllegalArgumentException(
+        s"$name must be a positive integer, got '$v'") }
+    if (parsed <= 0) throw new IllegalArgumentException(
+      s"$name must be a positive integer, got '$v'")
+    parsed
+  }
+
+  /** Minimal JSON string encoder for artifact fields that carry
+    * user-controlled text (env override values). */
+  private[graft] def jsonStr(s: String): String =
+    s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case c if c < ' '  => f"\\u${c.toInt}%04x"
+      case c             => c.toString
+    }.mkString("\"", "", "\"")
+
+  /** Every SPARK_GRAFT_* override in effect, as a JSON object — stamped
+    * into the artifact so a diagnostics A/B run (INIT_PARTS,
+    * WINNOW_GROUPS, …) is distinguishable from a default close in the
+    * recorded JSON (ADVICE r14: shuffle_partitions alone left the other
+    * behavior-changing knobs invisible). */
+  private[graft] def envOverridesJson(env: Map[String, String]): String =
+    env.toSeq.filter(_._1.startsWith("SPARK_GRAFT_")).sortBy(_._1)
+      .map { case (k, v) => jsonStr(k) + ":" + jsonStr(v) }
+      .mkString("{", ",", "}")
+
+  /** One bounded re-settle-and-rerun when a close comes back
+    * uncertified (VERDICT r14 #5): the r14 driver close was stamped
+    * uncertified purely from host noise at close time (ext_cpu 40%)
+    * while the engine itself was clean — a single retry after a fresh
+    * settle loop keeps a noisy moment from leaving the round's official
+    * artifact uncertified. Gate thresholds are untouched: a host that
+    * is STILL noisy on the retry fails certification exactly as before.
+    * "degraded" (certified host, confirmed outlier) does NOT retry —
+    * that grade means a real slowdown to chase, not noise. */
+  private[graft] def shouldRetry(closeQuality: String, attempt: Int,
+      enabled: Boolean): Boolean =
+    enabled && attempt == 1 && closeQuality == "uncertified"
+
   /** utime+stime jiffies of one process from /proc/<pid>/stat (fields
     * 14-15, located after the parenthesized comm), or -1 on error. */
   private def pidJiffies(pid: String): Long =
@@ -339,6 +385,24 @@ object Bench {
     } catch { case _: Throwable => -1.0 }
 
   def main(args: Array[String]): Unit = {
+    // SPARK_GRAFT_CLOSE_RETRY=0 opts out (single-query iteration and
+    // diagnostics runs don't need the re-settle machinery).
+    val retryEnabled =
+      sys.env.getOrElse("SPARK_GRAFT_CLOSE_RETRY", "1") != "0"
+    var attempt = 1
+    var quality = runSweep(attempt)
+    while (shouldRetry(quality, attempt, retryEnabled)) {
+      System.err.println(s"[bench] close attempt $attempt uncertified " +
+        "(host-noise gates); re-settling and re-running once")
+      attempt += 1
+      quality = runSweep(attempt)
+    }
+  }
+
+  /** One full sweep: settle, run every declared query + streaming
+    * probe, emit and persist the artifact. Returns the close_quality
+    * grade so [[main]] can decide on the single bounded retry. */
+  private def runSweep(attempt: Int): String = {
     // Host-contamination accounting (VERDICT r8 §4). Pre-run 1-min
     // loadavg flags ambient load at start; the END-of-run loadavg is
     // stamped too but NOT gated on — it mostly measures the bench's own
@@ -378,7 +442,14 @@ object Bench {
     val (busy0, stall0, jtotal0) = hostJiffies()
     val self0 = selfJiffies()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // count-valued knobs are validated HERE so a typo fails the run with
+    // a clear message instead of emitting an invalid-JSON artifact
+    val cpus = parsePosInt("SPARK_GRAFT_CPUS",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val shuffleParts = parsePosInt("SPARK_GRAFT_SHUFFLE_PARTS",
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus.toString))
+    val initParts = parsePosInt("SPARK_GRAFT_INIT_PARTS",
+      sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", shuffleParts.toString))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       // SPARK_GRAFT_SHUFFLE_PARTS: diagnostics-only override of the
@@ -386,16 +457,14 @@ object Bench {
       // every recorded close uses). Exists for the winnow spill A/B
       // (VERDICT r13 §3): more, smaller sort-fallback runs per
       // partition vs more merge fan-in — measured, not guessed.
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus))
+      .config("spark.sql.shuffle.partitions", shuffleParts.toString)
       // AQE initial reducer count before runtime coalescing
       // (SPARK_GRAFT_INIT_PARTS, diagnostics A/B): lets spill-heavy
       // exchanges keep high fan-out while AQE coalesces small ones to
       // ~advisory size — the per-shuffle provision decision a real
       // cluster makes, here under measurement before any default moves.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS",
-          sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus)))
+        initParts.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.optimizer.excludedRules", GraftConf.ExcludedRules)
       .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -774,14 +843,15 @@ object Bench {
       else "ok"
     val retestJson = retimes.toSeq.sortBy(_._1).map { case (k, v) =>
       "\"" + k + "\":" + fmt(v, 3) }.mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"controls":$controls,"stream_batches":$streamBatches,"stream_finalize":$streamFinalize,"stream_setup":$streamSetup,"outliers":$outliers,"outliers_confirmed":$outliersConfirmed,"outliers_transient":$outliersTransient,"retest_secs":$retestJson,"ivf_lloyd":$ivfLloyd,"passes":$passes,"shuffle_partitions":${spark.conf.get("spark.sql.shuffle.partitions")},"loadavg":$loadavg,"loadavg_end":$loadavgEnd,"settle_wait":${fmt(settleWait, 1)},"ext_cpu_frac":${fmt(extCpuFrac, 4)},"iowait_frac":${fmt(iowaitFrac, 4)},"certified":$certified,"close_quality":"$closeQuality","sf":"$sfDir"}"""
+    val envOverrides = envOverridesJson(sys.env)
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failures,"controls":$controls,"stream_batches":$streamBatches,"stream_finalize":$streamFinalize,"stream_setup":$streamSetup,"outliers":$outliers,"outliers_confirmed":$outliersConfirmed,"outliers_transient":$outliersTransient,"retest_secs":$retestJson,"ivf_lloyd":$ivfLloyd,"passes":$passes,"shuffle_partitions":$shuffleParts,"env_overrides":$envOverrides,"attempt":$attempt,"loadavg":$loadavg,"loadavg_end":$loadavgEnd,"settle_wait":${fmt(settleWait, 1)},"ext_cpu_frac":${fmt(extCpuFrac, 4)},"iowait_frac":${fmt(iowaitFrac, 4)},"certified":$certified,"close_quality":"$closeQuality","sf":"$sfDir"}"""
     // Compact summary: everything EXCEPT the per-query map. The driver
     // keeps only a ~2 KB tail of stdout, and the full line above is >6 KB
     // — its HEAD (including "metric" and "value") can never survive the
     // tail cut, which is why BENCH_r08/r09.json both carry parsed: null
     // (VERDICT r9 §1). This line is what the driver's tail parses; the
     // full line and the persisted file carry the per-query detail.
-    val compact = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","entries":${all.size},"nfailures":${all.count(!_._3)},"failures":$failures,"outliers":$outliers,"outliers_confirmed":$outliersConfirmed,"outliers_transient":$outliersTransient,"ivf_lloyd":$ivfLloyd,"passes":$passes,"shuffle_partitions":${spark.conf.get("spark.sql.shuffle.partitions")},"loadavg":$loadavg,"loadavg_end":$loadavgEnd,"settle_wait":${fmt(settleWait, 1)},"ext_cpu_frac":${fmt(extCpuFrac, 4)},"iowait_frac":${fmt(iowaitFrac, 4)},"certified":$certified,"close_quality":"$closeQuality","sf":"$sfDir"}"""
+    val compact = s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","entries":${all.size},"nfailures":${all.count(!_._3)},"failures":$failures,"outliers":$outliers,"outliers_confirmed":$outliersConfirmed,"outliers_transient":$outliersTransient,"ivf_lloyd":$ivfLloyd,"passes":$passes,"shuffle_partitions":$shuffleParts,"env_overrides":$envOverrides,"attempt":$attempt,"loadavg":$loadavg,"loadavg_end":$loadavgEnd,"settle_wait":${fmt(settleWait, 1)},"ext_cpu_frac":${fmt(extCpuFrac, 4)},"iowait_frac":${fmt(iowaitFrac, 4)},"certified":$certified,"close_quality":"$closeQuality","sf":"$sfDir"}"""
     println(json)
     // The driver only keeps a 2000-char tail of stdout, which truncated
     // 61 of 121 entries (and the total) out of round 3's artifact. Persist
@@ -808,5 +878,6 @@ object Bench {
     // inside the driver's 2 KB stdout tail in full.
     println(json)
     println(compact)
+    closeQuality
   }
 }

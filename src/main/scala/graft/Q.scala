@@ -100,13 +100,27 @@ object Tables {
     * every interpreted-lambda map phase ran one task
     * (q_text_language_ngram: 691 s isolated). The honest splittability
     * signal is the ROW-GROUP count, a metadata-only footer read,
-    * memoized per path. On a production corpus (thousands of files ×
-    * row groups) this is a no-op; locally it is one narrow shuffle of a
-    * small table. */
+    * memoized per path.
+    *
+    * The row-group count alone over-estimates too (ADVICE r14): the
+    * planner PACKS many small row groups into one split when
+    * maxSplitBytes exceeds row-group size, so a 20-row-group layout can
+    * still plan only ~3 non-empty tasks. Effective scan parallelism is
+    * bounded by BOTH counts, so the signal is their MIN: min(row
+    * groups, planned splits). On a production corpus (thousands of
+    * files × row groups) the footer sweep short-circuits at the
+    * decision threshold — O(threshold) footer reads, not O(files);
+    * locally the repartition is one narrow shuffle of a small table. */
   private val rowGroupCounts =
     scala.collection.concurrent.TrieMap.empty[String, Int]
 
-  private def rowGroups(s: SparkSession, path: String): Int = {
+  /** Total row groups across the parquet file(s) at `path`, stopping as
+    * soon as the running count reaches `stopAt` (the answer past the
+    * caller's threshold doesn't change the decision, so don't pay
+    * O(files) footer I/O for it). Truncated results are therefore a
+    * LOWER bound that is only exact below `stopAt`. */
+  private[graft] def rowGroups(s: SparkSession, path: String,
+      stopAt: Int = Int.MaxValue): Int = {
     val conf = s.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
@@ -114,17 +128,43 @@ object Tables {
       if (fs.getFileStatus(p).isDirectory)
         fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
       else Array(fs.getFileStatus(p))
-    files.map { f =>
+    var sum = 0
+    val it = files.iterator
+    while (it.hasNext && sum < stopAt) {
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(f, conf))
-      try r.getFooter.getBlocks.size finally r.close()
-    }.sum
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(it.next(), conf))
+      try sum += r.getFooter.getBlocks.size finally r.close()
+    }
+    sum
   }
 
-  private def spread(s: SparkSession, df: DataFrame, path: String): DataFrame = {
+  private[graft] def spread(s: SparkSession, df: DataFrame, path: String): DataFrame = {
     val target = s.sparkContext.defaultParallelism
-    val parts = rowGroupCounts.getOrElseUpdate(path,
-      try rowGroups(s, path) catch { case _: Throwable => Int.MaxValue })
-    if (parts * 2 < target) df.repartition(target) else df
+    // planned byte-range splits: an upper bound on scan tasks; when it
+    // is already under the threshold the repartition happens regardless
+    // of row groups, so the footer sweep is skipped entirely
+    val planned = df.rdd.getNumPartitions
+    if (planned.toLong * 2 < target) return df.repartition(target)
+    // the decision only needs "row groups < target/2?", so the footer
+    // sweep may stop counting at the threshold; memoize per (threshold,
+    // path) because a truncated count is not reusable under a larger
+    // threshold
+    val threshold = (target + 1) / 2
+    val rgs = rowGroupCounts.getOrElseUpdate(s"$threshold:$path",
+      try rowGroups(s, path, stopAt = threshold)
+      catch { case scala.util.control.NonFatal(e) =>
+        // Logged, explicit fallback (no silent caps): without the footer
+        // count, trust the planner's split count alone — planned splits
+        // still bound parallelism from above, so a one-row-group giant
+        // file degrades to the pre-r14 behavior instead of silently
+        // serializing AND silently skipping the log.
+        System.err.println(s"[graft] rowGroups($path) failed " +
+          s"(${e.getClass.getSimpleName}: ${e.getMessage}); " +
+          "falling back to the planned split count alone")
+        Int.MaxValue })
+    // Long math — the Int.MaxValue fallback must not overflow the
+    // comparison (Int.MaxValue * 2 == -2 would force a repartition,
+    // the opposite of what the "trust the planner" sentinel means)
+    if (rgs.toLong * 2 < target) df.repartition(target) else df
   }
 }

@@ -138,6 +138,38 @@ class BenchSpec extends AnyFunSuite {
       === ((Seq(), Seq())))
   }
 
+  test("count overrides parse strictly: positive ints only (ADVICE r14)") {
+    assert(Bench.parsePosInt("SPARK_GRAFT_CPUS", "32") === 32)
+    assert(Bench.parsePosInt("X", " 8 ") === 8)
+    for (bad <- Seq("auto", "", "0", "-4", "3.5", "1e3"))
+      assertThrows[IllegalArgumentException](Bench.parsePosInt("X", bad))
+  }
+
+  test("env_overrides stamp: SPARK_GRAFT_* only, sorted, JSON-escaped") {
+    val env = Map(
+      "SPARK_GRAFT_SHUFFLE_PARTS" -> "512",
+      "SPARK_GRAFT_WINNOW_GROUPS" -> "1",
+      "SPARK_GRAFT_INIT_PARTS" -> "256",
+      "PATH" -> "/usr/bin",
+      "HOME" -> "/root")
+    assert(Bench.envOverridesJson(env) ===
+      """{"SPARK_GRAFT_INIT_PARTS":"256","SPARK_GRAFT_SHUFFLE_PARTS":"512","SPARK_GRAFT_WINNOW_GROUPS":"1"}""")
+    assert(Bench.envOverridesJson(Map("HOME" -> "/root")) === "{}")
+    // a hostile value cannot break the artifact's JSON
+    assert(Bench.envOverridesJson(Map("SPARK_GRAFT_X" -> "a\"b\\c\nd"))
+      === "{\"SPARK_GRAFT_X\":\"a\\\"b\\\\c\\u000ad\"}")
+  }
+
+  test("close retry: once, only on uncertified, only when enabled (VERDICT r14 #5)") {
+    assert(Bench.shouldRetry("uncertified", 1, enabled = true))
+    // bounded: never a second retry
+    assert(!Bench.shouldRetry("uncertified", 2, enabled = true))
+    // "degraded" is a real slowdown to chase, not host noise — no retry
+    assert(!Bench.shouldRetry("degraded", 1, enabled = true))
+    assert(!Bench.shouldRetry("ok", 1, enabled = true))
+    assert(!Bench.shouldRetry("uncertified", 1, enabled = false))
+  }
+
   test("the committed BENCH_BASELINE.json round-trips through the parser") {
     val p = java.nio.file.Paths.get("BENCH_BASELINE.json")
     assume(java.nio.file.Files.exists(p))
