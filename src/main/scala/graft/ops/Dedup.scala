@@ -70,9 +70,16 @@ object Dedup {
     * it broadcasts — so neither the quadratic pair expansion nor the hot
     * key's collect_list buffer ever materializes. The input is scanned
     * twice (count pass + collect pass); that is the standard trade for
-    * bounding the worst group at corpus scale. */
+    * bounding the worst group at corpus scale.
+    *
+    * `keep` (a subset of `keys`) passes group-key columns through to the
+    * output beside (a, b) — constant per group, so it costs nothing.
+    * This is what lets a MULTI-CONFIG caller (the band-sweep calibration)
+    * run ONE grouped pass over a frame whose key embeds the config id,
+    * instead of filter-and-regroup per config (r15: 4 hot-count + 4
+    * collect shuffles + 8 cache scans collapse to 1 + 1 + 2). */
   def pairsFromGroups(df: DataFrame, keys: Seq[String],
-      maxDf: Int = MaxPostingDf): DataFrame = {
+      maxDf: Int = MaxPostingDf, keep: Seq[String] = Nil): DataFrame = {
     val kc = keys.map(col)
     val hot = df.groupBy(kc: _*).agg(count(lit(1)).as("graft_df"))
       .filter(col("graft_df") > maxDf)
@@ -81,8 +88,9 @@ object Dedup {
       .groupBy(kc: _*)
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(graft.functions.PairCombinations.pairs(col("ids")))
-      .select("a", "b")
+      .select(keep.map(col) :+
+        graft.functions.PairCombinations.pairs(col("ids")): _*)
+      .select((keep :+ "a" :+ "b").map(col): _*)
   }
 
   /** Census of what [[pairsFromGroups]]' df-cap DROPPED — the "no silent
@@ -1169,11 +1177,15 @@ object Dedup {
         .agg(count(lit(1)).as("df"))
         .filter(col("df") > BandSweepMaxDf)
         .groupBy("cfg").agg(count(lit(1)).as("ncap"))
-      val pairs = BandSweepConfigs.map { case (nb, _) =>
-        pairsFromGroups(bands.filter(col("cfg") === nb),
-            Seq("band_no", "band"), BandSweepMaxDf)
-          .distinct().withColumn("cfg", lit(nb))
-      }.reduce(_ unionAll _)
+      // ONE grouped pass for all four configs: cfg is part of the band
+      // key, so (cfg, band_no, band) groups are exactly the per-config
+      // (band_no, band) groups, the per-group cap is unchanged, and
+      // distinct over (cfg, a, b) equals the old per-config distinct —
+      // same rows, minus 3 hot-count shuffles, 3 collect shuffles, and
+      // 6 scans of the cached band frame (r15, VERDICT r14 #4).
+      val pairs = pairsFromGroups(bands, Seq("cfg", "band_no", "band"),
+        BandSweepMaxDf, keep = Seq("cfg"))
+        .distinct()
       val ja = base.select(col("doc_id").as("a"), col("shd").as("sha"))
       val jb = base.select(col("doc_id").as("b"), col("shd").as("shb"))
       val scored = pairs.join(ja, "a").join(jb, "b")
