@@ -28,8 +28,18 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        // Per-query cache eviction, same discipline as Bench (r15): a
+        // full-surface dump accumulates every query's persisted frames
+        // (band/posting/index caches) in one session — harmless at
+        // sf0.01, but at sf10 ~150 queries of leftovers squeezed the
+        // heap until winnow's spill-heavy stages OOM'd the JVM (exit
+        // 52) and killed the 17 queries behind it. Eviction keeps each
+        // dump's memory footprint its OWN footprint at any scale.
+        graft.Graft.clearCaches(spark)
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
