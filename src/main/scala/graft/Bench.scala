@@ -345,7 +345,26 @@ object Bench {
     * that grade means a real slowdown to chase, not noise. */
   private[graft] def shouldRetry(closeQuality: String, attempt: Int,
       enabled: Boolean): Boolean =
-    enabled && attempt == 1 && closeQuality == "uncertified"
+    enabled && attempt == 1 && (closeQuality == "uncertified")
+
+  /** Close-quality grade (VERDICT r12 §6, refined ADVICE r15): the
+    * BENCH_BASELINE refresh policy encoded in the tool. "ok" — certified
+    * host, zero flagged outliers, FIRST attempt: the only grade that may
+    * refresh the comparator or close a round. "ok-retry" — same gates
+    * passed but on the bounded attempt-2 re-run, which executes in the
+    * same JVM right after a full attempt-1 sweep and therefore benefits
+    * from warm OS page cache and JIT (BASELINE.md r15: 126.5 s attempt-2
+    * vs 140.9 s comparator — part real win, part warmth); indicative
+    * only, never a refresh source — a fresh attempt-1 close must confirm
+    * it. "degraded" — certified host but a flag survived its retest (a
+    * real slowdown to chase). "uncertified" — host gates failed, totals
+    * not comparable. */
+  private[graft] def gradeClose(certified: Boolean, confirmed: Boolean,
+      attempt: Int): String =
+    if (!certified) "uncertified"
+    else if (confirmed) "degraded"
+    else if (attempt > 1) "ok-retry"
+    else "ok"
 
   /** utime+stime jiffies of one process from /proc/<pid>/stat (fields
     * 14-15, located after the parenthesized comm), or -1 on error. */
@@ -829,18 +848,10 @@ object Bench {
     val certified = loadavg >= 0.0 && loadavg <= 1.5 &&
       (extCpuFrac < 0.0 || extCpuFrac <= 0.05) &&
       (iowaitFrac < 0.0 || iowaitFrac <= 0.05)
-    // Close-quality stamp (VERDICT r12 §6): BASELINE.md's refresh policy
-    // ("certified quiet closes, zero confirmed outliers") encoded in the
-    // tool, so a contaminated run can't silently become the next
-    // baseline: "ok" = certified + nothing confirmed (the only grade
-    // that may refresh BENCH_BASELINE.json or close a round),
-    // "degraded" = certified host but a flag survived its retest (a real
-    // slowdown to chase, not noise), "uncertified" = the host gates
-    // failed and the totals aren't comparable at all.
-    val closeQuality =
-      if (!certified) "uncertified"
-      else if (outConfirmed.nonEmpty) "degraded"
-      else "ok"
+    // Close-quality stamp — grading semantics live on [[gradeClose]];
+    // attempt-2 passes grade "ok-retry" (warm-cache/JIT advantaged,
+    // never a BENCH_BASELINE refresh source — ADVICE r15).
+    val closeQuality = gradeClose(certified, outConfirmed.nonEmpty, attempt)
     val retestJson = retimes.toSeq.sortBy(_._1).map { case (k, v) =>
       "\"" + k + "\":" + fmt(v, 3) }.mkString("{", ",", "}")
     val envOverrides = envOverridesJson(sys.env)

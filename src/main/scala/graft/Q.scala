@@ -138,12 +138,27 @@ object Tables {
     sum
   }
 
+  /** Planned-split probes, memoized per path (ADVICE r15): the probe
+    * forces physical planning of the scan (`df.rdd.getNumPartitions`),
+    * and [[spread]] runs on every documents/embeddings table
+    * construction — at large file counts that is repeated split-planning
+    * work for an answer that cannot change within a session (same path,
+    * same session-level `spark.sql.files.*` confs; callers only ever
+    * pass the canonical scan of `path`, which the signature documents).
+    * Keyed per path like [[rowGroupCounts]] — the one process hosts one
+    * engine session. */
+  private val plannedSplits =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
+
+  /** `df` MUST be the canonical scan of `path` (no coalesce/repartition
+    * applied): the planned-split probe is memoized per path, so a
+    * transformed frame would poison the cache for later callers. */
   private[graft] def spread(s: SparkSession, df: DataFrame, path: String): DataFrame = {
     val target = s.sparkContext.defaultParallelism
     // planned byte-range splits: an upper bound on scan tasks; when it
     // is already under the threshold the repartition happens regardless
     // of row groups, so the footer sweep is skipped entirely
-    val planned = df.rdd.getNumPartitions
+    val planned = plannedSplits.getOrElseUpdate(path, df.rdd.getNumPartitions)
     if (planned.toLong * 2 < target) return df.repartition(target)
     // the decision only needs "row groups < target/2?", so the footer
     // sweep may stop counting at the threshold; memoize per (threshold,

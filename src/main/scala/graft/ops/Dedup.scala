@@ -80,6 +80,10 @@ object Dedup {
     * collect shuffles + 8 cache scans collapse to 1 + 1 + 2). */
   def pairsFromGroups(df: DataFrame, keys: Seq[String],
       maxDf: Int = MaxPostingDf, keep: Seq[String] = Nil): DataFrame = {
+    // fail at entry with a named column, not an opaque analysis error
+    // inside the aggregate select below (ADVICE r15)
+    require(keep.forall(keys.contains),
+      s"keep must be a subset of keys: ${keep.filterNot(keys.contains).mkString(", ")} not in ${keys.mkString(", ")}")
     val kc = keys.map(col)
     val hot = df.groupBy(kc: _*).agg(count(lit(1)).as("graft_df"))
       .filter(col("graft_df") > maxDf)

@@ -1565,7 +1565,11 @@ object Relational {
   val sqlPromoRevenueSql: String = {
     val disc = "l_extendedprice * (1 - l_discount)"
     val promo = s"CASE WHEN p_type = 'PROMO' THEN $disc ELSE 0 END"
-    s"""SELECT date_trunc('month', l_shipdate) AS mon,
+    // CAST: Spark's date_trunc always returns TIMESTAMP while DuckDB's
+    // returns DATE for a DATE input — invisible to the pandas gate
+    // (both land as datetime64) but a declared-type mismatch under the
+    // r16 hash-compare mode, which checks DESCRIBE-level types.
+    s"""SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS mon,
           ${sqlR2(s"100 * ${sqlDsumRaw(promo)} / ${sqlDsumRaw(disc)}")}
             AS promo_pct,
           ${sqlDsum(disc)} AS revenue

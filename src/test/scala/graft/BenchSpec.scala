@@ -170,6 +170,17 @@ class BenchSpec extends AnyFunSuite {
     assert(!Bench.shouldRetry("uncertified", 1, enabled = false))
   }
 
+  test("close grading: attempt-2 passes are ok-retry, never ok (ADVICE r15)") {
+    assert(Bench.gradeClose(certified = true, confirmed = false, attempt = 1) === "ok")
+    // warm-cache/JIT advantaged re-run: indicative only, refresh-ineligible
+    assert(Bench.gradeClose(certified = true, confirmed = false, attempt = 2) === "ok-retry")
+    // host/outlier gates outrank the attempt distinction
+    assert(Bench.gradeClose(certified = false, confirmed = false, attempt = 2) === "uncertified")
+    assert(Bench.gradeClose(certified = true, confirmed = true, attempt = 2) === "degraded")
+    // and ok-retry never triggers another retry
+    assert(!Bench.shouldRetry("ok-retry", 2, enabled = true))
+  }
+
   test("the committed BENCH_BASELINE.json round-trips through the parser") {
     val p = java.nio.file.Paths.get("BENCH_BASELINE.json")
     assume(java.nio.file.Files.exists(p))

@@ -13,8 +13,11 @@ import org.apache.spark.sql.functions._
   *
   * The shared test session is local[4], so target = defaultParallelism
   * = 4 and the repartition threshold is "effective parallelism < 2".
+  * (Named SpreadGuardSpec since r16 — it shared the simple name
+  * ScaleGuardSpec with graft.ops.ScaleGuardSpec, the df-cap guards,
+  * which made test reports ambiguous.)
   */
-class ScaleGuardSpec extends SparkSpec {
+class SpreadGuardSpec extends SparkSpec {
 
   private def tmp(tag: String): String =
     java.nio.file.Files.createTempDirectory(s"graft_sg_$tag").toString
@@ -32,6 +35,10 @@ class ScaleGuardSpec extends SparkSpec {
     // of the one-row-group file — the exact sf10 lying-proxy shape: the
     // old split-count test read "healthy" while every split but one was
     // empty. The footer count must win.
+    // save whatever the shared session had so the finally block restores
+    // the TRUE prior state, not hardcoded Spark defaults (ADVICE r15)
+    val savedMax = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+    val savedOpen = spark.conf.getOption("spark.sql.files.openCostInBytes")
     spark.conf.set("spark.sql.files.maxPartitionBytes", "16384")
     spark.conf.set("spark.sql.files.openCostInBytes", "0")
     try {
@@ -42,8 +49,10 @@ class ScaleGuardSpec extends SparkSpec {
       val out = Tables.spread(spark, df, dir)
       assert(out.rdd.getNumPartitions === spark.sparkContext.defaultParallelism)
     } finally {
-      spark.conf.set("spark.sql.files.maxPartitionBytes", "134217728")
-      spark.conf.set("spark.sql.files.openCostInBytes", "4194304")
+      def restore(k: String, v: Option[String]): Unit =
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+      restore("spark.sql.files.maxPartitionBytes", savedMax)
+      restore("spark.sql.files.openCostInBytes", savedOpen)
     }
   }
 

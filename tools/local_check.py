@@ -14,6 +14,20 @@ resume after a crash.
 DuckDB temp spill is capped at 60 GiB: the q_dedup_band_sweep oracle at
 sf3 filled a 252 GB device and took the whole replay down with it — a
 loud single-query IO error beats a dead machine.
+
+SPARK_GRAFT_HASHCMP_ROWS=N (default 0 = off) switches any query whose
+dump has >= N rows to a DuckDB-side order-insensitive multiset-hash
+compare: (count, sum(hash(row)), bit_xor(hash(row))) over ALL rows of
+both sides, plus a DESCRIBE-level column/type check. This is a full
+comparison, not a sample — it exists because the pandas cell loop is
+O(rows) in *Python* (q_scalar_date at sf10: 555 s of compare for a
+query whose oracle runs in seconds) while the hash compare stays inside
+DuckDB's vectorized engine. The sf0.01 driver-gate path is unchanged
+(env unset); big-sf replays set a threshold (e.g. 1000000). Hash-mode
+passes print OK-HASH so the artifact says which mode certified what.
+One semantic delta, deliberately stricter: the pandas path equates
+NaN with NULL (norm()); the hash path does not — a NaN/NULL drift
+between engines fails loudly here and should be chased, not masked.
 """
 import json
 import sys
@@ -35,6 +49,7 @@ def main(sf_dir: str, out_dir: str) -> int:
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     only = os.environ.get("SPARK_GRAFT_ONLY")
     only_set = set(only.split(",")) if only else None
+    hash_rows = int(os.environ.get("SPARK_GRAFT_HASHCMP_ROWS", "0"))
     n_pass = n_fail = 0
     for name in sorted(os.listdir(out_dir)):
         qdir = os.path.join(out_dir, name)
@@ -42,12 +57,21 @@ def main(sf_dir: str, out_dir: str) -> int:
             continue
         t0 = time.time()
         files = glob.glob(os.path.join(qdir, "*.parquet"))
-        got = con.sql(f"SELECT * FROM read_parquet({files!r})").df()
-        got = got[sorted(got.columns)]
+        n_got = con.sql(
+            f"SELECT count(*) FROM read_parquet({files!r})").fetchone()[0]
         if name not in oracle:
-            print(f"  ~ {name}: no oracle (rows-only), rows={len(got)}")
+            print(f"  ~ {name}: no oracle (rows-only), rows={n_got}")
             timing(name, t0)
             continue
+        if hash_rows and n_got >= hash_rows:
+            if hash_compare(con, name, files, oracle[name], n_got):
+                n_pass += 1
+            else:
+                n_fail += 1
+            timing(name, t0)
+            continue
+        got = con.sql(f"SELECT * FROM read_parquet({files!r})").df()
+        got = got[sorted(got.columns)]
         want = con.sql(oracle[name]).df()
         want = want[sorted(want.columns)]
         ok = True
@@ -112,6 +136,37 @@ def main(sf_dir: str, out_dir: str) -> int:
         print(f"  ! oracle declared but no dump: {sorted(missing)}")
     print(f"pass={n_pass} fail={n_fail}")
     return 1 if n_fail or missing else 0
+
+
+def hash_compare(con, name, files, sql, n_got) -> bool:
+    """All-rows order-insensitive compare inside DuckDB: column names +
+    declared types (DESCRIBE), then (count, sum, xor) of the per-row
+    hash over name-sorted columns. Returns pass/fail and prints the
+    verdict with an explicit OK-HASH marker — never a silent subset."""
+    con.sql(f"CREATE OR REPLACE TEMP VIEW got_v AS "
+            f"SELECT * FROM read_parquet({files!r})")
+    con.sql(f"CREATE OR REPLACE TEMP TABLE want_t AS {sql}")
+    gd = {r[0]: r[1] for r in con.sql("DESCRIBE got_v").fetchall()}
+    wd = {r[0]: r[1] for r in con.sql("DESCRIBE want_t").fetchall()}
+    if sorted(gd) != sorted(wd):
+        print(f"  - {name}: FAIL  cols {sorted(gd)} != {sorted(wd)}")
+        return False
+    bad_t = [c for c in gd if gd[c] != wd[c]]
+    if bad_t:
+        print(f"  - {name}: FAIL  " + "; ".join(
+            f"col {c}: type {gd[c]} != {wd[c]}" for c in bad_t))
+        return False
+    h = "hash(" + ", ".join(f'"{c}"' for c in sorted(gd)) + ")"
+    agg = f"SELECT count(*), sum({h}), bit_xor({h}) FROM "
+    g = con.sql(agg + "got_v").fetchone()
+    w = con.sql(agg + "want_t").fetchone()
+    con.sql("DROP TABLE want_t")
+    if g != w:
+        which = ("rows" if g[0] != w[0] else "multiset hash")
+        print(f"  - {name}: FAIL  {which} {g} != {w}")
+        return False
+    print(f"  + {name}: OK-HASH ({n_got} rows, all-rows multiset hash)")
+    return True
 
 
 def timing(name: str, t0: float) -> None:
