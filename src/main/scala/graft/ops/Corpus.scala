@@ -215,8 +215,16 @@ object Corpus {
     * the multiset). At 1B tokens/shard and budget 8k that is ~125k
     * longs — KB-scale executor state, docs stream through. The DuckDB
     * oracle replays the identical fold as a `list_reduce` over the
-    * doc_id-ordered tail list (state = remainder list, first-min
-    * tie-break — multiset-equal to the TreeMap's choice). */
+    * doc_id-ordered tail list. Its state (r16 respelling) is the same
+    * bounded multiset the engine keeps, as a FIXED (budget+1)-slot
+    * count vector — slot i = open bins with remaining capacity i,
+    * slot b = bins opened, slot b+1 = running waste — because every
+    * remainder lives in [1, b-1]. The old spelling grew the state list
+    * one slot per opened bin, making each fold step O(bins): O(n·bins)
+    * total, >600 s at sf10's ~25k-bin shards; the count vector is
+    * O(n·b) — measured 8.3 s for the whole sf10 corpus. Ceiling lookup
+    * = min populated slot ≥ t (first-min tie-break — multiset-equal to
+    * the TreeMap's ceilingKey choice, so outputs are bit-identical). */
   /** The reusable best-fit-vs-chunk policy core over generic columns —
     * see [[qPackBestfit]] for semantics and the scale argument. Output
     * columns are the fixed report schema with `source` renamed back to
@@ -301,17 +309,28 @@ object Corpus {
            fit AS (SELECT source,
              CAST(sum(n_tok // $b) AS BIGINT) AS full_bins,
              coalesce(list_reduce(
-               list_prepend(CAST([] AS INT[]),
-                 list_transform(list(CAST(n_tok % $b AS INT) ORDER BY doc_id)
+               list_prepend(list_transform(range(1, ${b + 2}),
+                   i -> CAST(0 AS BIGINT)),
+                 list_transform(list(CAST(n_tok % $b AS BIGINT)
+                     ORDER BY doc_id)
                    FILTER (WHERE n_tok % $b > 0), t -> [t])),
-               (acc, x) -> CASE
-                 WHEN len(list_filter(acc, r -> r >= x[1])) = 0
-                 THEN list_append(acc, $b - x[1])
-                 ELSE list_transform(acc, (r, i) -> CASE
-                        WHEN i = list_position(acc,
-                          list_min(list_filter(acc, r2 -> r2 >= x[1])))
-                        THEN r - x[1] ELSE r END)
-                 END), CAST([] AS INT[])) AS rem
+               (acc, x) -> list_transform(
+                 [coalesce(list_min(list_filter(range(x[1], $b),
+                     j -> acc[j] > 0)), 0)],
+                 k -> CASE WHEN k = 0
+                   THEN list_transform(acc, (r, i) -> CASE
+                          WHEN i = $b - x[1] THEN r + 1
+                          WHEN i = $b THEN r + 1
+                          WHEN i = ${b + 1} THEN r + $b - x[1]
+                          ELSE r END)
+                   ELSE list_transform(acc, (r, i) -> CASE
+                          WHEN i = k THEN r - 1
+                          WHEN i = k - x[1] THEN r + 1
+                          WHEN i = ${b + 1} THEN r - x[1]
+                          ELSE r END)
+                   END)[1]),
+               list_transform(range(1, ${b + 2}),
+                 i -> CAST(0 AS BIGINT))) AS st
              FROM toks GROUP BY source)
          SELECT c.source, c.n_docs, c.n_tokens,
                 (c.n_tokens + ${b - 1}) // $b AS chunk_bins,
@@ -322,11 +341,11 @@ object Corpus {
                            + ((c.n_tokens + ${b - 1}) // $b) * $b)
                           // (2 * ((c.n_tokens + ${b - 1}) // $b) * $b)
                 END AS chunk_waste_ppm,
-                f.full_bins + len(f.rem) AS bestfit_bins,
-                CASE WHEN f.full_bins + len(f.rem) = 0 THEN 0
-                     ELSE (2000000 * coalesce(CAST(list_sum(f.rem) AS BIGINT), 0)
-                           + (f.full_bins + len(f.rem)) * $b)
-                          // (2 * (f.full_bins + len(f.rem)) * $b)
+                f.full_bins + f.st[$b] AS bestfit_bins,
+                CASE WHEN f.full_bins + f.st[$b] = 0 THEN 0
+                     ELSE (2000000 * f.st[${b + 1}]
+                           + (f.full_bins + f.st[$b]) * $b)
+                          // (2 * (f.full_bins + f.st[$b]) * $b)
                 END AS bestfit_waste_ppm
          FROM chunk c JOIN fit f USING (source) ORDER BY source"""
     })

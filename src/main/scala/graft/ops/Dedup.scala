@@ -690,13 +690,15 @@ object Dedup {
 
   /** The DuckDB cosine kernel over two DOUBLE[] expressions — the exact
     * op sequence of the fused [[graft.functions.CosineSim]] codegen
-    * kernel (three sequential sums, then dot/(sqrt·sqrt)), dim 64 (the
-    * fixture width, TESTDATA.md). */
+    * kernel (three in-order `list_inner_product`s, then
+    * dot/(sqrt·sqrt)), dim 64 (the fixture width, TESTDATA.md). Native
+    * kernels since r16 — bit-identical to the lambda spelling they
+    * replaced (certified on all 200k sf10 vectors) without its
+    * per-element list rebuilds. */
   private def cosSql(a: String, b: String): String =
-    s"""(list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))
-         / (sqrt(list_sum(list_transform(range(1, 65), i -> $a[i] * $a[i])))
-            * sqrt(list_sum(list_transform(range(1, 65),
-                i -> $b[i] * $b[i])))))"""
+    s"""(list_inner_product($a, $b)
+         / (sqrt(list_inner_product($a, $a))
+            * sqrt(list_inner_product($b, $b))))"""
 
   val qDedupSemantic = Q(
     "q_dedup_semantic",
@@ -968,6 +970,14 @@ object Dedup {
           abs(length(col("ta")) - length(col("tb"))).cast("long")
             .as("len_diff"))
         .localCheckpoint(false)
+        // Pair-cardinality stamp (VERDICT r15 #5): one output row IS one
+        // candidate pair here, so a zero-cost observe() after the
+        // checkpoint (inside the final tracked execution — an observe
+        // BEFORE localCheckpoint lands in the RDD-producing lineage and
+        // never surfaces in observedMetrics) lets Bench record
+        // pairs-per-close and certify seconds/pair stays flat across
+        // scale points without a hand analysis.
+        .observe("graft_pairs_q_dedup_editdist", count(lit(1)).as("pairs"))
         .orderBy("a", "b")
     },
     Some(s"""WITH $minhashPairsSqlCte

