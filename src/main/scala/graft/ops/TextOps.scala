@@ -378,6 +378,10 @@ object TextOps {
     // I = 257⁻¹ mod p (70038911), H(q) = 257^(q+15) · (PS(q+15) −
     // PS(q−1)) mod p where PS cumulates c(i)·I^i mod p — one window
     // cumsum + one lag(16) over the 177M character rows, no expansion.
+    // The character rows come from ZIPPED unnests (aligned position +
+    // ascii lists), so no row carries the whole document — the naive
+    // unnest(range)+substring shape shipped the full text on every one
+    // of 177M rows (~60 GB through the window sorts at sf10).
     // Exact integer identity (mod distributes; the HUGEINT cumsum never
     // truncates), pinned by the unchanged hash gate at sf0.01 and the
     // fps-set A/B run bit-identical before the swap.
@@ -391,12 +395,11 @@ object TextOps {
                       pinv * 70038911 % 1000000007
                FROM pw WHERE e < (SELECT m FROM mx)),
              d AS (SELECT doc_id, text, len(text) AS n FROM documents),
-             pos AS (SELECT doc_id, text, n, unnest(range(1, n + 1)) AS i
-                     FROM d),
-             ch AS (SELECT doc_id, i, n,
-                      CAST(ascii(substring(text, CAST(i AS INT), 1)) AS BIGINT)
-                        AS c
-                    FROM pos),
+             ch AS (SELECT doc_id, n,
+                      unnest(range(1, n + 1)) AS i,
+                      unnest(list_transform(string_split(text, ''),
+                        x -> CAST(ascii(x) AS BIGINT))) AS c
+                    FROM d),
              pref AS (SELECT ch.doc_id, ch.i, ch.n, w.p257,
                         sum(ch.c * w.pinv % 1000000007) OVER (
                           PARTITION BY ch.doc_id ORDER BY ch.i) AS ps
