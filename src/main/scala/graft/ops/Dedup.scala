@@ -970,15 +970,20 @@ object Dedup {
           abs(length(col("ta")) - length(col("tb"))).cast("long")
             .as("len_diff"))
         .localCheckpoint(false)
-        // Pair-cardinality stamp (VERDICT r15 #5): one output row IS one
-        // candidate pair here, so a zero-cost observe() after the
-        // checkpoint (inside the final tracked execution — an observe
-        // BEFORE localCheckpoint lands in the RDD-producing lineage and
-        // never surfaces in observedMetrics) lets Bench record
-        // pairs-per-close and certify seconds/pair stays flat across
-        // scale points without a hand analysis.
-        .observe("graft_pairs_q_dedup_editdist", count(lit(1)).as("pairs"))
         .orderBy("a", "b")
+        // Pair-cardinality stamp (VERDICT r15 #5): one output row IS one
+        // candidate pair here, so a zero-cost observe() lets Bench
+        // record pairs-per-close and check seconds/pair across scale
+        // points mechanically. Placement is load-bearing twice over:
+        // BEFORE the localCheckpoint the CollectMetrics lands in the
+        // RDD-producing lineage and never surfaces in observedMetrics;
+        // BELOW the orderBy the range partitioner's SAMPLING job
+        // re-executes it and the accumulator reads exactly 2x at any
+        // scale where sampling fires (caught at sf10: stamp 10,469,858
+        // vs 5,234,929 dump rows; exact at sf0.01 where AQE plans a
+        // single partition and never samples). ABOVE the sort it runs
+        // once, in the final pass only.
+        .observe("graft_pairs_q_dedup_editdist", count(lit(1)).as("pairs"))
     },
     Some(s"""WITH $minhashPairsSqlCte
            SELECT c.a, c.b,

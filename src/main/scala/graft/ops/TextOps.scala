@@ -343,12 +343,13 @@ object TextOps {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 10)
       .localCheckpoint(false)
+      .orderBy("a", "b")
       // Pair-cardinality stamp (VERDICT r15 #5): near-dup pairs (the
       // clone-family C(n,2) curve that drives this query's sf10 cost)
-      // observed zero-cost after the checkpoint so Bench can stamp
-      // pairs-per-close; see qDedupEditdist for the placement rationale.
+      // observed zero-cost ABOVE the sort — below it, the range
+      // partitioner's sampling job double-counts; see qDedupEditdist
+      // for the full placement rationale.
       .observe("graft_pairs_q_text_winnow_pairs", count(lit(1)).as("pairs"))
-      .orderBy("a", "b")
   }
 
   /** The winnow hash is a plain polynomial rolling hash (base 257 mod
