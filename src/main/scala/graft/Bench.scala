@@ -504,19 +504,22 @@ object Bench {
     // that lets the next scale point check seconds/pair stays flat
     // mechanically instead of via the hand-drawn C(n,2) clone curve.
     val pairCounts = scala.collection.concurrent.TrieMap.empty[String, Long]
-    spark.listenerManager.register(
-      new org.apache.spark.sql.util.QueryExecutionListener {
-        override def onSuccess(funcName: String,
-            qe: org.apache.spark.sql.execution.QueryExecution,
-            durationNs: Long): Unit =
-          qe.observedMetrics.foreach { case (name, row) =>
-            if (name.startsWith("graft_pairs_"))
-              pairCounts.put(name.stripPrefix("graft_pairs_"), row.getLong(0))
-          }
-        override def onFailure(funcName: String,
-            qe: org.apache.spark.sql.execution.QueryExecution,
-            e: Exception): Unit = ()
-      })
+    // bound to a val so the retry path can unregister it (ADVICE r16:
+    // getOrCreate may hand attempt 2 the same session, and attempt 1's
+    // listener would keep writing into a dead map)
+    val pairListener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.startsWith("graft_pairs_"))
+            pairCounts.put(name.stripPrefix("graft_pairs_"), row.getLong(0))
+        }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(pairListener)
     // Untimed warm-up: exercises the parquet reader, whole-stage codegen,
     // shuffle, and the noop sink once so JVM/class-loading cost doesn't
     // land on whichever query happens to run first.
@@ -906,6 +909,7 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not persist $outPath: ${e.getMessage}")
     }
+    spark.listenerManager.unregister(pairListener)
     spark.stop()
     // Re-print AFTER spark.stop() returns, so the JSON lands past any
     // async shutdown noise (state-store maintenance, RPC teardown):

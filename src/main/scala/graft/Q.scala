@@ -138,17 +138,26 @@ object Tables {
     sum
   }
 
-  /** Planned-split probes, memoized per path (ADVICE r15): the probe
-    * forces physical planning of the scan (`df.rdd.getNumPartitions`),
-    * and [[spread]] runs on every documents/embeddings table
-    * construction — at large file counts that is repeated split-planning
-    * work for an answer that cannot change within a session (same path,
-    * same session-level `spark.sql.files.*` confs; callers only ever
-    * pass the canonical scan of `path`, which the signature documents).
-    * Keyed per path like [[rowGroupCounts]] — the one process hosts one
-    * engine session. */
+  /** Planned-split probes, memoized per (split confs, path) (ADVICE
+    * r15/r16): the probe forces physical planning of the scan
+    * (`df.rdd.getNumPartitions`), and [[spread]] runs on every
+    * documents/embeddings table construction — at large file counts
+    * that is repeated split-planning work for an answer that cannot
+    * change under fixed inputs. The answer DOES depend on the
+    * session-level `spark.sql.files.maxPartitionBytes` /
+    * `openCostInBytes` confs (SpreadGuardSpec itself flips them around
+    * its calls), so those join the key rather than living in a
+    * docstring constraint. */
   private val plannedSplits =
     scala.collection.concurrent.TrieMap.empty[String, Int]
+
+  /** Cache key for [[plannedSplits]]: the split-geometry confs that
+    * feed `FilePartition.maxSplitBytes`, then the path. */
+  private def splitKey(s: SparkSession, path: String): String = {
+    val c = s.conf
+    c.get("spark.sql.files.maxPartitionBytes", "128MB") + ":" +
+      c.get("spark.sql.files.openCostInBytes", "4MB") + ":" + path
+  }
 
   /** `df` MUST be the canonical scan of `path` (no coalesce/repartition
     * applied): the planned-split probe is memoized per path, so a
@@ -158,7 +167,8 @@ object Tables {
     // planned byte-range splits: an upper bound on scan tasks; when it
     // is already under the threshold the repartition happens regardless
     // of row groups, so the footer sweep is skipped entirely
-    val planned = plannedSplits.getOrElseUpdate(path, df.rdd.getNumPartitions)
+    val planned = plannedSplits.getOrElseUpdate(splitKey(s, path),
+      df.rdd.getNumPartitions)
     if (planned.toLong * 2 < target) return df.repartition(target)
     // the decision only needs "row groups < target/2?", so the footer
     // sweep may stop counting at the threshold; memoize per (threshold,

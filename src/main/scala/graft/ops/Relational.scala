@@ -1437,7 +1437,14 @@ object Relational {
   /** TPC-H Q18 (large-volume customers) through the SQL front-end: an
     * IN subquery with a grouped HAVING over the fact table, decorrelated
     * by both engines — quantity sums are integral doubles (exact in any
-    * order), totalprice goes through Det. */
+    * order), totalprice goes through Det. The ORDER BY names the
+    * PROJECTED `totalprice` alias, not the `o_totalprice` source column
+    * (r17 fold-back): the fixture's prices are exactly 2dp at every sf
+    * (Det's round is a measured bit-exact identity on them, 0 non-
+    * round-trip rows at sf0.01/0.1/10), so the ordering is value-
+    * identical — and an output-column key is what lets the dump-side
+    * order audit (tools/order_audit.py, ADVICE r16) verify this LIMIT
+    * query's ordering without the column the dump doesn't carry. */
   val sqlLargeVolumeSql: String =
     s"""SELECT c_custkey, o_orderkey, o_orderdate,
           ${sqlR2("o_totalprice")} AS totalprice,
@@ -1448,7 +1455,7 @@ object Relational {
                              HAVING sum(l_quantity) > 250)
           AND c_custkey = o_custkey AND o_orderkey = l_orderkey
         GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
-        ORDER BY o_totalprice DESC, o_orderkey
+        ORDER BY totalprice DESC, o_orderkey
         LIMIT 50"""
 
   val qSqlLargeVolume = Q(

@@ -30,6 +30,7 @@ NaN with NULL (norm()); the hash path does not — a NaN/NULL drift
 between engines fails loudly here and should be chased, not masked.
 """
 import json
+import re
 import sys
 import glob
 import os
@@ -141,8 +142,14 @@ def main(sf_dir: str, out_dir: str) -> int:
 def hash_compare(con, name, files, sql, n_got) -> bool:
     """All-rows order-insensitive compare inside DuckDB: column names +
     declared types (DESCRIBE), then (count, sum, xor) of the per-row
-    hash over name-sorted columns. Returns pass/fail and prints the
-    verdict with an explicit OK-HASH marker — never a silent subset."""
+    hash over name-sorted columns, then — when the oracle SQL declares a
+    top-level ORDER BY — a sortedness check of those keys over the
+    dump's natural order (ADVICE r16: the multiset hash alone would
+    pass a row-ordering regression that the small-sf pandas path, which
+    compares positionally, would catch — and hash mode engages exactly
+    at the scales where multi-partition range sorts can misbehave).
+    Returns pass/fail and prints the verdict with an explicit OK-HASH
+    marker — never a silent subset."""
     con.sql(f"CREATE OR REPLACE TEMP VIEW got_v AS "
             f"SELECT * FROM read_parquet({files!r})")
     con.sql(f"CREATE OR REPLACE TEMP TABLE want_t AS {sql}")
@@ -160,13 +167,118 @@ def hash_compare(con, name, files, sql, n_got) -> bool:
     agg = f"SELECT count(*), sum({h}), bit_xor({h}) FROM "
     g = con.sql(agg + "got_v").fetchone()
     w = con.sql(agg + "want_t").fetchone()
-    con.sql("DROP TABLE want_t")
     if g != w:
+        con.sql("DROP TABLE want_t")
         which = ("rows" if g[0] != w[0] else "multiset hash")
         print(f"  - {name}: FAIL  {which} {g} != {w}")
         return False
-    print(f"  + {name}: OK-HASH ({n_got} rows, all-rows multiset hash)")
+    order_note = order_check(con, name, files, sql, list(wd), set(gd))
+    con.sql("DROP TABLE want_t")
+    if order_note is False:
+        return False
+    print(f"  + {name}: OK-HASH ({n_got} rows, all-rows multiset hash"
+          f"{order_note})")
     return True
+
+
+def extract_order_by(sql: str):
+    """Return the text of the LAST paren-depth-0 ORDER BY clause of
+    `sql` (sans any trailing depth-0 LIMIT/OFFSET), or None if the
+    query declares no top-level ordering. Depth tracking keeps ORDER BY
+    inside subqueries / window OVER(...) clauses from matching."""
+    up, depth, last = sql.upper(), 0, -1
+    for i, c in enumerate(sql):
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and up.startswith("ORDER BY", i):
+            last = i
+    if last < 0:
+        return None
+    clause, depth = sql[last + len("ORDER BY"):], 0
+    upc = clause.upper()
+    for i, c in enumerate(clause):
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and (upc.startswith("LIMIT", i)
+                             or upc.startswith("OFFSET", i)):
+            clause = clause[:i]
+            break
+    return clause.strip()
+
+
+def order_check(con, name, files, sql, want_cols, got_cols):
+    """Verify the dump's natural row order (name-sorted part files ×
+    in-file position — Spark's partition order) is sorted by the oracle
+    SQL's declared ORDER BY keys. Tie rows are legitimately
+    interchangeable (the multiset hash already pinned the row set), so
+    the check is rank-monotonicity, not positional equality: rank() by
+    the declared keys must be non-decreasing in natural order.
+
+    Returns a suffix string for the OK line (\"\" when no order was
+    declared, \" + order\" on success, \" (order check skipped: ...)\"
+    when the clause can't be evaluated against the dump), or False on a
+    genuine order violation."""
+    clause = extract_order_by(sql)
+    if clause is None:
+        return ""
+    keys = []
+    for raw in split_depth0(clause, ","):
+        key = raw.strip()
+        m = re.match(r"^(\d+)(\s+.*)?$", key)
+        if m:
+            # positional key: resolve against the oracle's SELECT-list
+            # order (inside OVER(...) a bare integer would mean the
+            # constant, silently making every row a tie)
+            pos = int(m.group(1))
+            if not 1 <= pos <= len(want_cols):
+                return f" (order check skipped: position {pos} oob)"
+            key = '"' + want_cols[pos - 1] + '"' + (m.group(2) or "")
+        else:
+            # strip a source-alias qualifier (l.event_id → event_id):
+            # the dump is a single relation, the alias doesn't exist
+            m = re.match(r"^(\w+)\.(\w+)(\s+.*)?$", key)
+            if m and m.group(2) in got_cols:
+                key = '"' + m.group(2) + '"' + (m.group(3) or "")
+        keys.append(key)
+    seq = (f"read_parquet({sorted(files)!r}, "
+           f"filename=true, file_row_number=true)")
+    probe = (
+        "WITH g AS (SELECT rank() OVER (ORDER BY " + ", ".join(keys) +
+        ") AS _rk, row_number() OVER (ORDER BY filename, "
+        "file_row_number) AS _rn FROM " + seq + ") "
+        "SELECT count(*) FROM (SELECT _rk - lag(_rk) OVER "
+        "(ORDER BY _rn) AS _d FROM g) WHERE _d < 0")
+    try:
+        bad = con.sql(probe).fetchone()[0]
+    except Exception as e:
+        # a key the dump can't bind (expression over pre-projection
+        # columns) — note it loudly rather than fail falsely or skip
+        # silently
+        return f" (order check skipped: {type(e).__name__}: {e})"
+    if bad:
+        print(f"  - {name}: FAIL  order: {bad} adjacent natural-order "
+              f"row pairs violate ORDER BY {clause}")
+        return False
+    return " + order"
+
+
+def split_depth0(s: str, sep: str):
+    """Split `s` on `sep` occurrences at paren-depth 0."""
+    parts, depth, start = [], 0, 0
+    for i, c in enumerate(s):
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == sep and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return parts
 
 
 def timing(name: str, t0: float) -> None:

@@ -25,6 +25,7 @@ Env: SPARK_GRAFT_HASHCMP_ROWS passes through (recommended: 1000000 —
 the pandas cell loop costs ~555 s on a 60M-row dump); SPARK_GRAFT_ONLY
 restricts the sweep.
 """
+import json
 import os
 import subprocess
 import sys
@@ -42,9 +43,24 @@ def main(sf_dir: str, out_dir: str, log_path: str | None) -> int:
     check = os.path.join(here, "local_check.py")
     only = os.environ.get("SPARK_GRAFT_ONLY")
     only_set = set(only.split(",")) if only else None
-    names = sorted(d for d in os.listdir(out_dir)
-                   if os.path.isdir(os.path.join(out_dir, d))
-                   and (only_set is None or d in only_set))
+    dumped = {d for d in os.listdir(out_dir)
+              if os.path.isdir(os.path.join(out_dir, d))}
+    names = sorted(d for d in dumped
+                   if only_set is None or d in only_set)
+    # Oracle-declared queries whose dump never materialized (ADVICE
+    # r16): the sweep enumerates dump DIRECTORIES, and the per-query
+    # SPARK_GRAFT_ONLY it sets neutralizes local_check's own
+    # missing-dump check — so an undumped oracle query would silently
+    # vanish from the tally. Diff the declared set against the dump
+    # dirs here and count each gap as a failure.
+    try:
+        declared = set(json.load(
+            open(os.path.join(out_dir, "oracle_sql.json"))))
+    except (OSError, ValueError) as e:
+        print(f"cannot read oracle_sql.json: {e}", file=sys.stderr)
+        return 1
+    undumped = sorted(d for d in declared - dumped
+                      if only_set is None or d in only_set)
     log = open(log_path, "w") if log_path else sys.stdout
 
     def emit(line: str) -> None:
@@ -69,10 +85,27 @@ def main(sf_dir: str, out_dir: str, log_path: str | None) -> int:
                 n_ok += 1
             else:
                 n_fail += 1
-        except subprocess.TimeoutExpired:
+                # a crashed local_check (nonzero rc, no verdict lines)
+                # must leave a diagnostic in the artifact, not a bare
+                # fail line (ADVICE r16)
+                if r.returncode != 0 and r.stderr:
+                    for line in r.stderr.splitlines()[-8:]:
+                        emit(f"    stderr| {line}")
+        except subprocess.TimeoutExpired as e:
             n_timeout += 1
             emit(f"  ! {name}: DUCKDB TIMEOUT (>{budget}s)")
+            # partial output rides on the exception — the last verdict
+            # lines say WHICH phase (oracle vs compare) wedged
+            for s, tag in ((e.stdout, "stdout"), (e.stderr, "stderr")):
+                if s:
+                    txt = s.decode(errors="replace") if isinstance(
+                        s, bytes) else s
+                    for line in txt.splitlines()[-8:]:
+                        emit(f"    {tag}| {line}")
             emit(f"    ({name}: {time.time() - t0:.0f}s)")
+    for name in undumped:
+        n_fail += 1
+        emit(f"  ! {name}: MISSING — oracle declared but no dump dir")
     emit(f"TOTAL ok={n_ok} fail={n_fail} timeout={n_timeout} "
          f"elapsed={time.time() - t_start:.0f}s")
     emit("CHECK_DONE")
