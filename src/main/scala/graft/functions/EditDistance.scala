@@ -1,0 +1,229 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Bit-parallel exact Levenshtein distance (Myers 1999; blocked form
+  * after Hyyrö 2003 and the edlib kernel, Šošić & Šikić 2017).
+  *
+  * Spark's built-in `levenshtein` evaluates the classic O(m·n) dynamic
+  * program one cell at a time over UTF-8 bytes — measured at 1.47 ms
+  * per ~350-char pair on this host (sf10: 5.23M candidate pairs ×
+  * 32 threads × 240 s in q_dedup_editdist, ~12 ns/cell). Myers'
+  * algorithm computes the SAME unit-cost distance by representing a DP
+  * column's vertical deltas (always ±1/0) as two machine words and
+  * advancing a whole 64-row block per text character in ~20 word ops:
+  * O(n·⌈m/64⌉) instead of O(n·m). For the candidate-pair verification
+  * pass this is the difference between the kernel dominating the sf10
+  * close and the kernel riding along with its own joins.
+  *
+  * Exactness contract: identical output to Spark's `levenshtein` (and
+  * DuckDB's, which the oracle runs) for every input — same unit costs,
+  * same code-point (not byte, not UTF-16-unit) alphabet. Pinned by
+  * EditDistanceSpec: a property sweep against an independent reference
+  * DP plus a DataFrame-level sweep against the built-in expression,
+  * both including multi-byte and supplementary-plane inputs.
+  */
+object EditDistanceKernel {
+
+  /** Exact Levenshtein distance between two UTF8Strings, matching
+    * `UTF8String.levenshteinDistance` (code-point alphabet, unit
+    * costs). Null handling lives in the Expression wrapper. */
+  def dist(a: UTF8String, b: UTF8String): Int = {
+    val x = codePoints(a)
+    val y = codePoints(b)
+    // pattern = shorter side: fewer 64-row blocks; Levenshtein is
+    // symmetric so the swap is free
+    val (p, t) = if (x.length <= y.length) (x, y) else (y, x)
+    val m = p.length
+    val n = t.length
+    if (m == 0) return n
+    if (m <= 64) myersSingle(p, t) else myersBlocked(p, t)
+  }
+
+  /** Decode to code points. ASCII fast path: when numBytes == numChars
+    * every byte IS a code point, so skip String materialization. */
+  private def codePoints(s: UTF8String): Array[Int] = {
+    val nb = s.numBytes()
+    val nc = s.numChars()
+    if (nb == nc) {
+      val out = new Array[Int](nb)
+      var i = 0
+      while (i < nb) { out(i) = s.getByte(i) & 0xff; i += 1 }
+      out
+    } else {
+      val str = s.toString
+      val out = new Array[Int](str.codePointCount(0, str.length))
+      var ci = 0
+      var oi = 0
+      while (ci < str.length) {
+        val cp = str.codePointAt(ci)
+        out(oi) = cp
+        oi += 1
+        ci += Character.charCount(cp)
+      }
+      out
+    }
+  }
+
+  /** Single-word Myers (pattern ≤ 64 rows): Hyyrö 2003 Fig. 3. VP/VN
+    * hold the column's vertical deltas; one iteration per text char. */
+  private def myersSingle(p: Array[Int], t: Array[Int]): Int = {
+    val m = p.length
+    val peq = buildPeq(p, 1)
+    var vp = -1L
+    var vn = 0L
+    var score = m
+    val last = 1L << (m - 1)
+    var j = 0
+    while (j < t.length) {
+      val eq = lookupPeq(peq, t(j), 1, 0)
+      val d0 = (((eq & vp) + vp) ^ vp) | eq | vn
+      val hp = vn | ~(d0 | vp)
+      val hn = d0 & vp
+      if ((hp & last) != 0) score += 1
+      else if ((hn & last) != 0) score -= 1
+      val hps = (hp << 1) | 1L
+      val hns = hn << 1
+      vp = hns | ~(d0 | hps)
+      vn = d0 & hps
+      j += 1
+    }
+    score
+  }
+
+  /** Blocked Myers (pattern > 64 rows): per text char, advance each
+    * 64-row block bottom-up, chaining the horizontal delta (±1/0)
+    * through the block boundary (edlib's calculateBlock shape). Rows
+    * padding the last block never influence lower rows — all
+    * information flows low-to-high (addition carries, left shifts) —
+    * so full-width initialization is exact. */
+  private def myersBlocked(p: Array[Int], t: Array[Int]): Int = {
+    val m = p.length
+    val nblocks = (m + 63) >>> 6
+    val peq = buildPeq(p, nblocks)
+    val vp = new Array[Long](nblocks)
+    val vn = new Array[Long](nblocks)
+    java.util.Arrays.fill(vp, -1L)
+    var score = m
+    val lastBlock = nblocks - 1
+    val lastMask = 1L << ((m - 1) & 63)
+    var j = 0
+    while (j < t.length) {
+      val c = t(j)
+      var hin = 1 // boundary row D[0][j] = j: +1 into block 0
+      var b = 0
+      while (b < nblocks) {
+        var eq = lookupPeq(peq, c, nblocks, b)
+        val pv = vp(b)
+        val mv = vn(b)
+        val xv = eq | mv
+        if (hin < 0) eq |= 1L
+        val xh = (((eq & pv) + pv) ^ pv) | eq
+        val ph = mv | ~(xh | pv)
+        val mh = pv & xh
+        if (b == lastBlock) {
+          // score is read at the pattern's true last row, pre-shift
+          if ((ph & lastMask) != 0) score += 1
+          else if ((mh & lastMask) != 0) score -= 1
+        }
+        val hout = if ((ph & TopBit) != 0) 1
+          else if ((mh & TopBit) != 0) -1 else 0
+        var phs = ph << 1
+        var mhs = mh << 1
+        if (hin > 0) phs |= 1L else if (hin < 0) mhs |= 1L
+        vp(b) = mhs | ~(xv | phs)
+        vn(b) = phs & xv
+        hin = hout
+        b += 1
+      }
+      j += 1
+    }
+    score
+  }
+
+  private val TopBit = 1L << 63
+
+  /** Pattern bitmasks Peq[c][block]. ASCII patterns (the fixture's
+    * case) use a flat 128×nblocks array — O(1) unboxed lookup per text
+    * char per block; any code point ≥ 128 on either side switches the
+    * pair to a boxed HashMap, correct for the full code-point alphabet.
+    * Returned as AnyRef; [[lookupPeq]] dispatches on the runtime type
+    * (the branch predicts perfectly — one shape per call). */
+  private def buildPeq(p: Array[Int], nblocks: Int): AnyRef = {
+    var ascii = true
+    var i = 0
+    while (i < p.length && ascii) { ascii = p(i) < 128; i += 1 }
+    if (ascii) {
+      val flat = new Array[Long](128 * nblocks)
+      i = 0
+      while (i < p.length) {
+        flat(p(i) * nblocks + (i >>> 6)) |= 1L << (i & 63)
+        i += 1
+      }
+      flat
+    } else {
+      val map = new java.util.HashMap[Integer, Array[Long]]()
+      i = 0
+      while (i < p.length) {
+        var row = map.get(p(i))
+        if (row == null) { row = new Array[Long](nblocks); map.put(p(i), row) }
+        row(i >>> 6) |= 1L << (i & 63)
+        i += 1
+      }
+      map
+    }
+  }
+
+  private def lookupPeq(peq: AnyRef, c: Int, nblocks: Int, b: Int): Long =
+    peq match {
+      case flat: Array[Long] =>
+        if (c < 128) flat(c * nblocks + b) else 0L
+      case map: java.util.HashMap[_, _] =>
+        val row = map.asInstanceOf[java.util.HashMap[Integer, Array[Long]]]
+          .get(c)
+        if (row == null) 0L else row(b)
+    }
+}
+
+/** `graft_levenshtein(a, b)`: drop-in for the built-in `levenshtein`
+  * with the bit-parallel kernel — same IntegerType result, same null
+  * semantics, codegen is a single static call so the surrounding
+  * whole-stage span stays fused. */
+case class LevenshteinExact(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "graft_levenshtein"
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects two string arguments, got " +
+          s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    EditDistanceKernel.dist(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.EditDistanceKernel.dist($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object EditDistanceFunctions {
+  /** Bit-parallel exact Levenshtein — drop-in for the built-in. */
+  def levenshteinFast(a: Column, b: Column): Column =
+    Bridge.column(LevenshteinExact(Bridge.expression(a), Bridge.expression(b)))
+}

@@ -966,7 +966,15 @@ object Dedup {
         .join(docs.select(col("doc_id").as("a"), col("text").as("ta")), "a")
         .join(docs.select(col("doc_id").as("b"), col("text").as("tb")), "b")
         .select(col("a"), col("b"),
-          levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"),
+          // bit-parallel exact Levenshtein (functions/EditDistance.scala,
+          // Myers 1999): same unit-cost code-point distance as the
+          // built-in `levenshtein` / the DuckDB oracle — pinned by
+          // EditDistanceSpec against both — at O(n·⌈m/64⌉) word ops
+          // instead of O(n·m) cells. Measured on the DP-bound kernel:
+          // sf3 37.7 → sub-join-cost seconds (see BASELINE.md r17)
+          graft.functions.EditDistanceFunctions
+            .levenshteinFast(col("ta"), col("tb"))
+            .cast("long").as("edit_dist"),
           abs(length(col("ta")) - length(col("tb"))).cast("long")
             .as("len_diff"))
         .localCheckpoint(false)
