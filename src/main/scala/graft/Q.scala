@@ -152,11 +152,20 @@ object Tables {
     scala.collection.concurrent.TrieMap.empty[String, Int]
 
   /** Cache key for [[plannedSplits]]: the split-geometry confs that
-    * feed `FilePartition.maxSplitBytes`, then the path. */
+    * feed `FilePartition.maxSplitBytes`, then the path. Byte confs are
+    * normalized to numeric bytes (ADVICE r17: '128MB' vs '134217728'
+    * fragmented the cache needlessly), and `minPartitionNum` — the one
+    * other session-settable input to the split count — joins the key;
+    * the remaining input, `defaultParallelism`, is fixed by the
+    * session's master string for its lifetime. */
   private def splitKey(s: SparkSession, path: String): String = {
     val c = s.conf
-    c.get("spark.sql.files.maxPartitionBytes", "128MB") + ":" +
-      c.get("spark.sql.files.openCostInBytes", "4MB") + ":" + path
+    def bytes(k: String, dflt: String): Long =
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        c.get(k, dflt))
+    bytes("spark.sql.files.maxPartitionBytes", "128MB") + ":" +
+      bytes("spark.sql.files.openCostInBytes", "4MB") + ":" +
+      s.sessionState.conf.filesMinPartitionNum.getOrElse(-1) + ":" + path
   }
 
   /** `df` MUST be the canonical scan of `path` (no coalesce/repartition

@@ -149,10 +149,13 @@ object EditDistanceKernel {
 
   private val TopBit = 1L << 63
 
-  /** Pattern bitmasks Peq[c][block]. ASCII patterns (the fixture's
-    * case) use a flat 128×nblocks array — O(1) unboxed lookup per text
-    * char per block; any code point ≥ 128 on either side switches the
-    * pair to a boxed HashMap, correct for the full code-point alphabet.
+  /** Pattern bitmasks Peq[c][block]. The PATTERN alone picks the shape
+    * (ADVICE r17 rewording): an all-ASCII pattern uses a flat
+    * 128×nblocks array — O(1) unboxed lookup per text char per block,
+    * and a non-ASCII TEXT char against it resolves to an all-zero Peq
+    * row via the c < 128 guard in [[lookupPeq]] (correct: it matches no
+    * pattern position); a pattern with any code point ≥ 128 switches to
+    * a boxed HashMap, correct for the full code-point alphabet.
     * Returned as AnyRef; [[lookupPeq]] dispatches on the runtime type
     * (the branch predicts perfectly — one shape per call). */
   private def buildPeq(p: Array[Int], nblocks: Int): AnyRef = {

@@ -56,6 +56,43 @@ object Dedup {
     * duplicated the value are retired — round 12, VERDICT r11 §2). */
   val MaxPostingDf = 1000
 
+  /** Raw-pair-rows-per-task budget for pair-enumeration stages
+    * (VERDICT r17 #1 — the engine provisions its own hottest shuffle).
+    *
+    * A pair stage's map-side partial aggregation holds a hash map of
+    * (a, b) keys; once the map outruns the task's execution-memory
+    * share it falls back to sort-based aggregation and spills its
+    * REMAINING input as uncompressed sorted runs — so fallback spill
+    * ≈ (raw pairs per task − what the map absorbed) × row bytes.
+    * Measured liveness boundary (SCALE.md r17): sf10's 2.97e9 raw
+    * pairs over 32 tasks (~93M/task) completes with spill just inside
+    * the 72 GB sandbox disk; sf20's 5.33e9 over 32 (~167M/task)
+    * reproducibly fills it and dies ENOSPC, while 256-wide stages
+    * complete with a ~65 GB peak. At 100 TB under-provisioned pair
+    * reducers don't run slow — they run local disks out and fail.
+    *
+    * The budget is deliberately BELOW the sf10 just-fits point: 32M
+    * raw pairs per task keeps per-task fallback spill bounded at
+    * roughly a task-sized file rather than a disk-sized one, and the
+    * engagement guard in [[pairStageParts]] (never below the session
+    * default) keeps small scales on the exact certified plans. */
+  val PairStageTargetRawPerTask: Long = 32L * 1000 * 1000
+
+  /** Reducer count for a pair-enumeration stage expected to carry
+    * `rawPairs` rows (the exact Σ C(df,2) over the df-capped posting
+    * census — the engine computes that census anyway for the hot-key
+    * cap): the session default when the bound fits, else
+    * ceil(rawPairs / target), capped at 1024 (a runaway-census
+    * backstop, not a tuning point). Never BELOW the session default —
+    * at small scale the certified plan is untouched and no dispatch
+    * tax leaks in. */
+  def pairStageParts(rawPairs: Long, sessionParts: Int,
+      target: Long = PairStageTargetRawPerTask): Int = {
+    require(target > 0, s"pair-stage target must be positive: $target")
+    val need = (rawPairs + target - 1) / target
+    math.min(math.max(need, sessionParts.toLong), 1024L).toInt
+  }
+
 
   /** Inverted-index pair generation: group rows by `keys`, collect the
     * sorted doc_id posting list, stream each list's unordered pairs

@@ -286,9 +286,15 @@ object TextOps {
     *     shape safe where the uncapped version would not be.
     *     Removes one full shuffle of the exploded table plus the join
     *     sorts; the final (a,b) aggregation is identical. */
-  private[ops] def winnowPairs(s: org.apache.spark.sql.SparkSession,
+  /** The aggregated (a, b, n_shared >= 10) pair frame BEFORE the
+    * report checkpoint/sort — split out so specs can assert on the
+    * pair-stage plan, which the localCheckpoint in [[winnowPairs]]
+    * truncates to a Scan ExistingRDD. */
+  private[ops] def winnowPairsAgg(s: org.apache.spark.sql.SparkSession,
       d: String, maxDf: Int,
-      viaGroups: Boolean = false): org.apache.spark.sql.DataFrame = {
+      viaGroups: Boolean = false,
+      pairTarget: Long = Dedup.PairStageTargetRawPerTask)
+      : org.apache.spark.sql.DataFrame = {
     val fpAll = T.documents(s, d)
       .select(col("doc_id"),
         explode(graft.functions.Winnow.fingerprints(col("text"))).as("fp"))
@@ -297,29 +303,44 @@ object TextOps {
     // pair expansion is quadratic. The count partial-aggregates
     // map-side; the hot set is tiny -> broadcast anti-join, no extra
     // shuffle of the exploded table.
-    val hot = fpAll.groupBy("fp").agg(count(lit(1)).as("graft_df"))
-      .filter(col("graft_df") > maxDf)
+    //
+    // The census now feeds TWO consumers (VERDICT r17 #1): the hot-key
+    // cap and the pair-stage provision bound below. localCheckpoint
+    // (lazy) so the one census shuffle is paid once — the bound's
+    // driver action materializes the blocks, the broadcast reads them.
+    val census = fpAll.groupBy("fp").agg(count(lit(1)).as("graft_df"))
+      .localCheckpoint(false)
+    val hot = census.filter(col("graft_df") > maxDf)
       .select("fp")
-    val fp = fpAll.join(broadcast(hot), Seq("fp"), "left_anti")
+    // EXACT raw pair cardinality of the df-capped self-join: per-doc
+    // fingerprints are distinct (winnow min-selection dedupes), so the
+    // equi-join emits exactly C(df, 2) pairs per retained fingerprint.
+    // One small agg over the census the cap computes anyway; the ONE
+    // collected row is driver-steered provisioning state, same policy
+    // class as the IVF centroid / BPE argmax collects.
+    val rawPairs = census.filter(col("graft_df") <= maxDf)
+      .agg(coalesce(sum((col("graft_df") * (col("graft_df") - 1) / 2)
+        .cast("long")), lit(0L)).as("raw_pairs"))
+      .head.getLong(0)
+    val sessionParts = s.sessionState.conf.numShufflePartitions
+    val parts = Dedup.pairStageParts(rawPairs, sessionParts, pairTarget)
+    val fp0 = fpAll.join(broadcast(hot), Seq("fp"), "left_anti")
+    // Pair-stage provisioning (VERDICT r17 #1, the SCALE.md r17 rule
+    // moved from an env var into the engine): when the census bound
+    // says the session-default stage would outrun per-task execution
+    // memory (the sf20 ENOSPC regime), widen the pair-GENERATION stage
+    // — repartition on fp becomes the join/group exchange itself (both
+    // self-join sides reuse it), so the C(df,2) emission and its
+    // partial (a, b) aggregation run at `parts` tasks while every
+    // other exchange in the query keeps the session default. This is
+    // the scoped reproduction of the measured-good sf20@256 global
+    // override, minus its +40% whole-query dispatch tax at sf10.
+    val fp = if (parts > sessionParts) fp0.repartition(parts, col("fp"))
+             else fp0
     // NOTE: deliberately a self-join, not pairsFromGroups — winnow
     // fingerprints have no blocking key, so one hot fingerprint's whole
     // pair expansion would run inside a single task; the join spreads
     // that work across tasks instead.
-    // Materialization boundary before the global sort (VERDICT r13
-    // probe): orderBy's range partitioner SAMPLES its child, and an
-    // unmaterialized child means the whole final aggregation re-executes
-    // for the sampling job — measured at sf3: the 262M shuffled partial
-    // rows were re-aggregated twice (14.2 s sampling + 16.3 s real),
-    // 91.3 s total vs 57.6 s with the checkpoint. localCheckpoint (not
-    // persist) so each execution pays its own honest cost — no
-    // CacheManager plan-dedup across bench passes — and the sort stays
-    // a PARALLEL range sort (the report frame scales with the near-dup
-    // pair count, so a single-partition sort is not a 100 TB shape).
-    // LAZY checkpoint (ADVICE r13): eager would execute the whole job at
-    // DataFrame-construction time — a semantics change for any non-bench
-    // caller composing further transforms. Lazy still kills the double
-    // execution: the sampling job is the first to iterate the marked
-    // RDD, which persists its blocks, and the sort pass reads them.
     val pairRows =
       if (viaGroups)
         // per-doc fingerprints are DISTINCT (the winnow min-selection
@@ -342,6 +363,30 @@ object TextOps {
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 10)
+  }
+
+  /** [[winnowPairsAgg]] plus the report boundary. Materialization
+    * before the global sort (VERDICT r13 probe): orderBy's range
+    * partitioner SAMPLES its child, and an unmaterialized child means
+    * the whole final aggregation re-executes for the sampling job —
+    * measured at sf3: the 262M shuffled partial rows were re-aggregated
+    * twice (14.2 s sampling + 16.3 s real), 91.3 s total vs 57.6 s with
+    * the checkpoint. localCheckpoint (not persist) so each execution
+    * pays its own honest cost — no CacheManager plan-dedup across bench
+    * passes — and the sort stays a PARALLEL range sort (the report
+    * frame scales with the near-dup pair count, so a single-partition
+    * sort is not a 100 TB shape). LAZY checkpoint (ADVICE r13): eager
+    * would execute the whole job at DataFrame-construction time — a
+    * semantics change for any non-bench caller composing further
+    * transforms. Lazy still kills the double execution: the sampling
+    * job is the first to iterate the marked RDD, which persists its
+    * blocks, and the sort pass reads them. */
+  private[ops] def winnowPairs(s: org.apache.spark.sql.SparkSession,
+      d: String, maxDf: Int,
+      viaGroups: Boolean = false,
+      pairTarget: Long = Dedup.PairStageTargetRawPerTask)
+      : org.apache.spark.sql.DataFrame =
+    winnowPairsAgg(s, d, maxDf, viaGroups, pairTarget)
       .localCheckpoint(false)
       .orderBy("a", "b")
       // Pair-cardinality stamp (VERDICT r15 #5): near-dup pairs (the
@@ -350,7 +395,6 @@ object TextOps {
       // partitioner's sampling job double-counts; see qDedupEditdist
       // for the full placement rationale.
       .observe("graft_pairs_q_text_winnow_pairs", count(lit(1)).as("pairs"))
-  }
 
   /** The winnow hash is a plain polynomial rolling hash (base 257 mod
     * 1e9+7) over BYTES, and the corpus is ASCII — so the oracle replays
@@ -368,8 +412,13 @@ object TextOps {
     // the declared query — diagnostics-only A/B knob (same pattern as
     // SPARK_GRAFT_STREAM_PARTS): both spellings produce the identical
     // pair multiset (TextSpec pins it), so the oracle is untouched.
+    // SPARK_GRAFT_PAIR_TARGET overrides the pair-stage raw-rows-per-
+    // task budget (diagnostics-only, same policy): the provision
+    // changes only stage widths, never the pair multiset.
     (s, d) => winnowPairs(s, d, Dedup.MaxPostingDf,
-      viaGroups = sys.env.get("SPARK_GRAFT_WINNOW_GROUPS").contains("1")),
+      viaGroups = sys.env.get("SPARK_GRAFT_WINNOW_GROUPS").contains("1"),
+      pairTarget = sys.env.get("SPARK_GRAFT_PAIR_TARGET").map(_.toLong)
+        .getOrElse(Dedup.PairStageTargetRawPerTask)),
     // Oracle hash construction, r16 respelling: the old hs CTE expanded
     // every character row against the 16-power table and re-aggregated
     // (ch × pows → GROUP BY doc,p — ~2.8G intermediate rows at sf10's

@@ -100,6 +100,54 @@ class ScaleGuardSpec extends SparkSpec {
       s"hot-band pairs must never materialize, got ${pairs.size} pairs")
   }
 
+  test("pair-stage provision estimator: session default until the bound " +
+      "demands more, then ceil(raw/target), capped") {
+    import Dedup.pairStageParts
+    val t = Dedup.PairStageTargetRawPerTask
+    assert(pairStageParts(0L, 32) === 32)
+    assert(pairStageParts(32L * t, 32) === 32) // exactly fits the default
+    assert(pairStageParts(32L * t + 1, 32) === 33) // first row over engages
+    // the r17/r18 measured census points (SCALE.md): sf10 2.97e9 raw
+    // pairs — the just-fits-at-32 regime — engages; sf20 5.33e9 — the
+    // ENOSPC-at-32 regime — provisions wider than the failure config
+    assert(pairStageParts(2970297334L, 32, target = 32000000L) === 93)
+    assert(pairStageParts(5325791261L, 32, target = 32000000L) === 167)
+    assert(pairStageParts(Long.MaxValue / 4, 32) === 1024) // backstop cap
+    assert(pairStageParts(7L, 4, target = 1) === 7) // forced tiny target
+    intercept[IllegalArgumentException](pairStageParts(7L, 4, target = 0))
+  }
+
+  test("pair-stage provision: forced engagement widens the fp stage and " +
+      "is row-identical to the default plan") {
+    val sf = SparkSpec.Sf0001
+    def run(target: Long) =
+      TextOps.winnowPairs(spark, sf, Dedup.MaxPostingDf, pairTarget = target)
+    // the engagement fingerprint is an EXPLICIT-width hash exchange on
+    // fp (REPARTITION_BY_NUM); the spread guard's round-robin exchange
+    // is also BY_NUM, so both markers must sit on one Exchange line
+    def fpRepartition(target: Long): Boolean =
+      TextOps.winnowPairsAgg(spark, sf, Dedup.MaxPostingDf,
+          pairTarget = target).queryExecution.executedPlan.toString
+        .linesIterator.exists(l => l.contains("REPARTITION_BY_NUM") &&
+          l.contains("hashpartitioning(fp"))
+    // default budget at sf0.001: bound fits the session default -> the
+    // certified plan, no fp repartition exchange anywhere
+    val dflt = run(Dedup.PairStageTargetRawPerTask)
+    assert(!fpRepartition(Dedup.PairStageTargetRawPerTask),
+      "un-engaged provision must leave the certified plan untouched")
+    // target = 1 raw pair/task: the estimator must engage (parts =
+    // min(rawPairs, 1024) > 4 session parts) and the pair multiset must
+    // be bit-identical — provisioning changes stage widths, never rows
+    val forced = run(1L)
+    assert(fpRepartition(1L))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val (d, f) = (rows(dflt), rows(forced))
+    assert(d.nonEmpty, "fixture produced no winnow pairs at all")
+    assert(f === d, s"engaged spelling diverged: only-forced=${
+      (f -- d).take(5)} only-default=${(d -- f).take(5)}")
+  }
+
   test("embedding near-dup blocks are bounded by maxBlock") {
     val s = spark
     import s.implicits._

@@ -45,6 +45,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
     con.sql("SET max_temp_directory_size='60GiB'")
+    # Match Spark's null ordering (ASC => NULLS FIRST, DESC => NULLS
+    # LAST; DuckDB defaults to NULLS LAST on ASC): the order gate ranks
+    # the SPARK dump with DuckDB's rank(), so a nullable sort key with no
+    # explicit NULLS directive would otherwise fail falsely (ADVICE r17).
+    con.sql("SET default_null_order='nulls_first_on_asc_last_on_desc'")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
@@ -186,25 +191,31 @@ def extract_order_by(sql: str):
     `sql` (sans any trailing depth-0 LIMIT/OFFSET), or None if the
     query declares no top-level ordering. Depth tracking keeps ORDER BY
     inside subqueries / window OVER(...) clauses from matching."""
-    up, depth, last = sql.upper(), 0, -1
+    # word-bounded, any-whitespace lexing (ADVICE r17: a literal
+    # single-space scan silently classified 'ORDER\n  BY' as unordered,
+    # quietly skipping the order check) — the regex finds candidates,
+    # the depth loop decides which are top-level
+    ob = {m.start(): m.end()
+          for m in re.finditer(r"\bORDER\s+BY\b", sql, re.I)}
+    depth, last = 0, -1
     for i, c in enumerate(sql):
         if c == "(":
             depth += 1
         elif c == ")":
             depth -= 1
-        elif depth == 0 and up.startswith("ORDER BY", i):
+        elif depth == 0 and i in ob:
             last = i
     if last < 0:
         return None
-    clause, depth = sql[last + len("ORDER BY"):], 0
-    upc = clause.upper()
+    clause, depth = sql[ob[last]:], 0
+    lim = {m.start() for m in re.finditer(r"\b(LIMIT|OFFSET)\b",
+                                          clause, re.I)}
     for i, c in enumerate(clause):
         if c == "(":
             depth += 1
         elif c == ")":
             depth -= 1
-        elif depth == 0 and (upc.startswith("LIMIT", i)
-                             or upc.startswith("OFFSET", i)):
+        elif depth == 0 and i in lim:
             clause = clause[:i]
             break
     return clause.strip()

@@ -30,6 +30,8 @@ import local_check
 
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
+    # Spark's null ordering, same rationale as local_check.main
+    con.sql("SET default_null_order='nulls_first_on_asc_last_on_desc'")
     for t in local_check.TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
