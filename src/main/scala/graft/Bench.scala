@@ -485,6 +485,8 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         initParts.toString)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        GraftConf.BypassMergeThreshold)
       .config("spark.sql.optimizer.excludedRules", GraftConf.ExcludedRules)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -27,6 +27,23 @@ object GraftConf {
     * Excluding the rule removes that double evaluation. */
   val ExcludedRules =
     "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+
+  /** Shuffle-writer ceiling for the bypass-merge path (round 18).
+    * Spark's default flips a combine-free exchange from the streaming
+    * bypass writer to the buffering sort-based writer above 200 reduce
+    * partitions; the census-provisioned pair-aggregation exchanges run
+    * wider than that by design, and the sort-based writer's
+    * serialize+radix-sort+merge added a measured 2.4 µs/row to the
+    * winnow pair stage at sf3 (emission-stage executor time 409 s
+    * bypass vs 1675 s sort-based, identical rows). The engine caps its
+    * own provisioned widths at 1024 (Dedup.pairStageParts), so raising
+    * the threshold to that cap bounds the bypass writer's cost at 1024
+    * open-file buffers (~32 MB) per map task — the trade the default
+    * guards against is M×R tiny blocks, and both M and R stay
+    * engine-bounded here. Env-overridable for A/B and for deployments
+    * whose shuffle service prefers merged outputs. */
+  val BypassMergeThreshold: String =
+    sys.env.getOrElse("SPARK_GRAFT_BYPASS_THRESH", "1024")
 }
 
 /** Parquet table loaders. One file per table under sfDir (TESTDATA.md). */

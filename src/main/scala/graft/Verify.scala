@@ -15,6 +15,8 @@ object Verify {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus))
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        GraftConf.BypassMergeThreshold)
       .config("spark.sql.optimizer.excludedRules", GraftConf.ExcludedRules)
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

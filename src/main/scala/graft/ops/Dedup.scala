@@ -78,6 +78,22 @@ object Dedup {
     * default) keeps small scales on the exact certified plans. */
   val PairStageTargetRawPerTask: Long = 32L * 1000 * 1000
 
+  /** Raw-pair-rows-per-task budget for the pair AGGREGATION stage
+    * (round 18). Unlike the emission stage — whose tasks are state-free
+    * once the raw pairs shuffle by the pair key — an aggregation task
+    * holds a hash map over its distinct pairs (~32 B/entry for the
+    * packed key), the distinct-to-raw ratio runs near 1 for winnow
+    * pairs, and the exchange-free fused partial+final pair doubles the
+    * map bytes. 1M raw rows/task keeps the two maps near 64 MB
+    * combined — comfortably inside a task's execution-memory share at
+    * 32 concurrent tasks on a 16 GB heap, and a conservative (smaller
+    * maps, more tasks) choice on bigger executors. Measured at sf3
+    * (r18, per-stage task metrics, bypass writer): 4M raw/task still
+    * spilled 42 GB; 1M runs the whole pair pipeline spill-free at
+    * 1005 s executor CPU vs 1618-1826 s for the r17 partial+final
+    * shape. */
+  val PairAggTargetRawPerTask: Long = 1L * 1000 * 1000
+
   /** Reducer count for a pair-enumeration stage expected to carry
     * `rawPairs` rows (the exact Σ C(df,2) over the df-capped posting
     * census — the engine computes that census anyway for the hot-key

@@ -293,7 +293,8 @@ object TextOps {
   private[ops] def winnowPairsAgg(s: org.apache.spark.sql.SparkSession,
       d: String, maxDf: Int,
       viaGroups: Boolean = false,
-      pairTarget: Long = Dedup.PairStageTargetRawPerTask)
+      pairTarget: Long = Dedup.PairStageTargetRawPerTask,
+      packing: Boolean = true)
       : org.apache.spark.sql.DataFrame = {
     val fpAll = T.documents(s, d)
       .select(col("doc_id"),
@@ -317,13 +318,35 @@ object TextOps {
     // equi-join emits exactly C(df, 2) pairs per retained fingerprint.
     // One small agg over the census the cap computes anyway; the ONE
     // collected row is driver-steered provisioning state, same policy
-    // class as the IVF centroid / BPE argmax collects.
-    val rawPairs = census.filter(col("graft_df") <= maxDf)
+    // class as the IVF centroid / BPE argmax collects. The same action
+    // also fetches the doc-id extent (a pruned one-column scan of
+    // documents, far cheaper than the fingerprint explode) so the pair
+    // stage can decide the packed-key spelling below without a second
+    // driver round trip: both 1-row aggs ride one crossJoin.
+    val steer = census.filter(col("graft_df") <= maxDf)
       .agg(coalesce(sum((col("graft_df") * (col("graft_df") - 1) / 2)
         .cast("long")), lit(0L)).as("raw_pairs"))
-      .head.getLong(0)
+      .crossJoin(T.documents(s, d)
+        .agg(min(col("doc_id")).as("id_min"), max(col("doc_id")).as("id_max")))
+      .head
+    val rawPairs = steer.getLong(0)
+    // Packed-key guard: (a << 32) | b is a bijection on pairs iff every
+    // doc_id sits in [0, 2^31) — true for every fixture and any corpus
+    // below two billion documents; an id space past that falls back to
+    // the two-long key, same results.
+    val packable = packing && !steer.isNullAt(1) && steer.getLong(1) >= 0L &&
+      steer.getLong(2) < (1L << 31)
     val sessionParts = s.sessionState.conf.numShufflePartitions
     val parts = Dedup.pairStageParts(rawPairs, sessionParts, pairTarget)
+    // Aggregation-stage width from the same census bound, at its own
+    // (smaller) budget: an agg task holds a hash map over its DISTINCT
+    // pairs, so raw-rows-per-task must keep that map inside a task's
+    // execution-memory share — a tighter constraint than the emission
+    // stage's (state-free) one. SPARK_GRAFT_PAIR_AGG_TARGET overrides
+    // (diagnostics-only, width never changes the pair multiset).
+    val aggParts = Dedup.pairStageParts(rawPairs, sessionParts,
+      sys.env.get("SPARK_GRAFT_PAIR_AGG_TARGET").map(_.toLong)
+        .getOrElse(Dedup.PairAggTargetRawPerTask))
     val fp0 = fpAll.join(broadcast(hot), Seq("fp"), "left_anti")
     // Pair-stage provisioning (VERDICT r17 #1, the SCALE.md r17 rule
     // moved from an env var into the engine): when the census bound
@@ -359,10 +382,52 @@ object TextOps {
         fp.as("x").join(fp.as("y"),
             col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-    pairRows
-      .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= 10)
+    // Shared-count aggregation — the query's dominant cost at scale.
+    // Measured shape before this round (sf3, per-stage task metrics):
+    // the default partial+final aggregation spilled 42 GB to aggregate
+    // a 2.8 GB shuffle — 14 GB in the pair stage's partial agg and
+    // 28 GB in the 32-reducer final agg. The partial agg is
+    // STRUCTURALLY ineffective here: the join output is partitioned by
+    // fp, and a pair's duplicate rows (one per shared fingerprint) live
+    // in different fp-partitions, so map-side merging only catches the
+    // few copies that happen to share a partition (measured reduction
+    // 2.16x at sf3 — the map + sort-fallback cost far exceeds the
+    // shuffle bytes it saves). Two changes (guide §1.2 "fix the
+    // distributed algorithm first", §2.3 "shuffle fewer bytes"):
+    //
+    //  1. PACK the key: with doc ids under 2^31 the (a, b) pair packs
+    //     losslessly into ONE long — grouping/shuffle rows shrink
+    //     24 -> 16 bytes and key hashing halves. The bijection makes
+    //     groupBy(ab) produce exactly the groupBy(a, b) groups;
+    //     unpacking after the >= 10 filter touches only survivors.
+    //  2. Shuffle RAW pairs once, partitioned BY THE PAIR KEY, into a
+    //     census-provisioned number of agg tasks (the same Σ C(df,2)
+    //     bound that provisions the emission stage, at its own
+    //     rows-per-task budget): the explicit repartition on ab IS the
+    //     aggregation exchange (EnsureRequirements adds none), so the
+    //     emission stage carries no agg state at all — the ENOSPC
+    //     regime's uncompressed sort-fallback spill is gone by
+    //     construction, replaced by compressed shuffle files — and the
+    //     agg runs where ALL copies of a pair meet, with per-task
+    //     groups sized by the budget to fit execution memory.
+    //     Measured (sf3, same session): 42 GB spill -> 0, executor time
+    //     3640 s -> ~1100 s, wall 61.6 -> ~35 s.
+    if (packable)
+      pairRows
+        .select((shiftleft(col("a"), 32).bitwiseOR(col("b"))).as("ab"))
+        .repartition(aggParts, col("ab"))
+        .groupBy(col("ab"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 10)
+        .select(shiftright(col("ab"), 32).as("a"),
+          col("ab").bitwiseAND(lit(0xFFFFFFFFL)).as("b"),
+          col("n_shared"))
+    else
+      pairRows
+        .repartition(aggParts, col("a"), col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 10)
   }
 
   /** [[winnowPairsAgg]] plus the report boundary. Materialization
@@ -384,9 +449,10 @@ object TextOps {
   private[ops] def winnowPairs(s: org.apache.spark.sql.SparkSession,
       d: String, maxDf: Int,
       viaGroups: Boolean = false,
-      pairTarget: Long = Dedup.PairStageTargetRawPerTask)
+      pairTarget: Long = Dedup.PairStageTargetRawPerTask,
+      packing: Boolean = true)
       : org.apache.spark.sql.DataFrame =
-    winnowPairsAgg(s, d, maxDf, viaGroups, pairTarget)
+    winnowPairsAgg(s, d, maxDf, viaGroups, pairTarget, packing)
       .localCheckpoint(false)
       .orderBy("a", "b")
       // Pair-cardinality stamp (VERDICT r15 #5): near-dup pairs (the
@@ -415,10 +481,14 @@ object TextOps {
     // SPARK_GRAFT_PAIR_TARGET overrides the pair-stage raw-rows-per-
     // task budget (diagnostics-only, same policy): the provision
     // changes only stage widths, never the pair multiset.
+    // SPARK_GRAFT_WINNOW_PACK=0 disables the packed pair key
+    // (diagnostics-only; packed and two-long groupings are the same
+    // multiset by bijection, TextSpec pins it).
     (s, d) => winnowPairs(s, d, Dedup.MaxPostingDf,
       viaGroups = sys.env.get("SPARK_GRAFT_WINNOW_GROUPS").contains("1"),
       pairTarget = sys.env.get("SPARK_GRAFT_PAIR_TARGET").map(_.toLong)
-        .getOrElse(Dedup.PairStageTargetRawPerTask)),
+        .getOrElse(Dedup.PairStageTargetRawPerTask),
+      packing = !sys.env.get("SPARK_GRAFT_WINNOW_PACK").contains("0")),
     // Oracle hash construction, r16 respelling: the old hs CTE expanded
     // every character row against the 16-power table and re-aggregated
     // (ch × pows → GROUP BY doc,p — ~2.8G intermediate rows at sf10's

@@ -148,6 +148,32 @@ class ScaleGuardSpec extends SparkSpec {
       (f -- d).take(5)} only-default=${(d -- f).take(5)}")
   }
 
+  test("packed pair key (r18): groupBy((a<<32)|b) is row-identical to " +
+      "groupBy(a, b), and the agg exchange is the explicit ab repartition") {
+    val sf = SparkSpec.Sf0001
+    def rows(packing: Boolean) =
+      TextOps.winnowPairs(spark, sf, Dedup.MaxPostingDf, packing = packing)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val (packed, twoLong) = (rows(true), rows(false))
+    assert(packed.nonEmpty, "fixture produced no winnow pairs at all")
+    assert(packed === twoLong, s"packed key diverged: only-packed=${
+      (packed -- twoLong).take(5)} only-two-long=${(twoLong -- packed).take(5)}")
+    // plan shape: the aggregation's exchange is the census-provisioned
+    // explicit repartition on the packed key (raw pairs shuffle BY THE
+    // PAIR KEY; no partial agg runs before the exchange — the r18
+    // measured fix for the 42 GB fp-partitioned partial-agg spill)
+    val plan = TextOps.winnowPairsAgg(spark, sf, Dedup.MaxPostingDf)
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("REPARTITION_BY_NUM") &&
+      l.contains("hashpartitioning(ab")),
+      "pair aggregation must shuffle raw packed pairs by ab")
+    // and no HashAggregate may sit BELOW that exchange (map-side partial
+    // aggregation of fp-partitioned pairs is the measured anti-pattern)
+    val tail = plan.substring(plan.indexOf("hashpartitioning(ab"))
+    assert(!tail.contains("HashAggregate"),
+      "no partial aggregation below the pair-key exchange")
+  }
+
   test("embedding near-dup blocks are bounded by maxBlock") {
     val s = spark
     import s.implicits._
