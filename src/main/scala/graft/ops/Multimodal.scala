@@ -63,6 +63,20 @@ object Multimodal {
       * The JVM ships no mp4/mkv demuxer; the frames inside are real PNG. */
     val VideoMagic: Int = 0x47465631 // "GFV1"
 
+    /** Per-thread cached PNG writer/reader (round 18): `ImageIO.write` /
+      * `ImageIO.read` rebuild the codec and its image stream through the
+      * SPI registry on EVERY call (thread dumps of the sf3 decode
+      * queries sampled ~20% of image time in that setup,
+      * `ImageIO.getCacheInfo` et al.). The cached instances are the
+      * same JDK PNG plugin classes the convenience methods select, so
+      * bytes and pixels are identical — MultimodalSpec pins both. */
+    private val pngWriterTL =
+      ThreadLocal.withInitial[javax.imageio.ImageWriter](() =>
+        ImageIO.getImageWritersByFormatName("png").next())
+    private val pngReaderTL =
+      ThreadLocal.withInitial[javax.imageio.ImageReader](() =>
+        ImageIO.getImageReadersByFormatName("png").next())
+
     /** Encode an 8-bit gray raster as a real PNG. */
     def encodePng(px: Array[Byte], w: Int, h: Int): Array[Byte] = {
       require(w > 0 && h > 0 && px.length == w * h,
@@ -70,14 +84,58 @@ object Multimodal {
       val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
       img.getRaster.setDataElements(0, 0, w, h, px)
       val out = new ByteArrayOutputStream()
+      val writer = pngWriterTL.get()
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+      try {
+        writer.setOutput(ios)
+        writer.write(img)
+      } finally {
+        writer.setOutput(null)
+        ios.close()
+      }
+      out.toByteArray
+    }
+
+    /** The pre-r18 convenience-method spelling of [[encodePng]] — the
+      * spec reference the cached-writer path is pinned byte-identical
+      * to. */
+    private[graft] def encodePngViaImageIO(
+        px: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+      img.getRaster.setDataElements(0, 0, w, h, px)
+      val out = new ByteArrayOutputStream()
       ImageIO.write(img, "png", out)
       out.toByteArray
     }
 
+    private val PngMagic =
+      Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+
     /** Decode any ImageIO-supported image (PNG/JPEG/GIF/BMP) to an 8-bit
-      * gray raster. Returns (width, height, pixels). */
+      * gray raster. Returns (width, height, pixels). Blobs carrying the
+      * PNG signature take the cached-reader fast path; anything else —
+      * including the corruption-planted blobs whose signature is gone —
+      * is decided by the pre-r18 `ImageIO.read` path, so failure
+      * verdicts are unchanged. */
     def decodeImage(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
-      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      val isPng = bytes.length >= 8 && {
+        var i = 0
+        while (i < 8 && bytes(i) == PngMagic(i)) i += 1
+        i == 8
+      }
+      val img =
+        if (isPng) {
+          val reader = pngReaderTL.get()
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new ByteArrayInputStream(bytes))
+          try {
+            reader.setInput(iis, true, true)
+            reader.read(0)
+          } finally {
+            reader.setInput(null)
+            iis.close()
+          }
+        } else ImageIO.read(new ByteArrayInputStream(bytes))
       require(img != null, "ImageIO could not decode the blob (not an image?)")
       val (w, h) = (img.getWidth, img.getHeight)
       val gray =
@@ -156,8 +214,45 @@ object Multimodal {
     def frameCount(meta: MediaMeta): Int =
       math.max(1, (meta.durationMs / 100L).toInt)
 
-    /** Encode signed 16-bit mono PCM as a real WAV (RIFF) blob. */
+    /** Encode signed 16-bit mono PCM as a real WAV (RIFF) blob.
+      *
+      * Round-18 lock-contention fix: every `AudioSystem` entry point
+      * (write AND getAudioInputStream) runs a provider scan behind the
+      * JVM-global `JSSecurityManager.getProviders` monitor — an
+      * in-process thread dump of the sf3 decode queries showed 55/62
+      * executor-thread samples BLOCKED on that one lock (task run time
+      * ~9x task CPU time across the mm family). PCM16 WAVE output is a
+      * fixed 44-byte canonical header plus little-endian samples, so
+      * the encoder assembles the bytes directly — MultimodalSpec pins
+      * byte-for-byte equality with [[encodeWavViaAudioSystem]], the
+      * retired provider-based spelling, across lengths and rates. */
     def encodeWav(samples: Array[Short], sampleRate: Float = 8000f): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val rate = sampleRate.toInt
+      bb.putInt(0x46464952)             // "RIFF" (LE int of the ASCII)
+        .putInt(36 + dataLen)
+        .putInt(0x45564157)             // "WAVE"
+        .putInt(0x20746d66)             // "fmt "
+        .putInt(16)                     // PCM fmt chunk length
+        .putShort(1)                    // wFormatTag = PCM
+        .putShort(1)                    // mono
+        .putInt(rate)
+        .putInt(rate * 2)               // byte rate = rate * blockAlign
+        .putShort(2)                    // blockAlign = 2 bytes/frame
+        .putShort(16)                   // bits/sample
+        .putInt(0x61746164)             // "data"
+        .putInt(dataLen)
+      var i = 0
+      while (i < samples.length) { bb.putShort(samples(i)); i += 1 }
+      bb.array()
+    }
+
+    /** The pre-r18 AudioSystem spelling of [[encodeWav]] — kept as the
+      * spec reference the direct encoder is pinned byte-identical to. */
+    private[graft] def encodeWavViaAudioSystem(
+        samples: Array[Short], sampleRate: Float = 8000f): Array[Byte] = {
       val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
       val data = new Array[Byte](samples.length * 2)
       var i = 0
@@ -173,8 +268,57 @@ object Multimodal {
       out.toByteArray
     }
 
-    /** Decode a WAV blob to float PCM in [-1, 1). */
-    def decodeAudio(bytes: Array[Byte]): Array[Float] = {
+    /** Decode a WAV blob to float PCM in [-1, 1).
+      *
+      * Same r18 lock fix as [[encodeWav]]: a strict lock-free RIFF
+      * parser handles the canonical PCM16-mono case; ANYTHING it does
+      * not fully recognize — wrong magic, non-PCM format, odd chunk
+      * geometry, truncation — falls back to [[decodeAudioViaAudioSystem]],
+      * the provider-based path, which stays the authority on malformed
+      * and exotic blobs. So well-formed blobs decode to the identical
+      * floats without the global lock, and failure verdicts
+      * (q_mm_decode_errors) are decided by exactly the pre-r18 code. */
+    def decodeAudio(bytes: Array[Byte]): Array[Float] =
+      decodeWavPcm16(bytes).getOrElse(decodeAudioViaAudioSystem(bytes))
+
+    /** Strict canonical-PCM16-mono WAV parse; None on anything else. */
+    private[graft] def decodeWavPcm16(bytes: Array[Byte]): Option[Array[Float]] = {
+      if (bytes.length < 44) return None
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      if (bb.getInt(0) != 0x46464952 || bb.getInt(8) != 0x45564157)
+        return None                     // not RIFF/WAVE
+      var pos = 12
+      var fmtOk = false
+      var out: Array[Float] = null
+      while (pos + 8 <= bytes.length) {
+        val id = bb.getInt(pos)
+        val len = bb.getInt(pos + 4)
+        if (len < 0 || pos + 8 + len > bytes.length) return None // truncated
+        if (id == 0x20746d66) {         // "fmt "
+          if (len < 16) return None
+          val tag = bb.getShort(pos + 8)
+          val ch = bb.getShort(pos + 10)
+          val bits = bb.getShort(pos + 22)
+          if (tag != 1 || ch != 1 || bits != 16) return None // not PCM16 mono
+          fmtOk = true
+        } else if (id == 0x61746164) {  // "data"
+          if (!fmtOk || out != null) return None // data before fmt / twice
+          val n = len / 2
+          val o = new Array[Float](n)
+          var i = 0
+          while (i < n) { o(i) = bb.getShort(pos + 8 + 2 * i) / 32768f; i += 1 }
+          out = o
+        }
+        pos += 8 + len + (len & 1)      // RIFF chunks are word-aligned
+      }
+      Option(out)
+    }
+
+    /** The pre-r18 AudioSystem spelling of [[decodeAudio]] — the
+      * fallback authority for non-canonical blobs, and the spec
+      * reference the fast path is pinned float-identical to. */
+    private[graft] def decodeAudioViaAudioSystem(bytes: Array[Byte]): Array[Float] = {
       val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
       val fmt = ais.getFormat
       require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,

@@ -60,6 +60,28 @@ object MetricsProbe {
       }
     }
     spark.sparkContext.addSparkListener(listener)
+    // SPARK_GRAFT_THREAD_DUMP_AT=<sec>[,<sec>...]: print executor-thread
+    // stacks that long after start — external attach (jstack/jcmd/SA) is
+    // blocked in this sandbox, so the guide §7.3 "where are the blocked
+    // threads" question is answered in-process.
+    sys.env.get("SPARK_GRAFT_THREAD_DUMP_AT").foreach { spec =>
+      val at = spec.split(",").map(_.trim.toLong)
+      val t = new Thread(() => {
+        var prev = 0L
+        at.foreach { sec =>
+          Thread.sleep(math.max(0L, (sec - prev) * 1000)); prev = sec
+          println(s"==== thread dump @${sec}s ====")
+          import scala.jdk.CollectionConverters._
+          Thread.getAllStackTraces.asScala.foreach { case (th, st) =>
+            if (th.getName.startsWith("Executor task launch")) {
+              println(s"-- ${th.getName} state=${th.getState}")
+              st.take(14).foreach(f => println(s"   at $f"))
+            }
+          }
+        }
+      })
+      t.setDaemon(true); t.start()
+    }
     for (name <- names.split(",")) {
       run = 0; cpu = 0; gc = 0; srb = 0; swb = 0; mspill = 0; dspill = 0; tasks = 0
       stages.clear()

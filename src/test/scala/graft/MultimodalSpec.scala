@@ -67,6 +67,69 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("r18 lock-free WAV codec: encoder bytes identical to AudioSystem, " +
+      "fast decode floats identical, corrupt blobs still rejected") {
+    val shapes = Seq(
+      Array[Short](),
+      Array[Short](0),
+      Array[Short](0, 1, -1, 32767, -32768, 1234, -4321),
+      Array.tabulate(4096)(i => ((i * 2654435761L) >>> 7).toShort))
+    for (samples <- shapes; rate <- Seq(8000f, 16000f, 44100f)) {
+      val direct = Codecs.encodeWav(samples, rate)
+      val viaAs = Codecs.encodeWavViaAudioSystem(samples, rate)
+      assert(direct.toSeq === viaAs.toSeq,
+        s"encoder bytes diverged for n=${samples.length} rate=$rate")
+      // the strict parser must take the fast path on canonical blobs
+      // and agree float-for-float with the AudioSystem reference
+      val fast = Codecs.decodeWavPcm16(direct)
+      assert(fast.isDefined, "canonical WAV must take the lock-free path")
+      assert(fast.get.toSeq === Codecs.decodeAudioViaAudioSystem(direct).toSeq)
+    }
+    // the q_mm_decode_errors planting (first 8 bytes dropped) must still
+    // fail: the fast parser bails (no RIFF magic) and the AudioSystem
+    // fallback throws exactly as before
+    val corrupt = Codecs.encodeWav(Array[Short](1, 2, 3)).drop(8)
+    assert(Codecs.decodeWavPcm16(corrupt).isEmpty)
+    intercept[Exception](Codecs.decodeAudio(corrupt))
+    // a non-canonical but AudioSystem-readable shape must fall back, not
+    // mis-parse: stereo PCM is outside the fast path's contract
+    val stereo = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+      val data = Array[Byte](1, 0, 2, 0, 3, 0, 4, 0)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, 2L)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    assert(Codecs.decodeWavPcm16(stereo).isEmpty,
+      "stereo must not take the mono fast path")
+    intercept[Exception](Codecs.decodeAudio(stereo)) // fallback's require fires
+  }
+
+  test("r18 cached PNG codec: encoder bytes identical to ImageIO.write, " +
+      "cached-reader pixels identical to ImageIO.read") {
+    val rasters = Seq(
+      (1, 1, Array[Byte](0)),
+      (3, 2, Array[Byte](0, 127, -1, 5, -128, 64)),
+      (16, 16, Array.tabulate(256)(i => ((i * 37) & 0xff).toByte)),
+      (48, 32, Array.tabulate(1536)(i => ((i * i + 11) & 0xff).toByte)))
+    for ((w, h, px) <- rasters) {
+      val cached = Codecs.encodePng(px, w, h)
+      val viaIo = Codecs.encodePngViaImageIO(px, w, h)
+      assert(cached.toSeq === viaIo.toSeq,
+        s"PNG encoder bytes diverged for ${w}x$h")
+      val (dw, dh, dpx) = Codecs.decodeImage(cached)
+      assert((dw, dh) === (w, h))
+      assert(dpx.toSeq === px.toSeq, s"decode round-trip broke for ${w}x$h")
+    }
+    // signature-stripped blobs (the q_mm_decode_errors planting) miss the
+    // fast path and still fail through the ImageIO authority
+    intercept[Exception](
+      Codecs.decodeImage(Codecs.encodePng(Array[Byte](1, 2, 3, 4), 2, 2).drop(8)))
+  }
+
   test("metadata stats never read the blob column (column pruning)") {
     val plan = Multimodal.metaStats(media).queryExecution.optimizedPlan
     // the scan beneath the aggregation must not require `bytes`
