@@ -1034,7 +1034,7 @@ object Corpus {
       val inV2 = substring(col("hh"), 1, 2) < "f8"
       val salted = substring(col("hh"), 3, 1) === "7"
       val words = (t: org.apache.spark.sql.Column) =>
-        filter(split(t, " "), w => length(w) > 0)
+        graft.functions.TextKernels.spaceTokensCol(t)
       // ONE corpus scan for the token pass: each token carries its
       // per-version multiplicity flags (c1, c2) instead of the corpus
       // being scanned once per version slice; the salted edit's extra

@@ -431,10 +431,7 @@ object Curation {
   /** The classifier score over a pre-split token-array column `tk` —
     * shared by [[qTextQualityClassifier]] and [[qCurationFunnel]]. */
   private[ops] def qualityScoreExpr: org.apache.spark.sql.Column =
-    expr(s"""aggregate(transform(tk, t ->
-        (cast(conv(substring(md5(cast(t as binary)), 1, 8), 16, 10)
-           as bigint) % $QualityBuckets) * 2654435761 % 1001 - 500),
-        0L, (acc, x) -> acc + x)""")
+    graft.functions.TextKernels.qualityScoreCol(col("tk"), QualityBuckets)
 
   /** The same score in DuckDB, over a raw `text` reference. */
   private[ops] def qualityScoreSql(textRef: String): String =
@@ -448,7 +445,7 @@ object Curation {
     (s, d) =>
       T.documents(s, d)
         .select(col("doc_id"),
-          expr("filter(split(text, ' '), t -> length(t) > 0)").as("tk"))
+          graft.functions.TextKernels.spaceTokensCol(col("text")).as("tk"))
         .select(col("doc_id"),
           size(col("tk")).as("n_tokens"),
           qualityScoreExpr.as("score"))
@@ -490,7 +487,7 @@ object Curation {
            + CAST((length(text) - length(replace(text, '...', ''))) / 3
                   AS INT)"""))
       .withColumn("n_alpha",
-        expr("size(filter(tk, t -> t rlike '[a-zA-Z]'))"))
+        graft.functions.TextKernels.countAlphaTokensCol(col("tk")))
       .withColumn("ln", split(col("text"), "\n", -1))
       .withColumn("n_lines", size(col("ln")))
       .withColumn("n_bullet", expr(
@@ -549,7 +546,7 @@ object Curation {
     (s, d) => {
       val m = gopherCounts(T.documents(s, d)
         .select(col("doc_id"), col("text"),
-          expr("filter(split(text, ' '), t -> length(t) > 0)").as("tk")))
+          graft.functions.TextKernels.spaceTokensCol(col("text")).as("tk")))
       m.select(col("doc_id"), col("n_words"), col("n_lines"),
         r2(col("n_chars").cast("double") / greatest(col("n_words"), lit(1)))
           .as("mean_word_len"),
@@ -615,7 +612,7 @@ object Curation {
     (s, d) => {
       val flagged = T.documents(s, d)
         .select(col("doc_id"), col("source"), col("text"),
-          expr("filter(split(text, ' '), t -> length(t) > 0)").as("tk"))
+          graft.functions.TextKernels.spaceTokensCol(col("text")).as("tk"))
         .withColumn("ok_exact",
           row_number().over(Window.partitionBy(
             md5(concat_ws(" ", slice(col("tk"), 1, 8)).cast("binary")))
@@ -841,7 +838,7 @@ object Curation {
     (s, d) => {
       val sc = T.documents(s, d)
         .select(col("doc_id"),
-          expr("filter(split(text, ' '), t -> length(t) > 0)").as("tk"))
+          graft.functions.TextKernels.spaceTokensCol(col("text")).as("tk"))
         .select(qualityScoreExpr.as("score"))
       val fr = sc.groupBy("score").agg(count(lit(1)).as("n"))
       val w = Window.partitionBy(lit(1)).orderBy("score")

@@ -1149,10 +1149,8 @@ object Dedup {
     val spans = docs
       .select(col(idCol), split(col(textCol), " ").as("tk"))
       .filter(size(col("tk")) >= n)
-      .select(col(idCol), explode(expr(
-        s"""array_distinct(transform(sequence(1, size(tk) - ${n - 1}),
-            i -> md5(cast(concat_ws(' ', slice(tk, i, $n)) as binary))))"""))
-        .as("g"))
+      .select(col(idCol), explode(
+        graft.functions.TextKernels.spanHashesCol(col("tk"), n)).as("g"))
     val owners = spans.groupBy("g")
       .agg(min(idCol).as("owner"), count(lit(1)).as("df"))
       .filter(col("df") > 1)

@@ -44,8 +44,8 @@ object TextOps {
           length(col("text")).as("len"),
           r2(length(col("text")).cast("double") / size(col("toks")))
             .as("avg_tok_len"),
-          r2(size(expr(
-              "filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'in'))"))
+          r2(graft.functions.TextKernels.countTokensInCol(col("toks"),
+              Seq("the", "a", "of", "and", "in"))
             .cast("double") / size(col("toks"))).as("stop_ratio"))
         .orderBy("doc_id"),
     Some(s"""SELECT doc_id, lang,
@@ -108,7 +108,7 @@ object TextOps {
         .withColumn("toks", split(col("text"), " "))
         .select(
           col("doc_id"),
-          when(expr("size(filter(toks, t -> t IN ('the', 'a', 'of')))")
+          when(graft.functions.TextKernels.countTokensInCol(col("toks"), Seq("the", "a", "of"))
                  .cast("double") / size(col("toks")) >= 0.03, "en")
             .otherwise("other").as("pred_lang"))
         .orderBy("doc_id"),
@@ -128,13 +128,11 @@ object TextOps {
     (s, d) => {
       val profile = TextOps.EnTrigrams.map(t => s"'$t'").mkString(", ")
       T.documents(s, d)
-        .withColumn("grams", expr(
-          "transform(sequence(1, greatest(length(text) - 2, 1))," +
-          " i -> substring(text, i, 3))"))
+        .withColumn("tp", graft.functions.TextKernels.trigramProfileCol(col("text"), EnTrigrams))
         .select(
           col("doc_id"),
-          when(expr(s"size(filter(grams, g -> g IN ($profile)))")
-                 .cast("double") / size(col("grams")) >= 0.04, "en")
+          when(col("tp.hits")
+                 .cast("double") / col("tp.grams") >= 0.04, "en")
             .otherwise("other").as("pred_lang"))
         .orderBy("doc_id")
     },
@@ -225,7 +223,7 @@ object TextOps {
       T.documents(s, d)
         .select(col("source"),
           size(toks).cast("long").as("nb"),
-          expr("size(filter(split(text, ' '), w -> length(w) > 0))")
+          size(graft.functions.TextKernels.spaceTokensCol(col("text")))
             .cast("long").as("nw"),
           length(col("text")).cast("long").as("nc"))
         .groupBy("source")
@@ -589,7 +587,7 @@ object TextOps {
         .withColumn("rn", row_number().over(w))
         .withColumn("toks", split(col("text"), " "))
         .filter(col("rn") === 1)
-        .filter(expr("size(filter(toks, t -> t IN ('the', 'a', 'of')))")
+        .filter(graft.functions.TextKernels.countTokensInCol(col("toks"), Seq("the", "a", "of"))
           .cast("double") / size(col("toks")) >= 0.03)
         .filter(size(col("toks")) >= 10 &&
           length(col("text")).cast("double") / size(col("toks")) >= 3.0)

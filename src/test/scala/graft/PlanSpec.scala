@@ -333,7 +333,9 @@ class PlanSpec extends SparkSpec {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val p = plan("q_dedup_substring")
-      assert(p.contains("md5("), p)
+      // r18: the span construction is the graft_span_hashes codegen
+      // kernel (md5-hex per window fused into one pass)
+      assert(p.contains("graft_span_hashes"), p)
       val exch = p.linesIterator
         .filter(_.contains("hashpartitioning")).mkString("\n")
       assert(!exch.contains("text#"), "exchange carries raw text:\n" + exch)

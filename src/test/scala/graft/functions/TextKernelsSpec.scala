@@ -1,0 +1,119 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins each r18 codegen kernel to the interpreted HOF spelling it
+  * replaced — same rows on adversarial inputs (empties, separator runs,
+  * multibyte chars), so the oracle-facing semantics cannot drift. */
+class TextKernelsSpec extends SparkSpec {
+
+  private val texts = Seq(
+    "",
+    " ",
+    "   ",
+    "a",
+    "ab",
+    "the",
+    "the quick brown fox of the and in a",
+    "  leading and trailing  ",
+    "double  space　wide",
+    "tab\tand\nnewline the",
+    "café déjà vu naïve the",           // multibyte chars
+    "の the 日本語 of テスト",            // multibyte tokens
+    "x" * 5000 + " the of and",
+    "... the-end of it all ...")
+
+  private def df = {
+    val s = spark
+    import s.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+  }
+
+  test("SpaceTokens == filter(split(text, ' '), t -> length(t) > 0)") {
+    val got = df.select(col("id"),
+      TextKernels.spaceTokensCol(col("text")).as("tk")).collect()
+    val want = df.select(col("id"),
+      expr("filter(split(text, ' '), t -> length(t) > 0)").as("tk")).collect()
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getSeq[String](1) === w.getSeq[String](1),
+        s"row ${g.getLong(0)}")
+    }
+  }
+
+  test("QualityScore == aggregate(transform(tk, md5-bucket), sum)") {
+    val b = graft.ops.Curation.QualityBuckets
+    val base = df.withColumn("tk",
+      expr("filter(split(text, ' '), t -> length(t) > 0)"))
+    val got = base.select(col("id"),
+      TextKernels.qualityScoreCol(col("tk"), b).as("s")).collect()
+    val want = base.select(col("id"), expr(
+      s"""aggregate(transform(tk, t ->
+         (cast(conv(substring(md5(cast(t as binary)), 1, 8), 16, 10)
+            as bigint) % $b) * 2654435761 % 1001 - 500),
+         0L, (acc, x) -> acc + x)""").as("s")).collect()
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getLong(1) === w.getLong(1), s"row ${g.getLong(0)}")
+    }
+  }
+
+  test("CountAlphaTokens == size(filter(tk, t -> t rlike '[a-zA-Z]'))") {
+    val base = df.withColumn("tk", split(col("text"), " "))
+    val got = base.select(col("id"),
+      TextKernels.countAlphaTokensCol(col("tk")).as("n")).collect()
+    val want = base.select(col("id"),
+      expr("size(filter(tk, t -> t rlike '[a-zA-Z]'))").as("n")).collect()
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getInt(1) === w.getInt(1), s"row ${g.getLong(0)}")
+    }
+  }
+
+  test("CountTokensIn == size(filter(toks, t -> t IN (...)))") {
+    val base = df.withColumn("toks", split(col("text"), " "))
+    val got = base.select(col("id"),
+      TextKernels.countTokensInCol(col("toks"),
+        Seq("the", "a", "of")).as("n")).collect()
+    val want = base.select(col("id"),
+      expr("size(filter(toks, t -> t IN ('the', 'a', 'of')))").as("n"))
+      .collect()
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getInt(1) === w.getInt(1), s"row ${g.getLong(0)}")
+    }
+  }
+
+  test("SpanHashes == array_distinct(transform(sequence, md5(concat_ws(" +
+      "slice))))") {
+    for (n <- Seq(1, 2, 8)) {
+      val base = df.withColumn("tk", split(col("text"), " "))
+        .filter(size(col("tk")) >= n)
+      val got = base.select(col("id"),
+        TextKernels.spanHashesCol(col("tk"), n).as("g")).collect()
+      val want = base.select(col("id"), expr(
+        s"""array_distinct(transform(sequence(1, size(tk) - ${n - 1}),
+            i -> md5(cast(concat_ws(' ', slice(tk, i, $n)) as binary))))""")
+        .as("g")).collect()
+      got.zip(want).foreach { case (g, w) =>
+        assert(g.getSeq[String](1) === w.getSeq[String](1),
+          s"n=$n row ${g.getLong(0)}")
+      }
+    }
+  }
+
+  test("TrigramProfile == (hits, grams) of the transform/filter spelling") {
+    val profile = graft.ops.TextOps.EnTrigrams
+    val inList = profile.map(t => s"'$t'").mkString(", ")
+    val base = df.withColumn("grams", expr(
+      "transform(sequence(1, greatest(length(text) - 2, 1))," +
+      " i -> substring(text, i, 3))"))
+    val got = df.select(col("id"),
+      TextKernels.trigramProfileCol(col("text"), profile).as("tp"))
+      .select(col("id"), col("tp.hits"), col("tp.grams")).collect()
+    val want = base.select(col("id"),
+      expr(s"size(filter(grams, g -> g IN ($inList)))").as("hits"),
+      size(col("grams")).as("grams")).collect()
+    got.zip(want).foreach { case (g, w) =>
+      assert((g.getInt(1), g.getInt(2)) === (w.getInt(1), w.getInt(2)),
+        s"row ${g.getLong(0)}")
+    }
+  }
+}
