@@ -397,4 +397,135 @@ object TextKernels {
 
   def spanHashesCol(c: Column, n: Int): Column =
     Bridge.column(SpanHashes(Bridge.expression(c), n))
+
+  // ------------------------------------------------------ TokenEntropy
+
+  /** Per-document token-entropy counts in one pass — replaces the
+    * explode(split) -> groupBy(doc, tok) -> groupBy(doc) pipeline of
+    * q_text_entropy, whose exploded frame is |corpus tokens| rows
+    * through two aggregations. Semantics pinned to the relational
+    * spelling: tokens are `split(text, ' ')` fields INCLUDING empties
+    * (leading/trailing/double spaces), `n_tok` their count, `n_vocab`
+    * the distinct count, `bits(t) = length(bin(n_tok div cnt(t)))` =
+    * 64 - numberOfLeadingZeros(n_tok / cnt), `ent_bits = Σ cnt·bits`
+    * over distinct tokens. The per-row state is one hash map bounded by
+    * the document's own vocabulary — map-side at any corpus size. */
+  case class TokenEntropy(child: Expression) extends UnaryExpression {
+    override def prettyName: String = "graft_token_entropy"
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects string, got ${t.catalogString}")
+    }
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_tok", LongType, nullable = false),
+      StructField("n_vocab", LongType, nullable = false),
+      StructField("ent_bits", LongType, nullable = false)))
+    override def nullSafeEval(input: Any): Any =
+      TextKernels.tokenEntropy(input.asInstanceOf[UTF8String])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextKernels.tokenEntropy($c);")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def tokenEntropy(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = text.getBytes
+    val counts = new java.util.HashMap[UTF8String, Array[Long]]()
+    var nTok = 0L
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        val tok = UTF8String.fromBytes(
+          java.util.Arrays.copyOfRange(bytes, start, i))
+        val c = counts.get(tok)
+        if (c == null) counts.put(tok, Array(1L)) else c(0) += 1
+        nTok += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    var entBits = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val cnt = it.next()(0)
+      val bits = 64L - java.lang.Long.numberOfLeadingZeros(nTok / cnt)
+      entBits += cnt * bits
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      nTok, counts.size().toLong, entBits)
+  }
+
+  def tokenEntropyCol(c: Column): Column =
+    Bridge.column(TokenEntropy(Bridge.expression(c)))
+
+  // ---------------------------------------------------- IntersectCount
+
+  /** `size(array_intersect(a, b))` for ASCENDING-SORTED inputs (e.g.
+    * `array_sort`ed), via a merge walk: no per-pair hash set, no
+    * re-hashing of a document's array for every pair it joins into —
+    * thread dumps showed the band-sweep truth join spending its CPU in
+    * per-pair HashSet builds over the same per-doc arrays. The count is
+    * of DISTINCT common elements (array_intersect de-duplicates), with
+    * nulls counted once iff present in both — array_sort places nulls
+    * last, where the merge tail handles them. Callers sort each array
+    * once at document granularity; the sort changes nothing downstream
+    * (only sizes and intersection counts are consumed). */
+  case class SortedIntersectCount(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def prettyName: String = "graft_sorted_intersect_count"
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects two array<string>, got ${l.catalogString}, ${r.catalogString}")
+      }
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      TextKernels.sortedIntersectCount(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.TextKernels.sortedIntersectCount($a, $b);")
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var count = 0
+    var aNull = false
+    var bNull = false
+    var last: UTF8String = null      // last counted match, for dedup
+    while (i < na && j < nb) {
+      if (a.isNullAt(i)) { aNull = true; i += 1 }
+      else if (b.isNullAt(j)) { bNull = true; j += 1 }
+      else {
+        val x = a.getUTF8String(i)
+        val y = b.getUTF8String(j)
+        val c = x.compareTo(y)
+        if (c == 0) {
+          if (last == null || !x.equals(last)) { count += 1; last = x }
+          i += 1; j += 1
+        } else if (c < 0) i += 1
+        else j += 1
+      }
+    }
+    // nulls sort last: if both tails carry one, the built-in counts it once
+    while (i < na) { if (a.isNullAt(i)) aNull = true; i += 1 }
+    while (j < nb) { if (b.isNullAt(j)) bNull = true; j += 1 }
+    if (aNull && bNull) count += 1
+    count
+  }
+
+  def sortedIntersectCountCol(a: Column, b: Column): Column =
+    Bridge.column(SortedIntersectCount(
+      Bridge.expression(a), Bridge.expression(b)))
 }

@@ -1068,7 +1068,7 @@ object Dedup {
     "q_dedup_minhash_quality",
     (s, d) => {
       val base = shingled(s, d).select(col("doc_id"),
-        array_distinct(col("sh")).as("shd"),
+        array_sort(array_distinct(col("sh"))).as("shd"),
         graft.functions.MinHashSig.minhash(col("sh")).as("sig"))
       val ja = base.select(col("doc_id").as("a"), col("shd").as("sha"),
         col("sig").as("siga"))
@@ -1079,10 +1079,10 @@ object Dedup {
         .select(col("a"), col("b"),
           expr("size(filter(zip_with(siga, sigb, (x, y) -> x = y), v -> v))")
             .cast("long").as("n_match"),
-          size(array_intersect(col("sha"), col("shb"))).cast("long")
+          graft.functions.TextKernels.sortedIntersectCountCol(col("sha"), col("shb")).cast("long")
             .as("n_inter"),
           (size(col("sha")) + size(col("shb")) -
-            size(array_intersect(col("sha"), col("shb")))).cast("long")
+            graft.functions.TextKernels.sortedIntersectCountCol(col("sha"), col("shb"))).cast("long")
             .as("n_union"))
         .orderBy("a", "b")
     },
@@ -1238,7 +1238,7 @@ object Dedup {
     (s, d) => {
       import s.implicits._
       val base = shingled(s, d).select(col("doc_id"),
-        array_distinct(col("sh")).as("shd"),
+        array_sort(array_distinct(col("sh"))).as("shd"),
         graft.functions.MinHashSig.minhash(col("sh")).as("sig"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bandStructs = array(BandSweepConfigs.flatMap { case (nb, rpb) =>
@@ -1268,7 +1268,7 @@ object Dedup {
       val jb = base.select(col("doc_id").as("b"), col("shd").as("shb"))
       val scored = pairs.join(ja, "a").join(jb, "b")
         .withColumn("ni",
-          size(array_intersect(col("sha"), col("shb"))).cast("long"))
+          graft.functions.TextKernels.sortedIntersectCountCol(col("sha"), col("shb")).cast("long"))
         .withColumn("nu",
           (size(col("sha")) + size(col("shb"))).cast("long") - col("ni"))
       val agg = scored.groupBy("cfg")

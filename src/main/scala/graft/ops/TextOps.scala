@@ -757,23 +757,22 @@ object TextOps {
     * one doc-keyed rollup; the sort is the only corpus-wide exchange. */
   val qTextEntropy = Q(
     "q_text_entropy",
+    // r18: the per-document counting runs inside the codegen
+    // TokenEntropy kernel (one bounded hash map per row), replacing an
+    // exploded |corpus tokens|-row frame through two aggregations —
+    // same integer bit arithmetic, spelled once (TextKernelsSpec pins
+    // kernel == relational spelling row-for-row; the oracle is
+    // unchanged).
     (s, d) =>
       T.documents(s, d)
         .select(col("doc_id"), col("source"),
-          size(split(col("text"), " ")).cast("long").as("n_tok"),
-          explode(split(col("text"), " ")).as("tok"))
-        .groupBy("doc_id", "source", "n_tok", "tok")
-        .agg(count(lit(1)).as("cnt"))
-        .withColumn("bits",
-          length(bin(expr("n_tok div cnt"))).cast("long"))
-        .groupBy("doc_id", "source", "n_tok")
-        .agg(count(lit(1)).as("n_vocab"),
-          sum(col("cnt") * col("bits")).as("ent_bits"))
-        .select(col("doc_id"), col("source"), col("n_tok"), col("n_vocab"),
-          col("ent_bits"),
-          r2(col("ent_bits").cast("double") / col("n_tok").cast("double"))
+          graft.functions.TextKernels.tokenEntropyCol(col("text")).as("te"))
+        .select(col("doc_id"), col("source"),
+          col("te.n_tok").as("n_tok"), col("te.n_vocab").as("n_vocab"),
+          col("te.ent_bits").as("ent_bits"),
+          r2(col("te.ent_bits").cast("double") / col("te.n_tok").cast("double"))
             .as("mean_bits"),
-          r2(col("n_vocab").cast("double") / col("n_tok").cast("double"))
+          r2(col("te.n_vocab").cast("double") / col("te.n_tok").cast("double"))
             .as("ttr"))
         .orderBy("doc_id"),
     Some(s"""WITH t AS (SELECT doc_id, source,

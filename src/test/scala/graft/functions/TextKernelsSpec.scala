@@ -99,6 +99,48 @@ class TextKernelsSpec extends SparkSpec {
     }
   }
 
+  test("TokenEntropy == explode/groupBy/groupBy relational spelling") {
+    val base = df.select(col("id"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"),
+      explode(split(col("text"), " ")).as("tok"))
+      .groupBy("id", "n_tok", "tok")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("bits", length(bin(expr("n_tok div cnt"))).cast("long"))
+      .groupBy("id", "n_tok")
+      .agg(count(lit(1)).as("n_vocab"), sum(col("cnt") * col("bits")).as("ent_bits"))
+    val want = base.orderBy("id")
+      .select("id", "n_tok", "n_vocab", "ent_bits").collect()
+    val got = df.select(col("id"),
+      TextKernels.tokenEntropyCol(col("text")).as("te")).orderBy("id")
+      .select(col("id"), col("te.n_tok"), col("te.n_vocab"), col("te.ent_bits"))
+      .collect()
+    assert(got.length === want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert((g.getLong(1), g.getLong(2), g.getLong(3)) ===
+        (w.getLong(1), w.getLong(2), w.getLong(3)), s"row ${g.getLong(0)}")
+    }
+  }
+
+  test("SortedIntersectCount == size(array_intersect(a, b)) on sorted inputs") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (Seq.empty[String], Seq.empty[String]),
+      (Seq("a"), Seq.empty[String]),
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq("a", "a", "b"), Seq("a", "a", "a")),       // duplicates
+      (Seq("x", "y"), Seq("y", "x")),
+      (Seq("の", "日本"), Seq("日本", "z")),
+      ((1 to 500).map("w" + _), (250 to 700).map("w" + _)))
+      .toDF("a", "b")
+    val got = rows.select(TextKernels.sortedIntersectCountCol(
+      array_sort(col("a")), array_sort(col("b"))))
+      .collect().map(_.getInt(0)).toSeq
+    val want = rows.select(size(array_intersect(col("a"), col("b"))))
+      .collect().map(_.getInt(0)).toSeq
+    assert(got === want)
+  }
+
   test("TrigramProfile == (hits, grams) of the transform/filter spelling") {
     val profile = graft.ops.TextOps.EnTrigrams
     val inList = profile.map(t => s"'$t'").mkString(", ")
