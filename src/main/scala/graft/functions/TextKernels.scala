@@ -528,4 +528,56 @@ object TextKernels {
   def sortedIntersectCountCol(a: Column, b: Column): Column =
     Bridge.column(SortedIntersectCount(
       Bridge.expression(a), Bridge.expression(b)))
+
+  // ------------------------------------------------------- PackedPairs
+
+  /** All C(n,2) unordered pairs of a distinct id list, each packed as
+    * (a << 32) | b with a < b — the pair-emission kernel behind the
+    * grouped q_text_winnow_pairs spelling. Caller contract: ids are
+    * distinct and sit in [0, 2^31) (the winnow pair stage's packable
+    * guard checks the corpus id extent before choosing this path). The
+    * kernel sorts its own copy of the input, so the a < b orientation —
+    * and the emitted multiset — is independent of collect_list's
+    * nondeterministic arrival order. Output size is C(n,2), bounded by
+    * the caller's posting-df cap (C(1000,2) ≈ 500k longs ≈ 4 MB at the
+    * production [[graft.ops.Dedup.MaxPostingDf]]); `explode` over the
+    * primitive long array stays inside whole-stage codegen, unlike the
+    * CodegenFallback [[PairCombinations]] generator, which allocates an
+    * InternalRow per pair. */
+  case class PackedPairs(child: Expression) extends UnaryExpression {
+    override def prettyName: String = "graft_packed_pairs"
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<bigint>, got ${t.catalogString}")
+    }
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      TextKernels.packedPairs(input.asInstanceOf[ArrayData])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextKernels.packedPairs($c);")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def packedPairs(ds: ArrayData): ArrayData = {
+    val ids = ds.toLongArray()
+    val n = ids.length
+    java.util.Arrays.sort(ids)
+    val out = new Array[Long](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val hi = ids(i) << 32
+      var j = i + 1
+      while (j < n) { out(k) = hi | ids(j); k += 1; j += 1 }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  def packedPairsCol(c: Column): Column =
+    Bridge.column(PackedPairs(Bridge.expression(c)))
 }

@@ -358,10 +358,38 @@ object TextOps {
     // override, minus its +40% whole-query dispatch tax at sf10.
     val fp = if (parts > sessionParts) fp0.repartition(parts, col("fp"))
              else fp0
-    // NOTE: deliberately a self-join, not pairsFromGroups — winnow
-    // fingerprints have no blocking key, so one hot fingerprint's whole
-    // pair expansion would run inside a single task; the join spreads
-    // that work across tasks instead.
+    // Grouped emission (r18, guide §2.4 "remove shuffles outright" /
+    // §3.1 "broadcast only what you KNOW is small"): the earlier
+    // self-join spelling let the planner turn fp ⋈ fp into a
+    // BroadcastHashJoin whose build side was the ENTIRE posting frame
+    // (sized from the pre-Generate scan estimate, which Catalyst cannot
+    // see through) — measured at sf3: a 10.7M-row broadcast relation,
+    // the fingerprint explode computed twice (once per side), and
+    // 1.6 µs/pair of BHJ probe + UnsafeRow-copy machinery in the
+    // emission stage. The posting frame grows with the corpus, so that
+    // plan hits the 8 GB broadcast hard cap long before 100 TB. One
+    // groupBy(fp) of the postings (the provisioning repartition above
+    // doubles as its exchange) feeds [[TextKernels.PackedPairs]], which
+    // emits each list's C(df,2) pairs as one primitive long array —
+    // `explode` over it stays inside whole-stage codegen, unlike the
+    // CodegenFallback PairCombinations generator. The df cap bounds any
+    // group's emission at C(cap,2), so a hot fingerprint's whole
+    // expansion inside one task is ≤ ~500k longs — milliseconds, which
+    // retires the "spread hot keys across tasks" argument the join
+    // spelling was keeping alive.
+    if (packable && !viaGroups) {
+      fp.groupBy("fp")
+        .agg(collect_list(col("doc_id")).as("ds"))
+        .select(explode(
+          graft.functions.TextKernels.packedPairsCol(col("ds"))).as("ab"))
+        .repartition(aggParts, col("ab"))
+        .groupBy(col("ab"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 10)
+        .select(shiftright(col("ab"), 32).as("a"),
+          col("ab").bitwiseAND(lit(0xFFFFFFFFL)).as("b"),
+          col("n_shared"))
+    } else {
     val pairRows =
       if (viaGroups)
         // per-doc fingerprints are DISTINCT (the winnow min-selection
@@ -426,6 +454,7 @@ object TextOps {
         .groupBy(col("a"), col("b"))
         .agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= 10)
+    }
   }
 
   /** [[winnowPairsAgg]] plus the report boundary. Materialization

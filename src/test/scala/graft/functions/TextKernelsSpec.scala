@@ -158,4 +158,32 @@ class TextKernelsSpec extends SparkSpec {
         s"row ${g.getLong(0)}")
     }
   }
+
+  test("PackedPairs == every i<j pair of the sorted ids, packed (a<<32)|b, " +
+      "independent of input order") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      Seq.empty[Long],
+      Seq(7L),
+      Seq(3L, 9L),
+      Seq(9L, 3L),                                   // arrival order flipped
+      Seq(5L, 1L, 4L, 2L),
+      (0L until 100L).reverse,                       // C(100,2) = 4950 pairs
+      Seq(0L, Int.MaxValue.toLong - 1))              // extremes of the guard
+      .toDF("ids")
+    val got = rows
+      .select(explode(TextKernels.packedPairsCol(col("ids"))).as("ab"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val want = rows.collect().map(_.getSeq[Long](0)).flatMap { ids =>
+      val sorted = ids.sorted
+      for (i <- sorted.indices; j <- i + 1 until sorted.length)
+        yield (sorted(i) << 32) | sorted(j)
+    }.sorted.toSeq
+    assert(got === want)
+    // unpacking round-trips: a < b for every emitted pair
+    got.foreach { ab =>
+      assert((ab >> 32) < (ab & 0xFFFFFFFFL), s"orientation broken for $ab")
+    }
+  }
 }

@@ -167,11 +167,22 @@ class ScaleGuardSpec extends SparkSpec {
     assert(plan.linesIterator.exists(l => l.contains("REPARTITION_BY_NUM") &&
       l.contains("hashpartitioning(ab")),
       "pair aggregation must shuffle raw packed pairs by ab")
-    // and no HashAggregate may sit BELOW that exchange (map-side partial
-    // aggregation of fp-partitioned pairs is the measured anti-pattern)
+    // and no partial PAIR COUNT may sit BELOW that exchange (map-side
+    // partial aggregation of fp-partitioned pairs is the measured
+    // anti-pattern). The grouped emission's collect_list aggregate
+    // (posting-list build, r18) legitimately sits below it, so the
+    // check targets the count function, not the operator name.
     val tail = plan.substring(plan.indexOf("hashpartitioning(ab"))
-    assert(!tail.contains("HashAggregate"),
-      "no partial aggregation below the pair-key exchange")
+    assert(!tail.contains("partial_count"),
+      "no partial pair aggregation below the pair-key exchange")
+    // the emission below the exchange is the grouped packed-pair
+    // generator, not a join of the posting frame against itself (the
+    // r18 fix: the planner turned that self-join into a full-frame
+    // broadcast, which cannot scale past the 8 GB broadcast cap)
+    assert(tail.contains("graft_packed_pairs"),
+      "pair emission must be the grouped packed-pair generator")
+    assert(!tail.contains("BroadcastHashJoin Inner"),
+      "no posting-frame self-join below the pair-key exchange")
   }
 
   test("embedding near-dup blocks are bounded by maxBlock") {
