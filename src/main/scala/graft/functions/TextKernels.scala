@@ -510,7 +510,12 @@ object TextKernels {
       else {
         val x = a.getUTF8String(i)
         val y = b.getUTF8String(j)
-        val c = x.compareTo(y)
+        // binaryCompare, NOT compareTo: Spark 4.1's compareTo guards a
+        // "use binaryCompare or semanticCompare" assertion behind
+        // SparkEnvUtils.isTesting, which reads System.getenv PER CALL —
+        // thread dumps of the sf3 band-sweep truth join showed the
+        // getenv map lookup as the top frame of every merge walk
+        val c = x.binaryCompare(y)
         if (c == 0) {
           if (last == null || !x.equals(last)) { count += 1; last = x }
           i += 1; j += 1

@@ -75,7 +75,7 @@ object MetricsProbe {
           Thread.getAllStackTraces.asScala.foreach { case (th, st) =>
             if (th.getName.startsWith("Executor task launch")) {
               println(s"-- ${th.getName} state=${th.getState}")
-              st.take(14).foreach(f => println(s"   at $f"))
+              st.take(28).foreach(f => println(s"   at $f"))
             }
           }
         }
