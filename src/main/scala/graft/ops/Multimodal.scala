@@ -416,12 +416,25 @@ object Multimodal {
     mediaFrom(s,
       T.embeddings(s, d).select(col("vec_id"), col("embedding"), col("label")))
 
+  /** The media table with metadata only — `bytes` left empty, the
+    * codecs never run. The synthesis map is a typed Dataset.map, which
+    * is opaque to Catalyst: a downstream select of the meta struct
+    * cannot prune the blob encode inside it (guide §4.1 — the engine
+    * must do the pruning the optimizer can't see). Metadata-only
+    * consumers ([[qMmMetaStats]]) read THIS frame; every field they
+    * touch is byte-identical to [[mediaTable]]'s. */
+  def mediaMetaTable(s: SparkSession, d: String): Dataset[Media] =
+    mediaFrom(s,
+      T.embeddings(s, d).select(col("vec_id"), col("embedding"), col("label")),
+      withBytes = false)
+
   /** The synthesis map over an (id, embedding, label) frame — factored
     * out so a FILTERED source only encodes the blobs it keeps (the
     * planted-duplicate branch of [[qMmDedup]] pushes its predicate to
     * the embeddings scan instead of re-encoding the whole corpus). */
   private def mediaFrom(s: SparkSession,
-      src: org.apache.spark.sql.DataFrame): Dataset[Media] = {
+      src: org.apache.spark.sql.DataFrame,
+      withBytes: Boolean = true): Dataset[Media] = {
     import s.implicits._
     src.as[(Long, Array[Float], Int)]
       .map { case (id, emb, label) =>
@@ -442,7 +455,7 @@ object Multimodal {
             if (kind == "video") 300L + (id % 10) * 100L
             else if (kind == "audio") 1000L + (id % 5) * 500L
             else 0L)
-        val bytes = kind match {
+        val bytes = if (!withBytes) Array.emptyByteArray else kind match {
           case "image" =>
             Codecs.encodePng(
               synthRaster(id, emb, 0, meta.width, meta.height),
@@ -565,6 +578,14 @@ object Multimodal {
         .select(col("media_id"), col("kind"),
           graft.util.Det.r2(element_at(col("feature"), 1).cast("double"))
             .as("f0"))
+        // materialize before the global sort: the range partitioner's
+        // SAMPLING job otherwise re-executes the whole narrow
+        // synthesize+decode chain (no shuffle boundary below the Sort)
+        // — measured at sf3 as two identical ~39 s stages (the
+        // winnowPairs r13 fix, applied to the codec family). Lazy, so
+        // non-bench callers composing further transforms see no
+        // eager execution.
+        .localCheckpoint(false)
         .orderBy("media_id")
     },
     None)
@@ -591,7 +612,12 @@ object Multimodal {
   val qMmMetaStats = Q(
     "q_mm_meta_stats",
     (s, d) =>
-      metaStats(mediaTable(s, d)).orderBy("kind", "width", "height"),
+      // mediaMetaTable, not mediaTable: this rollup reads id/kind/meta
+      // only, but the blob encode hides inside a typed map Catalyst
+      // cannot prune through — the meta-only frame skips the codecs
+      // for byte-identical output (measured at sf3: the rollup spent
+      // ~54 s of executor time encoding blobs it never read)
+      metaStats(mediaMetaTable(s, d)).orderBy("kind", "width", "height"),
     Some("""SELECT CASE vec_id % 3 WHEN 0 THEN 'video' WHEN 1 THEN 'audio'
                 ELSE 'image' END AS kind,
            CASE WHEN vec_id % 3 = 1 THEN 0
@@ -615,6 +641,8 @@ object Multimodal {
           Codecs.decodeAudio(m.bytes).length.toLong,
           m.meta.durationMs))
         .toDF("media_id", "n_samples", "duration_ms")
+        // same sampling-pass double-execution guard as q_mm_features
+        .localCheckpoint(false)
         .orderBy("media_id")
     },
     Some("""SELECT vec_id AS media_id,

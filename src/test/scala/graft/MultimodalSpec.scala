@@ -130,6 +130,23 @@ class MultimodalSpec extends SparkSpec {
       Codecs.decodeImage(Codecs.encodePng(Array[Byte](1, 2, 3, 4), 2, 2).drop(8)))
   }
 
+  test("mediaMetaTable == mediaTable on every non-blob field (r18: the " +
+      "meta-only frame behind q_mm_meta_stats skips the codecs)") {
+    def rows(ds: org.apache.spark.sql.Dataset[Multimodal.Media]) =
+      ds.collect().map(m =>
+        (m.media_id, m.kind, m.meta.mime, m.meta.width, m.meta.height,
+          m.meta.durationMs)).sortBy(_._1).toSeq
+    assert(rows(Multimodal.mediaMetaTable(spark, sf)) === rows(media))
+    // and the meta-only frame really carries no blob bytes
+    assert(Multimodal.mediaMetaTable(spark, sf).collect()
+      .forall(_.bytes.isEmpty))
+    // end-to-end: the declared rollup is row-identical on either frame
+    val viaMeta = Multimodal.metaStats(Multimodal.mediaMetaTable(spark, sf))
+      .collect().map(_.toSeq).toSet
+    val viaFull = Multimodal.metaStats(media).collect().map(_.toSeq).toSet
+    assert(viaMeta === viaFull)
+  }
+
   test("metadata stats never read the blob column (column pruning)") {
     val plan = Multimodal.metaStats(media).queryExecution.optimizedPlan
     // the scan beneath the aggregation must not require `bytes`
