@@ -585,4 +585,68 @@ object TextKernels {
 
   def packedPairsCol(c: Column): Column =
     Bridge.column(PackedPairs(Bridge.expression(c)))
+
+  // ----------------------------------------------------------- NGrams
+
+  /** Token n-grams of a text under `split(text, ' ')` semantics
+    * (empty tokens preserved), each gram the tokens re-joined with a
+    * single space — byte-identical to
+    * `transform(sequence(1, size(tk)-n+1), i -> concat_ws(' ', slice(tk, i, n)))`
+    * because a slice-rejoin of single-space-split tokens IS the
+    * original byte span: the kernel emits the raw substring between
+    * the two token boundaries, no token array, no per-gram concat.
+    * `distinct = true` adds the `array_distinct` the contamination
+    * grams apply (first-occurrence order, same as array_distinct).
+    * Fewer than n tokens -> empty array (the caller's size(tk) >= n
+    * filter composes identically: explode drops empty arrays). */
+  case class NGrams(child: Expression, n: Int, distinct: Boolean)
+      extends UnaryExpression {
+    require(n >= 1, s"ngram width must be positive: $n")
+    override def prettyName: String = "graft_ngrams"
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects string, got ${t.catalogString}")
+    }
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      TextKernels.ngrams(input.asInstanceOf[UTF8String], n, distinct)
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextKernels.ngrams($c, $n, $distinct);")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def ngrams(text: UTF8String, n: Int, distinct: Boolean): ArrayData = {
+    val bytes = text.getBytes
+    // token boundaries under split(' ') semantics: a token starts at 0
+    // or one past a space, ends at a space or the end of input
+    var spaces = 0
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' ') spaces += 1; i += 1 }
+    val m = spaces + 1                     // token count (empties kept)
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val starts = new Array[Int](m)
+    var t = 1
+    i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == ' ') { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    val out = new java.util.ArrayList[Any](m - n + 1)
+    val seen = if (distinct) new java.util.HashSet[UTF8String]() else null
+    var g = 0
+    while (g <= m - n) {
+      val start = starts(g)
+      val end = if (g + n - 1 == m - 1) bytes.length else starts(g + n) - 1
+      val gram = UTF8String.fromBytes(bytes, start, end - start)
+      if (seen == null || seen.add(gram)) out.add(gram)
+      g += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  def ngramsCol(c: Column, n: Int, distinct: Boolean): Column =
+    Bridge.column(NGrams(Bridge.expression(c), n, distinct))
 }

@@ -411,11 +411,17 @@ object Corpus {
     * sequence() bound would be negative). */
   private def grams(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, n: Int): org.apache.spark.sql.DataFrame = df
-    .select(col(idCol), split(col(textCol), " ").as("tk"))
-    .filter(size(col("tk")) >= n)
-    .select(col(idCol), explode(expr(
-      s"""array_distinct(transform(sequence(1, size(tk) - ${n - 1}),
-          i -> concat_ws(' ', slice(tk, i, $n))))""")).as("g"))
+    // one-pass codegen kernel (r18): byte-identical to the old
+    // filter(size >= n) + array_distinct(transform(sequence,
+    // concat_ws(slice))) spelling — those higher-order lambdas run
+    // interpreted with boxed elements, and the sf3 contamination scan
+    // spent 80 of its 144 executor-CPU seconds inside them. A slice of
+    // single-space-split tokens re-joined with ' ' IS the original byte
+    // span, so the kernel emits raw substrings; short rows yield an
+    // empty array, which explode drops exactly like the old filter.
+    .select(col(idCol), explode(
+      graft.functions.TextKernels.ngramsCol(col(textCol), n,
+        distinct = true)).as("g"))
 
   /** Shared tail of both scan variants: count matched grams per probe
     * row, restore gram-less rows with 0. */
@@ -786,15 +792,12 @@ object Corpus {
   val qCorpusNgramCounts = Q(
     "q_corpus_ngram_counts",
     (s, d) => {
-      val tk = split(col("text"), " ")
       T.documents(s, d)
-        .select(tk.as("tk"))
-        .filter(size(col("tk")) >= 2)
-        .select(explode(transform(
-          sequence(lit(0), size(col("tk")) - 2),
-          i => concat_ws(" ",
-            element_at(col("tk"), i + 1),
-            element_at(col("tk"), i + 2)))).as("gram"))
+        // same one-pass kernel as the contamination grams (r18), in its
+        // non-distinct form: every bigram occurrence, byte-identical to
+        // the interpreted transform/concat_ws/element_at spelling
+        .select(explode(graft.functions.TextKernels.ngramsCol(
+          col("text"), 2, distinct = false)).as("gram"))
         .groupBy("gram")
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("gram"))

@@ -159,6 +159,29 @@ class TextKernelsSpec extends SparkSpec {
     }
   }
 
+  test("NGrams == [array_distinct](transform(sequence, concat_ws(slice))) " +
+      "over split(text, ' ')") {
+    for (n <- Seq(1, 2, 3, 10); dist <- Seq(true, false)) {
+      val hof = df
+        .select(col("id"), split(col("text"), " ").as("tk"))
+        .filter(size(col("tk")) >= n)
+        .select(col("id"), expr(
+          s"""transform(sequence(1, size(tk) - ${n - 1}),
+              i -> concat_ws(' ', slice(tk, i, $n)))""").as("g"))
+        .select(col("id"),
+          (if (dist) array_distinct(col("g")) else col("g")).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val got = df
+        .select(col("id"),
+          TextKernels.ngramsCol(col("text"), n, distinct = dist).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      df.select(col("id")).collect().map(_.getLong(0)).foreach { id =>
+        assert(got(id) === hof.getOrElse(id, Seq.empty[String]),
+          s"row $id n=$n distinct=$dist")
+      }
+    }
+  }
+
   test("PackedPairs == every i<j pair of the sorted ids, packed (a<<32)|b, " +
       "independent of input order") {
     val s = spark
