@@ -452,14 +452,26 @@ object Analytics {
     // corpus scan at cluster scale). Ghost days (fan-out targets past
     // the last active day) report dau=0 and are dropped, which is
     // exactly the days the corpus has no activity on.
+    // Two-level spelling of the three distinct counts (r18, guide §2.3
+    // "aggregate before you shuffle"): the direct 3-way countDistinct
+    // plans an Expand that triples the exploded frame before its
+    // distinct aggregation. Instead, collapse to one row per (tday,
+    // user) carrying the MINIMUM day-offset — a user counts toward dau
+    // iff their nearest activity is 0 days back, toward wau iff <= 6 —
+    // then one tiny per-day aggregation counts the offset buckets.
+    // Distinct-counts become plain counts because the first aggregation
+    // already made (tday, u) unique; rows shuffled fall from 3x to 1x
+    // the fan-out (and the min() partial-aggregates map-side).
+    // Measured sf3: executor run 101 -> 45 s, CPU 87 -> 35 s, shuffle
+    // bytes 0.23 -> 0.14 GB.
     du.withColumn("tday", explode(sequence(col("day"), col("day") + 27)))
+      .groupBy("tday", "u")
+      .agg(min(col("tday") - col("day")).as("md"))
       .groupBy("tday")
       .agg(
-        countDistinct(when(col("tday") === col("day"), col("u")))
-          .as("dau"),
-        countDistinct(when(col("tday") - col("day") <= 6, col("u")))
-          .as("wau"),
-        countDistinct(col("u")).as("mau"))
+        count(when(col("md") === 0, 1)).as("dau"),
+        count(when(col("md") <= 6, 1)).as("wau"),
+        count(lit(1)).as("mau"))
       .filter(col("dau") > 0)
       .select(col("tday").as("day"), col("dau"), col("wau"), col("mau"),
         graft.util.Det.r2(col("dau").cast("double") /
