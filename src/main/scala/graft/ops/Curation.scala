@@ -4,6 +4,7 @@ import graft.{Q, Tables => T}
 import graft.util.Det.{r2, sqlR2}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.util.Report.SortedOnce
 
 /** Corpus-curation surface beyond filtering/dedup: repetition quality
   * signals (the Gopher-style rules), deterministic sampling, per-group
@@ -151,7 +152,7 @@ object Curation {
           size(regexp_extract_all(annotated, lit(numRe), lit(0)))
             .as("n_longnums"),
           length(scrubbed).as("clean_len"))
-        .orderBy("doc_id")
+        .sortedOnce("doc_id")
     },
     Some("""SELECT doc_id,
            CAST(len(regexp_extract_all(a, '[a-z0-9._]+@[a-z0-9.-]+')) AS INT)
@@ -440,17 +441,21 @@ object Curation {
         t -> (CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT)
           % $QualityBuckets) * 2654435761 % 1001 - 500)), 0) AS BIGINT)"""
 
+  /** Pre-sort classifier frame, split out for PlanSpec (see
+    * [[gopherRulesFrame]]). */
+  private[graft] def classifierFrame(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    T.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.TextKernels.spaceTokensCol(col("text")).as("tk"))
+      .select(col("doc_id"),
+        size(col("tk")).as("n_tokens"),
+        qualityScoreExpr.as("score"))
+      .withColumn("keep", col("score") >= 0L)
+
   val qTextQualityClassifier = Q(
     "q_text_quality_classifier",
-    (s, d) =>
-      T.documents(s, d)
-        .select(col("doc_id"),
-          graft.functions.TextKernels.spaceTokensCol(col("text")).as("tk"))
-        .select(col("doc_id"),
-          size(col("tk")).as("n_tokens"),
-          qualityScoreExpr.as("score"))
-        .withColumn("keep", col("score") >= 0L)
-        .orderBy("doc_id"),
+    (s, d) => classifierFrame(s, d).sortedOnce("doc_id"),
     Some(s"""SELECT doc_id,
              CAST(len(list_filter(string_split(text, ' '),
                t -> len(t) > 0)) AS INT) AS n_tokens,
@@ -541,26 +546,31 @@ object Curation {
     * verdict per document, plus the conjunction — what a curation run
     * logs per doc before cutting. Filters-as-data: downstream stages
     * consume `keep`, dashboards consume the per-rule columns. */
+  /** The pre-sort rule-matrix frame, split out (like winnowPairsAgg)
+    * so PlanSpec can pin the one-scan map-side shape that the report
+    * boundary's localCheckpoint otherwise truncates to an ExistingRDD. */
+  private[graft] def gopherRulesFrame(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val m = gopherCounts(T.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        graft.functions.TextKernels.spaceTokensCol(col("text")).as("tk")))
+    m.select(col("doc_id"), col("n_words"), col("n_lines"),
+      r2(col("n_chars").cast("double") / greatest(col("n_words"), lit(1)))
+        .as("mean_word_len"),
+      r2(col("n_symbols").cast("double") / greatest(col("n_words"), lit(1)))
+        .as("symbol_ratio"),
+      r2(col("n_alpha").cast("double") / greatest(col("n_words"), lit(1)))
+        .as("alpha_ratio"),
+      r2(col("n_bullet").cast("double") / col("n_lines")).as("bullet_ratio"),
+      r2(col("n_ell").cast("double") / col("n_lines")).as("ellipsis_ratio"),
+      col("ok_words"), col("ok_mean_len"), col("ok_symbol"),
+      col("ok_alpha"), col("ok_bullet"), col("ok_ellipsis"),
+      col("gopher_keep").as("keep"))
+  }
+
   val qTextGopherRules = Q(
     "q_text_gopher_rules",
-    (s, d) => {
-      val m = gopherCounts(T.documents(s, d)
-        .select(col("doc_id"), col("text"),
-          graft.functions.TextKernels.spaceTokensCol(col("text")).as("tk")))
-      m.select(col("doc_id"), col("n_words"), col("n_lines"),
-        r2(col("n_chars").cast("double") / greatest(col("n_words"), lit(1)))
-          .as("mean_word_len"),
-        r2(col("n_symbols").cast("double") / greatest(col("n_words"), lit(1)))
-          .as("symbol_ratio"),
-        r2(col("n_alpha").cast("double") / greatest(col("n_words"), lit(1)))
-          .as("alpha_ratio"),
-        r2(col("n_bullet").cast("double") / col("n_lines")).as("bullet_ratio"),
-        r2(col("n_ell").cast("double") / col("n_lines")).as("ellipsis_ratio"),
-        col("ok_words"), col("ok_mean_len"), col("ok_symbol"),
-        col("ok_alpha"), col("ok_bullet"), col("ok_ellipsis"),
-        col("gopher_keep").as("keep"))
-        .orderBy("doc_id")
-    },
+    (s, d) => gopherRulesFrame(s, d).sortedOnce("doc_id"),
     Some(s"""WITH m AS ($gopherCountsSql)
          SELECT doc_id, CAST(n_words AS INT) AS n_words,
                 CAST(n_lines AS INT) AS n_lines,

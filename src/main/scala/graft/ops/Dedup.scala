@@ -5,6 +5,7 @@ import graft.util.Det.{r2, sqlR2}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.util.Report.SortedOnce
 
 /** Deduplication surface over `documents` (the training-data-pipeline
   * mandate): exact, MinHash+LSH banding, n-gram Jaccard, SimHash,
@@ -433,7 +434,7 @@ object Dedup {
         .select(col("doc_id"),
           graft.functions.SimHashSig.simhash(split(col("text"), " "))
             .as("simhash"))
-        .orderBy("doc_id"),
+        .sortedOnce("doc_id"),
     Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
                           FROM documents),
             tc AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),

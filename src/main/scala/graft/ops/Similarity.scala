@@ -5,6 +5,7 @@ import graft.util.Det.{r2, sqlR2}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.util.Report.SortedOnce
 
 /** Similarity search over the `embeddings` table: brute-force cosine
   * top-k (correctness base) plus two ANN scale paths — multi-probe
@@ -619,7 +620,7 @@ object Similarity {
             col("embedding").cast("array<double>")).as("qs"))
         .select(col("vec_id"), r2(col("qs.scale")).as("scale"),
                 col("qs.q_sum").as("q_sum"), col("qs.q_l1").as("q_l1"))
-        .orderBy("vec_id"),
+        .sortedOnce("vec_id"),
     Some(s"""WITH m AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv,
                     list_max(list_transform(CAST(embedding AS DOUBLE[]),
                                             x -> abs(x))) AS mx
@@ -707,7 +708,7 @@ object Similarity {
         col("v"), flat, seeds.length, PqSubspaces)
       e.select(col("vec_id"), code.cast("long").as("code"),
           r2(err).as("err"))
-        .orderBy("vec_id")
+        .sortedOnce("vec_id")
     },
     Some(s"""WITH $pqCodesSqlCte,
              agg AS (SELECT vec_id,

@@ -4,6 +4,7 @@ import graft.{Q, Tables => T}
 import graft.util.Det._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.util.Report.SortedOnce
 
 /** Text-analysis surface over the `documents` table: tokenization, token
   * statistics, quality scoring, language heuristic, fingerprinting.
@@ -47,7 +48,7 @@ object TextOps {
           r2(graft.functions.TextKernels.countTokensInCol(col("toks"),
               Seq("the", "a", "of", "and", "in"))
             .cast("double") / size(col("toks"))).as("stop_ratio"))
-        .orderBy("doc_id"),
+        .sortedOnce("doc_id"),
     Some(s"""SELECT doc_id, lang,
             CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
             CAST(length(text) AS INT) AS len,
@@ -111,7 +112,7 @@ object TextOps {
           when(graft.functions.TextKernels.countTokensInCol(col("toks"), Seq("the", "a", "of"))
                  .cast("double") / size(col("toks")) >= 0.03, "en")
             .otherwise("other").as("pred_lang"))
-        .orderBy("doc_id"),
+        .sortedOnce("doc_id"),
     Some("""SELECT doc_id,
            CASE WHEN CAST(len(list_filter(string_split(text, ' '),
                        t -> t IN ('the', 'a', 'of'))) AS DOUBLE)
@@ -134,7 +135,7 @@ object TextOps {
           when(col("tp.hits")
                  .cast("double") / col("tp.grams") >= 0.04, "en")
             .otherwise("other").as("pred_lang"))
-        .orderBy("doc_id")
+        .sortedOnce("doc_id")
     },
     Some {
       val profile = TextOps.EnTrigrams.map(t => s"'$t'").mkString(", ")
@@ -163,7 +164,7 @@ object TextOps {
           col("doc_id"),
           size(toks).as("n_bpe_tokens"),
           size(array_distinct(toks)).as("n_bpe_vocab"))
-        .orderBy("doc_id")
+        .sortedOnce("doc_id")
     },
     Some("""SELECT doc_id,
            CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT)
@@ -181,19 +182,24 @@ object TextOps {
     * (`BpeEncode.oracleEncodeSql`), so any divergence in merge order,
     * overlap handling, or word splitting hash-mismatches at the gate.
     * One map-side pass, no shuffle except the output sort. */
+  /** Pre-sort BPE-count frame, split out so PlanSpec can pin the
+    * one-scan map-side shape the report boundary's localCheckpoint
+    * otherwise truncates to an ExistingRDD. */
+  private[graft] def tokensBpeFrame(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val toks = graft.functions.BpeEncode.encode(col("text"))
+    T.documents(s, d)
+      .select(col("doc_id"), toks.as("tk"))
+      .select(
+        col("doc_id"),
+        size(col("tk")).as("n_tokens"),
+        size(array_distinct(col("tk"))).as("n_vocab"),
+        md5(concat_ws("|", col("tk")).cast("binary")).as("toks_sig"))
+  }
+
   val qTextTokensBpe = Q(
     "q_text_tokens_bpe",
-    (s, d) => {
-      val toks = graft.functions.BpeEncode.encode(col("text"))
-      T.documents(s, d)
-        .select(col("doc_id"), toks.as("tk"))
-        .select(
-          col("doc_id"),
-          size(col("tk")).as("n_tokens"),
-          size(array_distinct(col("tk"))).as("n_vocab"),
-          md5(concat_ws("|", col("tk")).cast("binary")).as("toks_sig"))
-        .orderBy("doc_id")
-    },
+    (s, d) => tokensBpeFrame(s, d).sortedOnce("doc_id"),
     Some {
       val chain = graft.functions.BpeEncode.oracleEncodeSql("w")
       s"""WITH e AS (SELECT doc_id,
@@ -589,7 +595,7 @@ object TextOps {
           element_at(col("toks"), 1).as("first_tok"),
           element_at(col("toks"), -1).as("last_tok"),
           concat_ws(" ", slice(sort_array(col("toks")), 1, 3)).as("sorted3"))
-        .orderBy("doc_id"),
+        .sortedOnce("doc_id"),
     Some("""SELECT doc_id,
            CAST(len(string_split(text, ' ')) AS INT) AS n_toks,
            list_contains(string_split(text, ' '), 'the') AS has_the,
@@ -727,7 +733,7 @@ object TextOps {
           aggregate(transform(col("tk"), t => length(t)),
             lit(0), (acc, x) => acc + x).cast("long").as("chars_sum"),
           exists(col("tk"), t => t === lit("the")).as("has_the"))
-        .orderBy("doc_id"),
+        .sortedOnce("doc_id"),
     Some("""SELECT doc_id,
              CAST(len(list_filter(string_split(text, ' '),
                t -> length(t) >= 5)) AS BIGINT) AS n_long,
@@ -803,7 +809,7 @@ object TextOps {
             .as("mean_bits"),
           r2(col("te.n_vocab").cast("double") / col("te.n_tok").cast("double"))
             .as("ttr"))
-        .orderBy("doc_id"),
+        .sortedOnce("doc_id"),
     Some(s"""WITH t AS (SELECT doc_id, source,
                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
                unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -309,13 +309,19 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q_text_gopher_rules: one scan, map-side rule matrix, sort is the only shuffle") {
-    val p = plan("q_text_gopher_rules")
+    // the declared query checkpoints before the sort (the r18
+    // range-sampler guard), which truncates its visible plan — pin the
+    // pre-sort frame for the shape, the declared plan for the boundary
+    val p = graft.ops.Curation.gopherRulesFrame(spark, sf)
+      .queryExecution.explainString(FormattedMode)
     assert(count(p, """\(\d+\) Scan parquet""") == 1, p)
     // all six rules are length arithmetic + HOF filters on the row:
     // no explode (Generate), no aggregation exchange, no join
     assert(count(p, "hashpartitioning") == 0, p)
     assert(!p.contains("Generate"), "rule matrix must not explode:\n" + p)
     assert(!p.contains("Join"), p)
+    val q = plan("q_text_gopher_rules")
+    assert(q.contains("ExistingRDD") && count(q, "rangepartitioning") == 1, q)
   }
 
   test("q_unpivot: the melt is a map-side generator, not a self-union of scans") {
@@ -348,13 +354,16 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q_text_tokens_bpe: one scan, one map-side pass, sort is the only shuffle") {
-    val p = plan("q_text_tokens_bpe")
+    // pre-sort frame (see the gopher pin for why)
+    val p = graft.ops.TextOps.tokensBpeFrame(spark, sf)
+      .queryExecution.explainString(FormattedMode)
     assert(count(p, """\(\d+\) Scan parquet""") == 1, p)
     assert(p.contains("graft_bpe"), p)
     assert(count(p, "hashpartitioning") == 0,
       "BPE count grew a hash shuffle:\n" + p)
-    assert(count(p, "rangepartitioning") == 1, p)
     assert(!p.contains("Window") && !p.contains("Join"), p)
+    val q = plan("q_text_tokens_bpe")
+    assert(q.contains("ExistingRDD") && count(q, "rangepartitioning") == 1, q)
   }
 
   test("q_corpus_drift: one token-pass scan + one totals scan, top-k not a sort") {
@@ -372,11 +381,15 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q_text_quality_classifier: map-side fold, sort is the only shuffle") {
-    val p = plan("q_text_quality_classifier")
+    // pre-sort frame (see the gopher pin for why)
+    val p = graft.ops.Curation.classifierFrame(spark, sf)
+      .queryExecution.explainString(FormattedMode)
     assert(count(p, """\(\d+\) Scan parquet""") == 1, p)
     assert(count(p, "hashpartitioning") == 0,
       "classifier scoring grew a hash shuffle:\n" + p)
     assert(!p.contains("Generate"), "classifier explodes tokens:\n" + p)
+    val q = plan("q_text_quality_classifier")
+    assert(q.contains("ExistingRDD") && count(q, "rangepartitioning") == 1, q)
   }
 
   test("as-of nearest: both directional fills ride one key exchange, no join") {
