@@ -95,19 +95,41 @@ object Dedup {
     * shape. */
   val PairAggTargetRawPerTask: Long = 1L * 1000 * 1000
 
+  /** Fd-safe width ceiling for a provisioned pair shuffle (r18). The
+    * bypass-merge writer holds one open partition file per reduce
+    * partition per RUNNING task, so a width w costs up to cores × w
+    * descriptors at once — and the r17 flat 1024 backstop blew this
+    * sandbox's 20k fd limit the first time the census asked for it
+    * (sf10: 32 running writers × 1024 partition files + the JVM's own
+    * descriptors → "Too many open files" in the emission stage).
+    * Budget: half the process fd limit, divided by the machine's
+    * concurrency; 1024 stays as the runaway-census backstop above it
+    * and 64 as a floor so tiny-fd hosts still provision at all. */
+  val PairStageMaxParts: Int = {
+    val maxFd =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case u: com.sun.management.UnixOperatingSystemMXBean =>
+          u.getMaxFileDescriptorCount
+        case _ => Long.MaxValue
+      }
+    val cores = math.max(1, Runtime.getRuntime.availableProcessors)
+    math.max(64L, math.min(1024L, maxFd / 2 / cores)).toInt
+  }
+
   /** Reducer count for a pair-enumeration stage expected to carry
     * `rawPairs` rows (the exact Σ C(df,2) over the df-capped posting
     * census — the engine computes that census anyway for the hot-key
     * cap): the session default when the bound fits, else
-    * ceil(rawPairs / target), capped at 1024 (a runaway-census
-    * backstop, not a tuning point). Never BELOW the session default —
-    * at small scale the certified plan is untouched and no dispatch
-    * tax leaks in. */
+    * ceil(rawPairs / target), capped at the fd-safe
+    * [[PairStageMaxParts]] (a liveness bound, not a tuning point).
+    * Never BELOW the session default — at small scale the certified
+    * plan is untouched and no dispatch tax leaks in. */
   def pairStageParts(rawPairs: Long, sessionParts: Int,
       target: Long = PairStageTargetRawPerTask): Int = {
     require(target > 0, s"pair-stage target must be positive: $target")
     val need = (rawPairs + target - 1) / target
-    math.min(math.max(need, sessionParts.toLong), 1024L).toInt
+    math.min(math.max(need, sessionParts.toLong),
+      math.max(sessionParts.toLong, PairStageMaxParts.toLong)).toInt
   }
 
 

@@ -112,7 +112,12 @@ class ScaleGuardSpec extends SparkSpec {
     // ENOSPC-at-32 regime — provisions wider than the failure config
     assert(pairStageParts(2970297334L, 32, target = 32000000L) === 93)
     assert(pairStageParts(5325791261L, 32, target = 32000000L) === 167)
-    assert(pairStageParts(Long.MaxValue / 4, 32) === 1024) // backstop cap
+    // backstop cap is the fd-safe ceiling (r18: one open bypass file
+    // per partition per running task — a flat 1024 blew the 20k fd
+    // limit at sf10), never below the session default
+    assert(pairStageParts(Long.MaxValue / 4, 32) === Dedup.PairStageMaxParts)
+    assert(Dedup.PairStageMaxParts >= 64 && Dedup.PairStageMaxParts <= 1024)
+    assert(pairStageParts(Long.MaxValue / 4, 2000) === 2000)
     assert(pairStageParts(7L, 4, target = 1) === 7) // forced tiny target
     intercept[IllegalArgumentException](pairStageParts(7L, 4, target = 0))
   }
