@@ -1127,36 +1127,61 @@ object Corpus {
     * IVF centroids, k·bytes total). k corpus passes is the textbook
     * algorithm's shape; production trainers shard-sample first, which
     * composes here (any DataFrame works as input). */
+  /** The corpus reduced to its word census — the lightweight proxy every
+    * BPE pass actually needs (r19, guide §2.3 "aggregate before you
+    * shuffle" / §8 "decide with small rows"): the encoder is strictly
+    * per-word ([[graft.functions.BpeEncode]] splits on single spaces and
+    * never merges across a boundary), so every corpus-level count
+    * decomposes exactly as Σ_distinct-word count(word) × f(word). One
+    * word-count aggregation (map-side partial, vocabulary-sized shuffle)
+    * replaces a full text pass in EVERY training round and in the apply
+    * census — the k+1 corpus scans the r17/r18 spelling paid become 1. */
+  private[ops] def bpeWordCounts(docs: org.apache.spark.sql.DataFrame,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("wn"))
+
+  /** [[learnBpeMerges]] over a pre-aggregated, CALLER-PERSISTED
+    * (word, count) census — split out so [[qBpeApplyLearned]] can reuse
+    * one census for both the k learning rounds and the apply pass. */
+  private[ops] def learnBpeMergesFromWords(
+      words: org.apache.spark.sql.DataFrame,
+      k: Int): Seq[(String, String, Long)] = {
+    var merges = Vector.empty[(String, String)]
+    var out = Vector.empty[(String, String, Long)]
+    var round = 0
+    var dry = false
+    while (round < k && !dry) {
+      // pair count over the corpus ≡ per-word pairs weighted by word
+      // frequency (encoding never crosses word boundaries); counts are
+      // exact integers, so the argmax row — ties lexicographic on the
+      // pair — is the one the full-text spelling produced
+      val top = words
+        .select(explode(graft.functions.BpeEncode.pairs(col("w"), merges))
+          .as("p"), col("wn"))
+        .groupBy("p").agg(sum(col("wn")).as("n"))
+        .orderBy(col("n").desc, col("p"))
+        .limit(1).collect()
+      if (top.isEmpty) dry = true
+      else {
+        val parts = top(0).getString(0).split(" ", 2)
+        merges :+= ((parts(0), parts(1)))
+        out :+= ((parts(0), parts(1), top(0).getLong(1)))
+      }
+      round += 1
+    }
+    out
+  }
+
   def learnBpeMerges(docs: org.apache.spark.sql.DataFrame, textCol: String,
       k: Int): Seq[(String, String, Long)] = {
-    // every round re-reads the same text column — cache the projection
-    // once so rounds 2..k pay encode+count, not another source scan
-    // (on a real corpus the trainer's input is a sampled shard, which
-    // is exactly what makes this cache admissible)
-    val texts = docs.select(col(textCol))
+    // cache the vocabulary census, not the text: rounds 1..k then scan
+    // |V| rows instead of the corpus (see [[bpeWordCounts]])
+    val words = bpeWordCounts(docs, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      var merges = Vector.empty[(String, String)]
-      var out = Vector.empty[(String, String, Long)]
-      var round = 0
-      var dry = false
-      while (round < k && !dry) {
-        val top = texts
-          .select(explode(graft.functions.BpeEncode.pairs(col(textCol), merges))
-            .as("p"))
-          .groupBy("p").agg(count(lit(1)).as("n"))
-          .orderBy(col("n").desc, col("p"))
-          .limit(1).collect()
-        if (top.isEmpty) dry = true
-        else {
-          val parts = top(0).getString(0).split(" ", 2)
-          merges :+= ((parts(0), parts(1)))
-          out :+= ((parts(0), parts(1), top(0).getLong(1)))
-        }
-        round += 1
-      }
-      out
-    } finally texts.unpersist(blocking = false)
+    try learnBpeMergesFromWords(words, k)
+    finally words.unpersist(blocking = false)
   }
 
   /** Merges learned per declared run of [[qBpeLearn]]. */
@@ -1206,20 +1231,25 @@ object Corpus {
     * a full plain-Scala replay, plus the fixed-point invariant that no
     * learned pair survives adjacent in the encoded output.
     *
-    * Scale shape: learning is [[qBpeLearn]]'s k cached passes; the
-    * apply pass is one map-side codegen explode + two-phase count +
-    * TakeOrderedAndProject — the same census shape as
-    * q_corpus_ngram_counts. Driver state stays k merge pairs. */
+    * Scale shape (r19): ONE corpus word-count pass builds the
+    * vocabulary census ([[bpeWordCounts]]); the k learning rounds AND
+    * the apply census all run over that |V|-row frame — token counts
+    * decompose exactly as Σ count(word) × tokens(word) because the
+    * encoder never crosses a word boundary. Driver state stays k merge
+    * pairs. The census persist spans the rounds and the apply pass;
+    * evicted by [[graft.Graft.clearCaches]] like every persisted base. */
   val qBpeApplyLearned = Q(
     "q_bpe_apply_learned",
     (s, d) => {
-      val learned = learnBpeMerges(T.documents(s, d), "text", BpeLearnRounds)
+      val words = bpeWordCounts(T.documents(s, d), "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val learned = learnBpeMergesFromWords(words, BpeLearnRounds)
         .map { case (a, b, _) => (a, b) }
       val products = learned.map { case (a, b) => a + b }.toSet
-      T.documents(s, d)
-        .select(explode(graft.functions.BpeEncode.encodeWith(col("text"),
-          learned)).as("token"))
-        .groupBy("token").agg(count(lit(1)).as("n"))
+      words
+        .select(explode(graft.functions.BpeEncode.encodeWith(col("w"),
+          learned)).as("token"), col("wn"))
+        .groupBy("token").agg(sum(col("wn")).as("n"))
         .withColumn("merged",
           col("token").isInCollection(products))
         .orderBy(col("n").desc, col("token"))

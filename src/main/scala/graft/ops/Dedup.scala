@@ -124,12 +124,20 @@ object Dedup {
     * [[PairStageMaxParts]] (a liveness bound, not a tuning point).
     * Never BELOW the session default — at small scale the certified
     * plan is untouched and no dispatch tax leaks in. */
+  /** `maxParts` (ADVICE r18): the fd-safe ceiling, injectable so the
+    * provisioning arithmetic is testable machine-independently and so a
+    * cluster deployment can pass its EXECUTOR-side budget — the default
+    * [[PairStageMaxParts]] measures this JVM's fd limit and cores, which
+    * is the right process on local[n] (driver == executor) but merely a
+    * proxy elsewhere (the bypass writer's open files live in the executor
+    * process). */
   def pairStageParts(rawPairs: Long, sessionParts: Int,
-      target: Long = PairStageTargetRawPerTask): Int = {
+      target: Long = PairStageTargetRawPerTask,
+      maxParts: Int = PairStageMaxParts): Int = {
     require(target > 0, s"pair-stage target must be positive: $target")
     val need = (rawPairs + target - 1) / target
     math.min(math.max(need, sessionParts.toLong),
-      math.max(sessionParts.toLong, PairStageMaxParts.toLong)).toInt
+      math.max(sessionParts.toLong, maxParts.toLong)).toInt
   }
 
 

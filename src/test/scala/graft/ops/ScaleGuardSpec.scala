@@ -110,8 +110,17 @@ class ScaleGuardSpec extends SparkSpec {
     // the r17/r18 measured census points (SCALE.md): sf10 2.97e9 raw
     // pairs — the just-fits-at-32 regime — engages; sf20 5.33e9 — the
     // ENOSPC-at-32 regime — provisions wider than the failure config
-    assert(pairStageParts(2970297334L, 32, target = 32000000L) === 93)
-    assert(pairStageParts(5325791261L, 32, target = 32000000L) === 167)
+    // explicit maxParts (ADVICE r18): pins the arithmetic regardless of
+    // the host's fd limit / core count (the default ceiling is
+    // machine-derived and can drop below these widths on many-core or
+    // low-ulimit hosts)
+    assert(pairStageParts(2970297334L, 32, target = 32000000L,
+      maxParts = 1024) === 93)
+    assert(pairStageParts(5325791261L, 32, target = 32000000L,
+      maxParts = 1024) === 167)
+    // an injected ceiling below the demanded width clamps to it
+    assert(pairStageParts(5325791261L, 32, target = 32000000L,
+      maxParts = 96) === 96)
     // backstop cap is the fd-safe ceiling (r18: one open bypass file
     // per partition per running task — a flat 1024 blew the 20k fd
     // limit at sf10), never below the session default
