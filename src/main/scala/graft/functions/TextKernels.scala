@@ -461,6 +461,64 @@ object TextKernels {
   def tokenEntropyCol(c: Column): Column =
     Bridge.column(TokenEntropy(Bridge.expression(c)))
 
+  // ---------------------------------------------------- TopTokenStats
+
+  /** Per-document (max token frequency, token count) in one pass — the
+    * [[TokenEntropy]] hash-map walk with an argmax instead of the
+    * entropy sum. Replaces q_text_repetition's
+    * explode(split) → groupBy(doc, tok) → groupBy(doc) → join-back
+    * pipeline, whose exploded frame is |corpus tokens| rows through two
+    * corpus-sized exchanges; the kernel's per-row state is one hash map
+    * bounded by the document's own vocabulary — map-side at any corpus
+    * size. Semantics pinned to the relational spelling: tokens are
+    * `split(text, ' ')` fields INCLUDING empties (leading / trailing /
+    * consecutive spaces), `max_cnt` the highest per-token count,
+    * `n_toks` the total field count. */
+  case class TopTokenStats(child: Expression) extends UnaryExpression {
+    override def prettyName: String = "graft_top_token_stats"
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects string, got ${t.catalogString}")
+    }
+    override def dataType: DataType = StructType(Seq(
+      StructField("max_cnt", LongType, nullable = false),
+      StructField("n_toks", LongType, nullable = false)))
+    override def nullSafeEval(input: Any): Any =
+      TextKernels.topTokenStats(input.asInstanceOf[UTF8String])
+    override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.functions.TextKernels.topTokenStats($c);")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  def topTokenStats(text: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val bytes = text.getBytes
+    val counts = new java.util.HashMap[UTF8String, Array[Long]]()
+    var nTok = 0L
+    var maxCnt = 0L
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        val tok = UTF8String.fromBytes(
+          java.util.Arrays.copyOfRange(bytes, start, i))
+        val c = counts.get(tok)
+        val n = if (c == null) { counts.put(tok, Array(1L)); 1L }
+                else { c(0) += 1; c(0) }
+        if (n > maxCnt) maxCnt = n
+        nTok += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(maxCnt, nTok)
+  }
+
+  def topTokenStatsCol(c: Column): Column =
+    Bridge.column(TopTokenStats(Bridge.expression(c)))
+
   // ---------------------------------------------------- IntersectCount
 
   /** `size(array_intersect(a, b))` for ASCENDING-SORTED inputs (e.g.
@@ -569,6 +627,13 @@ object TextKernels {
   def packedPairs(ds: ArrayData): ArrayData = {
     val ids = ds.toLongArray()
     val n = ids.length
+    // loud failure, not corruption (ADVICE r18): C(n,2) in Int overflows
+    // past n = 65536 — a caller that bypasses the posting-df cap must
+    // die with a named bound, never a NegativeArraySizeException or a
+    // silently truncated pair set
+    require(n <= 65536,
+      s"packedPairs: posting list of $n ids exceeds the 65536 bound " +
+        "(C(n,2) overflows Int) — cap the group's df before emission")
     java.util.Arrays.sort(ids)
     val out = new Array[Long](n * (n - 1) / 2)
     var k = 0

@@ -444,7 +444,13 @@ object Analytics {
     // double division is integer-valued and the cast is exact
     val day = (unix_millis(date_trunc("day", col(tsCol))) / 86400000L)
       .cast("long")
-    val du = df.select(day.as("day"), col(userCol).as("u")).distinct()
+    // NULL users are excluded up front (ADVICE r18): the r17
+    // countDistinct spelling and the oracle's count(DISTINCT CASE ...)
+    // both ignore NULLs, but the min-offset rewrite's groupBy(tday, u)
+    // keeps a NULL-user group and its plain counts would tally it — a
+    // divergence the moment a fixture ships a NULL user_id.
+    val du = df.select(day.as("day"), col(userCol).as("u"))
+      .filter(col("u").isNotNull).distinct()
     // DAU rides the SAME fan-out aggregation as WAU/MAU (the k=0 slice
     // of the explode), so the distinct activity frame — and the corpus
     // scan feeding it — is consumed exactly once; a separate dau

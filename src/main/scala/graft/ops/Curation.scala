@@ -16,31 +16,29 @@ object Curation {
   /** Repetition quality signals per document — the two workhorse
     * Gopher-rule inputs: the duplicate word-2-gram ratio (1 − distinct/
     * total) and the top-token dominance (most frequent token's share).
-    * Two aggregations over the exploded token stream plus one map-side
-    * shingle pass, joined back on doc_id — both shuffles partial-
-    * aggregate map-side. */
+    * One map-side pass (r19, guide §2.4 "remove shuffles outright"):
+    * both signals are pure per-row functions of the text, so the former
+    * explode → groupBy(doc, tok) → groupBy(doc) → join-back pipeline —
+    * two corpus-sized exchanges plus a join for what one row already
+    * knows — collapses into the [[graft.functions.TextKernels
+    * .TopTokenStats]] kernel beside the existing shingle kernel; the
+    * only remaining exchange is the report sort. */
   val qTextRepetition = Q(
     "q_text_repetition",
-    (s, d) => {
-      val tokAgg = T.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
-        .groupBy("doc_id")
-        .agg(max(col("cnt")).as("max_cnt"), sum(col("cnt")).as("n_toks"))
-      val grams = T.documents(s, d).select(
-        col("doc_id"),
-        size(graft.functions.WordShingles.shingles(col("text")))
-          .as("n_distinct_2g"),
-        greatest(size(split(col("text"), " ")) - 1, lit(1)).as("n_2g"))
-      grams.join(tokAgg, "doc_id")
+    (s, d) =>
+      T.documents(s, d).select(
+          col("doc_id"),
+          size(graft.functions.WordShingles.shingles(col("text")))
+            .as("n_distinct_2g"),
+          greatest(size(split(col("text"), " ")) - 1, lit(1)).as("n_2g"),
+          graft.functions.TextKernels.topTokenStatsCol(col("text")).as("ts"))
         .select(
           col("doc_id"),
           r2(lit(1.0) - col("n_distinct_2g").cast("double") / col("n_2g"))
             .as("dup_2gram_ratio"),
-          r2(col("max_cnt").cast("double") / col("n_toks"))
+          r2(col("ts.max_cnt").cast("double") / col("ts.n_toks"))
             .as("top_tok_ratio"))
-        .orderBy("doc_id")
-    },
+        .sortedOnce("doc_id"),
     Some(s"""WITH tc AS (
               SELECT doc_id, tok, count(*) AS cnt FROM (
                 SELECT doc_id, unnest(string_split(text, ' ')) AS tok
@@ -754,10 +752,19 @@ object Curation {
         .groupBy("prev", "tok").agg(count(lit(1)).as("c2"))
       val bitlen: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
         c => length(bin(c)).cast("long")
+      // The three model joins broadcast EXPLICITLY (r19, guide §3.1):
+      // the model frames are vocab-bounded and deliberately small — the
+      // CCNet asymmetry, a strided slice of the train split — while the
+      // probe side is the corpus-sized exploded token frame. Left to
+      // size estimates the planner can flip these to sort-merge at
+      // scale, shuffling every token three times for a model that fits
+      // in memory by construction. (A model past the broadcast cap
+      // means the stride is mis-set, not that these joins should
+      // shuffle.)
       toks
-        .join(cnt1.toDF("prev", "c1prev"), Seq("prev"), "left")
-        .join(cnt2, Seq("prev", "tok"), "left")
-        .join(cnt1.toDF("tok", "c1cur"), Seq("tok"), "left")
+        .join(broadcast(cnt1.toDF("prev", "c1prev")), Seq("prev"), "left")
+        .join(broadcast(cnt2), Seq("prev", "tok"), "left")
+        .join(broadcast(cnt1.toDF("tok", "c1cur")), Seq("tok"), "left")
         .crossJoin(broadcast(t1))
         .withColumn("ub",
           bitlen(expr("(t + 1) div (coalesce(c1cur, 0L) + 1)")))

@@ -306,40 +306,46 @@ object TextOps {
     // Df guard (same rationale as Dedup.pairsFromGroups): a fingerprint
     // shared by more than maxDf documents is noise, not signal, and its
     // pair expansion is quadratic. The count partial-aggregates
-    // map-side; the hot set is tiny -> broadcast anti-join, no extra
-    // shuffle of the exploded table.
+    // map-side; the hot set is tiny by definition (stopword keys).
     //
-    // The census now feeds TWO consumers (VERDICT r17 #1): the hot-key
-    // cap and the pair-stage provision bound below. localCheckpoint
-    // (lazy) so the one census shuffle is paid once — the bound's
-    // driver action materializes the blocks, the broadcast reads them.
-    val census = fpAll.groupBy("fp").agg(count(lit(1)).as("graft_df"))
-      .localCheckpoint(false)
-    val hot = census.filter(col("graft_df") > maxDf)
-      .select("fp")
-    // EXACT raw pair cardinality of the df-capped self-join: per-doc
+    // The census feeds TWO consumers (VERDICT r17 #1): the hot-key cap
+    // and the pair-stage provision bound. r19 rework (guide §1.2 —
+    // sf0.1 lost ~0.7 s to serial driver round trips): BOTH ride ONE
+    // aggregation row — the raw-pair sum over cold keys and the
+    // collect_list of hot keys — so the census shuffle runs once with
+    // no localCheckpoint block traffic, no second steering job, and no
+    // broadcast-exchange build; the hot set returns to the driver in
+    // the same action that was already collecting the provisioning
+    // bound (the broadcast spelling ALSO staged the hot set through
+    // the driver, so driver state is unchanged — tiny by the stopword
+    // argument). The cap then applies as a map-side InSet filter on
+    // the re-exploded postings instead of an anti-join.
+    //
+    // EXACT raw pair cardinality of the df-capped pair stage: per-doc
     // fingerprints are distinct (winnow min-selection dedupes), so the
-    // equi-join emits exactly C(df, 2) pairs per retained fingerprint.
-    // One small agg over the census the cap computes anyway; the ONE
-    // collected row is driver-steered provisioning state, same policy
-    // class as the IVF centroid / BPE argmax collects. The same action
-    // also fetches the doc-id extent (a pruned one-column scan of
-    // documents, far cheaper than the fingerprint explode) so the pair
-    // stage can decide the packed-key spelling below without a second
-    // driver round trip: both 1-row aggs ride one crossJoin.
-    val steer = census.filter(col("graft_df") <= maxDf)
-      .agg(coalesce(sum((col("graft_df") * (col("graft_df") - 1) / 2)
-        .cast("long")), lit(0L)).as("raw_pairs"))
+    // grouped emission yields exactly C(df, 2) pairs per retained
+    // fingerprint. The same action also fetches the doc-id extent (a
+    // pruned one-column scan of documents, far cheaper than the
+    // fingerprint explode) so the pair stage can decide the packed-key
+    // spelling without another driver round trip: both 1-row aggs ride
+    // one crossJoin.
+    val steer = fpAll.groupBy("fp").agg(count(lit(1)).as("graft_df"))
+      .agg(
+        coalesce(sum(when(col("graft_df") <= maxDf,
+          (col("graft_df") * (col("graft_df") - 1) / 2).cast("long"))),
+          lit(0L)).as("raw_pairs"),
+        collect_list(when(col("graft_df") > maxDf, col("fp"))).as("hot_fps"))
       .crossJoin(T.documents(s, d)
         .agg(min(col("doc_id")).as("id_min"), max(col("doc_id")).as("id_max")))
       .head
     val rawPairs = steer.getLong(0)
+    val hotFps = steer.getSeq[Long](1)
     // Packed-key guard: (a << 32) | b is a bijection on pairs iff every
     // doc_id sits in [0, 2^31) — true for every fixture and any corpus
     // below two billion documents; an id space past that falls back to
     // the two-long key, same results.
-    val packable = packing && !steer.isNullAt(1) && steer.getLong(1) >= 0L &&
-      steer.getLong(2) < (1L << 31)
+    val packable = packing && !steer.isNullAt(2) && steer.getLong(2) >= 0L &&
+      steer.getLong(3) < (1L << 31)
     val sessionParts = s.sessionState.conf.numShufflePartitions
     val parts = Dedup.pairStageParts(rawPairs, sessionParts, pairTarget)
     // Aggregation-stage width from the same census bound, at its own
@@ -351,7 +357,13 @@ object TextOps {
     val aggParts = Dedup.pairStageParts(rawPairs, sessionParts,
       sys.env.get("SPARK_GRAFT_PAIR_AGG_TARGET").map(_.toLong)
         .getOrElse(Dedup.PairAggTargetRawPerTask))
-    val fp0 = fpAll.join(broadcast(hot), Seq("fp"), "left_anti")
+    // Hot-key cap as a pure map-side filter: isInCollection over >10
+    // elements plans an InSet (hash-set membership, whole-stage codegen)
+    // — no broadcast exchange, no join operator, same surviving rows as
+    // the former anti-join (fp is never null: explode of a non-null
+    // array).
+    val fp0 = if (hotFps.isEmpty) fpAll
+              else fpAll.filter(!col("fp").isInCollection(hotFps))
     // Pair-stage provisioning (VERDICT r17 #1, the SCALE.md r17 rule
     // moved from an env var into the engine): when the census bound
     // says the session-default stage would outrun per-task execution

@@ -21,7 +21,18 @@ object Report {
     * Use ONLY under a sort whose child has no shuffle of its own —
     * below an aggregation/join exchange the sampler re-reads shuffle
     * files, which is already cheap, and the checkpoint would just add
-    * block traffic. */
+    * block traffic.
+    *
+    * Cluster deployment caveat (ADVICE r18): localCheckpoint truncates
+    * lineage into UNREPLICATED executor-local blocks — on a real
+    * cluster an executor loss between the sampling pass and the sort
+    * fails the query instead of recomputing, and the blocks pin
+    * MEMORY_AND_DISK storage until the RDD is GC'd. That is the right
+    * trade for a single-process bench harness; a fault-tolerant
+    * deployment should either accept the plain double-executing
+    * `orderBy` or persist the pre-sort frame with replication
+    * (StorageLevel.MEMORY_AND_DISK_2) / a reliable checkpoint dir
+    * instead. */
   implicit class SortedOnce(private val df: DataFrame) extends AnyVal {
     def sortedOnce(cols: String*): DataFrame = {
       val c = df.localCheckpoint(false)

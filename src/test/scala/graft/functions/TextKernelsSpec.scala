@@ -121,6 +121,23 @@ class TextKernelsSpec extends SparkSpec {
     }
   }
 
+  test("TopTokenStats == explode(split) -> groupBy(doc, tok) -> (max, sum)") {
+    val want = df.select(col("id"),
+      explode(split(col("text"), " ")).as("tok"))
+      .groupBy("id", "tok").agg(count(lit(1)).as("cnt"))
+      .groupBy("id")
+      .agg(max(col("cnt")).as("max_cnt"), sum(col("cnt")).as("n_toks"))
+      .orderBy("id").collect()
+    val got = df.select(col("id"),
+      TextKernels.topTokenStatsCol(col("text")).as("ts")).orderBy("id")
+      .select(col("id"), col("ts.max_cnt"), col("ts.n_toks")).collect()
+    assert(got.length === want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert((g.getLong(1), g.getLong(2)) === (w.getLong(1), w.getLong(2)),
+        s"row ${g.getLong(0)}")
+    }
+  }
+
   test("SortedIntersectCount == size(array_intersect(a, b)) on sorted inputs") {
     val s = spark
     import s.implicits._
