@@ -556,39 +556,52 @@ object Dedup {
     * to ~256·cap vectors and keeps near-dup recall via the extra band
     * (1-(1-p^8)^3 vs 1-(1-p^4)^2). At larger corpora widen bands
     * ~log2(n/cap) and add bands to hold recall. */
+  /** r19 measurement note (negative result, kept for the record): a
+    * rewrite that shuffled only (vec_id, band_no, band), generated
+    * distinct candidate pairs via the grouped emission and re-attached
+    * vectors with two equi-joins — the guide §8 "move the payload once"
+    * shape — measured 6× WORSE at sf3 (wall 103 s vs 16.6 s, executor
+    * CPU 850 s vs 179 s, 8 GB spill vs 0): materializing the ~C(df,2)
+    * candidate-pair mass through a distinct exchange and two sort-merge
+    * joins costs far more than this plan's broadcast-probe pipeline,
+    * which scores each collision in-stream and lets the distinct
+    * partial-aggregate collapse duplicates map-side before the only
+    * pair-sized exchange. The broadcast of the banded frame is the
+    * plan's known scale ceiling (8 GB relation cap — SCALE.md); at that
+    * corpus size the fix is wider bands (fewer collisions per bucket),
+    * not the pair-materializing rewrite. */
   private[graft] def embeddingLshTopPairs(s: SparkSession, d: String,
       maxBucket: Int = MaxPostingDf, k: Int = 10): DataFrame = {
-    // Bands carry ONLY (vec_id, band_no, band) — 24 bytes/row (r19,
-    // guide §2.3 "shuffle keys and metadata instead of payloads" / §8):
-    // the old spelling rode the 512-byte double vector through BOTH
-    // sides of a band self-join (SMJ sort + shuffle of ~6× the vector
-    // payload) and re-scored the cosine once per colliding band (up to
-    // 3× per pair). Now pairs come from the shared grouped emission
-    // ([[pairsFromGroups]] — one band exchange of the narrow postings,
-    // same hot-band df cap), and the vectors attach ONCE, to the
-    // distinct candidate pairs, for a single cosine per pair.
-    val bands = Similarity.srpBuckets(s, d, nPlanes = 24)
-      .select(col("vec_id").as("doc_id"),
+    val b = Similarity.srpBuckets(s, d, nPlanes = 24)
+      .select(col("vec_id"), col("v"), col("bucket"))
+    val bands = b.select(col("vec_id"), col("v"),
         posexplode(array(
           pmod(col("bucket"), lit(256L)),
           pmod(floor(col("bucket") / 256).cast("long"), lit(256L)),
           floor(col("bucket") / 65536).cast("long"))))
-      .toDF("doc_id", "band_no", "band")
+      .toDF("vec_id", "v", "band_no", "band")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = pairsFromGroups(bands, Seq("band_no", "band"), maxBucket)
+    // Same hot-key policy as pairsFromGroups: a band bucket holding more
+    // than maxBucket vectors is dense-region noise whose pair expansion
+    // is quadratic — drop it; dense regions are the ANN paths' job.
+    val hot = bands.groupBy("band_no", "band")
+      .agg(count(lit(1)).as("graft_df"))
+      .filter(col("graft_df") > maxBucket)
+      .select("band_no", "band")
+    val cold = bands.join(broadcast(hot), Seq("band_no", "band"), "left_anti")
+    val cos = Similarity.cosine(col("x.v"), col("y.v"))
+    val top = cold.as("x")
+      .join(cold.as("y"),
+        col("x.band_no") === col("y.band_no") &&
+        col("x.band") === col("y.band") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+              r2(cos).as("cos"))
       .distinct()
-    // same v the bucketing computed: the one cast of the stored float32
-    val vecs = T.embeddings(s, d)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val cos = Similarity.cosine(col("va"), col("vb"))
-    val top = cand
-      .join(vecs.select(col("vec_id").as("a"), col("v").as("va")), "a")
-      .join(vecs.select(col("vec_id").as("b"), col("v").as("vb")), "b")
-      .select(col("a"), col("b"), r2(cos).as("cos"))
       .orderBy(col("cos").desc, col("a"), col("b"))
       .limit(k)
     val census = capCensus(bands, Seq("band_no", "band"), maxBucket,
-      idCol = "doc_id", idsName = "n_capped_vecs")
+      idCol = "vec_id", idsName = "n_capped_vecs")
     // LEFT join from the 1-row census so the census row survives an
     // empty top-k (broadcast graft, no body shuffle)
     broadcast(census).join(top, lit(true), "left")

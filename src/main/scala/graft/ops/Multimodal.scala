@@ -691,6 +691,11 @@ object Multimodal {
   def perceptualDedup(media: Dataset[Media], maxHamming: Int = 3): DataFrame = {
     val ph = perceptualHash(media)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (r19 measurement note: an eager ph.count() materialization was
+    // tried against a suspected concurrent-stage cache race and made no
+    // difference — summed executor run time is dominated by the
+    // per-stage shuffle-writer file ops at this scale, not duplicate
+    // synthesis; the one-pass cache behaves as designed.)
     val bands = ph.select(col("media_id").as("doc_id"), col("kind"),
       posexplode(array((0 until 4).map(b =>
         expr(s"(phash >> ${b * 16}) & 65535")): _*)))
